@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Registry convention: every operator family from SURVEY.md §2 plus the
+extension surface contributes named (query, oracle) pairs here. Spark-side
+and SQL-side column names/aliases are kept identical by construction.
 """
 
 from __future__ import annotations
@@ -13,26 +16,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from investcloud_data_pipeline_spark.plans import pipeline_queries as P
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full Gold pipeline (validity filter → dedup →
+    enrich → per-user argmax aggregation) in batch form at sf0.001."""
+    return P.gold_user_argmax(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # Reference pipeline, batch form (SURVEY §2: F1/F2, P4/P5, D1, J1, A1, W1, F3, A2)
+        "bronze_quality_valid": P.bronze_quality_valid,
+        "bronze_quality_quarantine": P.bronze_quality_quarantine,
+        "silver_dedup": P.silver_dedup,
+        "silver_enrich": P.silver_enrich,
+        "gold_region_totals": P.gold_region_totals,
+        "gold_user_argmax": P.gold_user_argmax,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bronze_quality_valid": P.BRONZE_QUALITY_VALID_SQL,
+        "bronze_quality_quarantine": P.BRONZE_QUALITY_QUARANTINE_SQL,
+        "silver_dedup": P.SILVER_DEDUP_SQL,
+        "silver_enrich": P.SILVER_ENRICH_SQL,
+        "gold_region_totals": P.GOLD_REGION_TOTALS_SQL,
+        "gold_user_argmax": P.GOLD_USER_ARGMAX_SQL,
+    }

@@ -1,0 +1,54 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count-style action (collect to driver is not
+the workload being measured; we force full materialization of the plan via
+``df.write.format("noop")`` which executes every operator but discards
+rows — the standard Spark benchmarking sink).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from investcloud_data_pipeline_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Batch sources (S3 csv contract + parquet) and sinks.
+
+Reference S3: the upstream contract is CSV-with-header from the generator
+(data_generator.py:52), landed as parquet by capture (01:14). Both formats
+are supported here with the schema *enforced* (the reference declares
+RAW_SCHEMA but never passes it to a reader — SURVEY §1.3).
+
+Corrupt handling (reference T6, cloudFiles.badRecordsPath 01:19): CSV/JSON
+reads use PERMISSIVE mode with a ``_corrupt_record`` column so unparseable
+rows route to the quarantine sink instead of failing the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CORRUPT_COL, RAW_SCHEMA_WITH_CORRUPT
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (columnar parquet scan — filters and
+    projections placed on top are pushed into the scan by Catalyst).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    reader rejects; read it as long (legacy conf) and truncate to
+    microseconds — the same ns→µs truncation DuckDB applies, so oracle
+    comparisons see identical instants.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_raw_csv(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read raw activity CSV with the enforced schema.
+
+    Returns ``(records, corrupt)``: parseable rows (corrupt column dropped)
+    and rows that failed schema parsing (raw line preserved), mirroring the
+    badRecordsPath split.
+    """
+    df = (
+        spark.read.schema(RAW_SCHEMA_WITH_CORRUPT)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    ).cache()
+    records = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return records, corrupt
+
+
+def read_raw_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read raw activity parquet (the pipeline's production ingest format)."""
+    return spark.read.parquet(path)

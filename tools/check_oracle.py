@@ -1,0 +1,103 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` on DuckDB at the given sf dir, then compares row count,
+column names, and order-insensitive values (exact match after sorting;
+near-miss diagnostics for floats).
+
+Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def normalize(rows):
+    out = []
+    for row in rows:
+        norm = []
+        for v in row:
+            if hasattr(v, "isoformat"):
+                v = v.isoformat()
+            elif isinstance(v, float):
+                v = repr(v)
+            norm.append(str(v) if v is not None else "\x00NULL")
+        out.append(tuple(norm))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from investcloud_data_pipeline_spark.session import get_spark
+    from investcloud_data_pipeline_spark.sources.batch import TESTDATA_TABLES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = normalize([tuple(r) for r in sdf.collect()])
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only ({len(srows)} rows, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = normalize(res.fetchall())
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={scols} oracle={ocols}")
+        elif scols != ocols:
+            # driver sorts columns by name; align our value compare too
+            sidx = [scols.index(c) for c in sorted(scols)]
+            oidx = [ocols.index(c) for c in sorted(ocols)]
+            srows = sorted(tuple(r[i] for i in sidx) for r in srows)
+            orows = sorted(tuple(r[i] for i in oidx) for r in orows)
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        elif srows != orows:
+            n_bad = sum(1 for a, b in zip(srows, orows) if a != b)
+            example = next((a, b) for a, b in zip(srows, orows) if a != b)
+            problems.append(f"values differ in {n_bad}/{len(srows)} sorted rows; "
+                            f"first diff:\n  spark : {example[0]}\n  oracle: {example[1]}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+    print(f"\n{'ALL PASS' if not failures else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
