@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from investcloud_data_pipeline_spark.plans import pipeline_queries as P
+from investcloud_data_pipeline_spark.plans import relational as R
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -36,6 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silver_enrich": P.silver_enrich,
         "gold_region_totals": P.gold_region_totals,
         "gold_user_argmax": P.gold_user_argmax,
+        # Relational coverage (joins/aggs/windows/set-ops/json/percentiles)
+        **{name: fn for name, (fn, _) in R.QUERIES.items()},
     }
 
 
@@ -47,4 +50,5 @@ def oracle_sql() -> dict[str, str]:
         "silver_enrich": P.SILVER_ENRICH_SQL,
         "gold_region_totals": P.GOLD_REGION_TOTALS_SQL,
         "gold_user_argmax": P.GOLD_USER_ARGMAX_SQL,
+        **{name: sql for name, (_, sql) in R.QUERIES.items()},
     }

@@ -1,0 +1,467 @@
+"""Relational operator coverage: TPC-H-style queries over the driver's
+star schema + window/set/json/approx operators over ``events``.
+
+The reference's relational surface is small (SURVEY §2.6-§2.9: one
+broadcast lookup join, two grouped sums, one ranking window, no set ops);
+this module proves the full equi-join/agg/window/set-op surface a user of
+a general analytics engine needs, at Catalyst-native quality: multi-way
+joins left to AQE join reordering, small dims broadcast, sums in exact
+decimal so oracle comparison is bit-stable (plans/__init__ note).
+
+Scale notes per query in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q1-style pricing summary: the canonical scan-heavy partial-agg query.
+# Scale: one pass over lineitem, map-side partial HashAggregate on 6 groups
+# → trivial final agg. No join, no skew concern; pushdown of the shipdate
+# filter into the parquet scan is the thing to check in .explain.
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    charge = disc_price * (F.lit(1).cast(DEC) + F.col("l_tax").cast(DEC))
+    return (
+        l.filter(F.col("l_shipdate") <= F.expr("timestamp'1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style shipping priority: 3-way join + agg + deterministic top-10.
+# Scale: customer filter prunes the build side; orders⋈lineitem is the big
+# shuffle join on orderkey (co-partitionable/bucketable); top-k is a
+# TakeOrderedAndProject — no global sort materialization.
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("timestamp'1998-03-15 00:00:00'")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("timestamp'1998-03-15 00:00:00'")
+    )
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("rev"))
+        .orderBy(F.col("rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+Q3_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue, o_orderdate, o_orderpriority
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+ORDER BY rev DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5-style local supplier volume: 6-way join through the full snowflake.
+# Scale: region/nation (5/25 rows) broadcast; customer/supplier join
+# nation broadcast-side; the orders⋈lineitem⋈supplier chain shuffles on
+# orderkey then suppkey — AQE reorders/skew-splits as needed.
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1997-01-01 00:00:00'"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q5_LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- Top-k per group: the row_number idiom (reference W1+F3 generalized).
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "rk", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+TOP_CUSTOMERS_PER_NATION_SQL = """
+SELECT c_nationkey, rk, c_custkey, c_name, c_acctbal
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer
+)
+WHERE rk <= 3
+"""
+
+
+# --- Analytic windows: lag/lead/moving aggregate over event time.
+# Scale: partitioned by user_id (high cardinality) — one shuffle, one sort,
+# all four window functions share the frame.
+def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-2, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.sum(F.col("value").cast(DEC)).over(w3).cast("double").alias("moving_sum_3"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))).alias(
+            "gap_seconds"
+        ),
+    )
+
+
+USER_SESSION_WINDOWS_SQL = """
+SELECT user_id, event_id, ts,
+       lag(value, 1) OVER w AS prev_value,
+       lead(event_type, 1) OVER w AS next_type,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_3,
+       CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS gap_seconds
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --- Sessionization: gap > 30 min starts a new session (lag + running sum).
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    with_sess = e.withColumn("session_seq", F.sum(new_session).over(w))
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+    )
+
+
+SESSIONIZE_EVENTS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts, 1) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+# --- Rollup: hierarchical aggregation (nation → status subtotals → total).
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .rollup("c_nationkey", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+ROLLUP_ORDER_TOTALS_SQL = """
+SELECT c_nationkey, o_orderstatus,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_nationkey, o_orderstatus)
+"""
+
+
+# --- Semi/anti joins: EXISTS / NOT EXISTS without materializing the join.
+def customers_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    with_big = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_big_order").alias("cohort")
+    )
+    without = c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_big_order").alias("cohort")
+    )
+    return with_big.unionByName(without)
+
+
+CUSTOMERS_SEMI_ANTI_SQL = """
+SELECT c_custkey, 'has_big_order' AS cohort FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+UNION ALL
+SELECT c_custkey, 'no_big_order' AS cohort FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+"""
+
+
+# --- Set operations: union / intersect / except on key sets.
+def set_ops_order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(
+        F.col("o_orderdate") < F.expr("timestamp'1997-01-01 00:00:00'")
+    ).select("o_custkey")
+    high = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    both = early.intersect(high).select("o_custkey", F.lit("both").alias("cohort"))
+    # subtract == SQL EXCEPT (distinct semantics); exceptAll would keep
+    # multiplicity and double-count keys that appear in both cohorts.
+    only_early = early.subtract(high).select(
+        "o_custkey", F.lit("early_only").alias("cohort")
+    )
+    return both.unionByName(only_early)
+
+
+SET_OPS_ORDER_COHORTS_SQL = """
+WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+high AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM high)
+UNION ALL
+SELECT o_custkey, 'early_only' AS cohort FROM (SELECT DISTINCT o_custkey FROM early EXCEPT SELECT DISTINCT o_custkey FROM high)
+"""
+
+
+# --- Pivot (as conditional aggregation so SQL names match exactly).
+def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def status_sum(s: str):
+        return F.sum(
+            F.when(F.col("o_orderstatus") == s, F.col("o_totalprice").cast(DEC))
+            .otherwise(F.lit(0).cast(DEC))
+        ).cast("double")
+
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            status_sum("O").alias("open_total"),
+            status_sum("F").alias("fulfilled_total"),
+            status_sum("P").alias("pending_total"),
+        )
+    )
+
+
+PIVOT_STATUS_BY_NATION_SQL = """
+SELECT c_nationkey,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS open_total,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS fulfilled_total,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS pending_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+# --- JSON extraction (events.props is a JSON string; SURVEY §2.10 note).
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_PROPS_EXTRACT_SQL = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --- Distinct + exact percentile aggregates.
+def distinct_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+DISTINCT_AND_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- Time-bucketed aggregation (batch form of a tumbling window, T-series).
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+
+
+HOURLY_EVENT_ROLLUP_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# --- Correlated scalar subquery shape: customers above their nation average.
+def above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")).alias(
+            "nation_avg"
+        )
+    )
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+ABOVE_NATION_AVG_CUSTOMERS_SQL = """
+WITH na AS (
+  SELECT c_nationkey,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS nation_avg
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, c.c_nationkey, c_acctbal
+FROM customer c JOIN na ON c.c_nationkey = na.c_nationkey
+WHERE c_acctbal > na.nation_avg
+"""
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_PRICING_SUMMARY_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SHIPPING_PRIORITY_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_LOCAL_SUPPLIER_VOLUME_SQL),
+    "top_customers_per_nation": (top_customers_per_nation, TOP_CUSTOMERS_PER_NATION_SQL),
+    "user_session_windows": (user_session_windows, USER_SESSION_WINDOWS_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_EVENTS_SQL),
+    "rollup_order_totals": (rollup_order_totals, ROLLUP_ORDER_TOTALS_SQL),
+    "customers_semi_anti": (customers_semi_anti, CUSTOMERS_SEMI_ANTI_SQL),
+    "set_ops_order_cohorts": (set_ops_order_cohorts, SET_OPS_ORDER_COHORTS_SQL),
+    "pivot_status_by_nation": (pivot_status_by_nation, PIVOT_STATUS_BY_NATION_SQL),
+    "json_props_extract": (json_props_extract, JSON_PROPS_EXTRACT_SQL),
+    "distinct_and_percentiles": (distinct_and_percentiles, DISTINCT_AND_PERCENTILES_SQL),
+    "hourly_event_rollup": (hourly_event_rollup, HOURLY_EVENT_ROLLUP_SQL),
+    "above_nation_avg_customers": (above_nation_avg_customers, ABOVE_NATION_AVG_CUSTOMERS_SQL),
+}

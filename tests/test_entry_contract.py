@@ -1,0 +1,36 @@
+"""Contract tests for __spark_entry__: every query runs at sf0.001,
+returns a stable non-empty-ish schema, and has a matching oracle entry
+(or is knowingly rows-only)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+# Queries allowed to return 0 rows on the clean driver data.
+MAY_BE_EMPTY = {"bronze_quality_quarantine"}
+
+
+def test_every_oracle_key_has_a_query():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+
+
+def test_entry_runs_and_matches_flagship(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {
+        "user_id",
+        "total_value",
+        "top_channel_value",
+        "top_channel",
+    }
+
+
+def test_all_queries_run_at_sf0001(spark, sf_dir):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        n = df.count()
+        assert n >= 0, name
+        if name not in MAY_BE_EMPTY:
+            assert n > 0, f"{name} returned no rows"
+        assert len(df.columns) > 0, name
