@@ -37,12 +37,6 @@ def make_activity_frame(
     """One file's worth of activity rows as pandas (generator-shaped)."""
     rng = np.random.default_rng(seed)
     log_ids = np.array([f"log_{n:09d}" for n in rng.integers(0, 10**9, rows)])
-    n_dups = min(int(rows * dup_fraction), dup_cap)
-    if n_dups and rows > 1:
-        # Overwrite a suffix of ids with ids sampled from the prefix —
-        # guarantees intra-file duplicates like the reference's injection.
-        src = rng.integers(0, rows - n_dups, n_dups)
-        log_ids[rows - n_dups :] = log_ids[src]
     ts = [
         (ANCHOR - timedelta(minutes=int(m))).isoformat()
         for m in rng.integers(1, 100_000, rows)
@@ -56,6 +50,14 @@ def make_activity_frame(
             "watch_time(min)": rng.integers(1, 120, rows).astype("int64"),
         }
     )
+    n_dups = min(int(rows * dup_fraction), dup_cap)
+    if n_dups and rows > 1:
+        # Overwrite a suffix with full copies of prefix rows — exact
+        # duplicates, like re-delivered records (the reference injects
+        # duplicate log_ids; full-row copies keep dedup outcome
+        # payload-deterministic regardless of which instance survives).
+        src = rng.integers(0, rows - n_dups, n_dups)
+        df.iloc[rows - n_dups :] = df.iloc[src].values
     if dirty_fraction:
         n_dirty = max(1, int(rows * dirty_fraction))
         idx = rng.choice(rows, n_dirty, replace=False)

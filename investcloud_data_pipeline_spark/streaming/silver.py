@@ -1,0 +1,66 @@
+"""Silver layer: streaming global dedup + geo enrichment (S2, D1/T1, J1, K3).
+
+Reference: 02_silver_layer_processing.py. The table-as-stream scan
+(02:11-15, Delta ``ignoreChanges``) becomes a parquet file-source stream
+over the bronze sink directory — appends-only, so the changefeed
+semantics are identical.
+
+Dedup: the reference's ``withWatermark(...).dropDuplicates([key])``
+(02:19-23) relies on Databricks to bound state. OSS Spark's contract for
+watermark-bounded key state is ``dropDuplicatesWithinWatermark``:
+duplicates within the 2-hour horizon are dropped (02:21 /
+docs/architecture_design.md:101), and records older than the advanced
+watermark — duplicate or new — are filtered as late data before the
+dedup operator (empirically identical for both dedup APIs). State
+store backend is configurable; at 100 TB-scale key cardinality switch to
+RocksDB via spark.sql.streaming.stateStore.providerClass (config, not
+code).
+
+Enrichment: stream-static broadcast left join (the reference's own stated
+production design, 00_utils.py:39-40) instead of the per-row Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import BRONZE_SCHEMA, WATERMARK_DELAY, PipelinePaths
+from ..operators.enrich import geo_enrich
+
+BRONZE_SINK_SCHEMA = T.StructType(
+    list(BRONZE_SCHEMA.fields) + [T.StructField("event_date", T.DateType(), True)]
+)
+
+
+def start_silver(
+    spark: SparkSession,
+    paths: PipelinePaths,
+    ip_regions: DataFrame,
+    available_now: bool = False,
+    trigger_seconds: int = 60,
+    watermark_delay: str = WATERMARK_DELAY,
+) -> StreamingQuery:
+    bronze_stream = (
+        spark.readStream.format("parquet")
+        .schema(BRONZE_SINK_SCHEMA)
+        .load(paths.bronze)
+    )
+    deduped = bronze_stream.withWatermark(
+        "timestamp", watermark_delay
+    ).dropDuplicatesWithinWatermark(["log_id"])
+    enriched = geo_enrich(deduped, ip_regions)
+    writer = (
+        enriched.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", paths.silver)
+        .option("checkpointLocation", paths.checkpoint("silver"))
+        .partitionBy("event_date")
+        .queryName("silver_dedup_enrich")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
