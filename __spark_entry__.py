@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from investcloud_data_pipeline_spark.plans import pipeline_queries as P
 from investcloud_data_pipeline_spark.plans import relational as R
+from investcloud_data_pipeline_spark.plans import training_data as TD
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -39,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_user_argmax": P.gold_user_argmax,
         # Relational coverage (joins/aggs/windows/set-ops/json/percentiles)
         **{name: fn for name, (fn, _) in R.QUERIES.items()},
+        # Training-data ops (dedup family, similarity search, text analysis)
+        **{name: fn for name, (fn, _) in TD.QUERIES.items()},
     }
 
 
@@ -51,4 +54,5 @@ def oracle_sql() -> dict[str, str]:
         "gold_region_totals": P.GOLD_REGION_TOTALS_SQL,
         "gold_user_argmax": P.GOLD_USER_ARGMAX_SQL,
         **{name: sql for name, (_, sql) in R.QUERIES.items()},
+        **{name: sql for name, (_, sql) in TD.QUERIES.items() if sql},
     }

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns.
+
+Three tiers, trading recall for scale:
+
+* brute_force_topk   — exact cosine top-k per query. Correctness
+                       baseline; O(|Q|·|N|). Fine when |Q| is small and
+                       broadcastable (the common "search this batch of
+                       queries" case) — the corpus side stays fully
+                       distributed and never shuffles.
+* lsh_bucketed_topk  — sign-LSH over fixed coordinate hyperplanes: bucket
+                       key = sign bits of chosen embedding components.
+                       Query only probes its own bucket → the join keys
+                       on the bucket, turning O(|Q|·|N|) into
+                       O(|Q|·|N|/2^b) expected. Deterministic and
+                       SQL-portable (oracle-checkable), at the cost of
+                       recall for vectors near hyperplane boundaries.
+* brp_lsh_topk       — stock pyspark.ml BucketedRandomProjectionLSH
+                       (random hyperplanes, approxNearestNeighbors) —
+                       the library path; seeded but not SQL-expressible
+                       (rows-only oracle).
+
+All cosines computed in double with left-to-right accumulation —
+bit-identical to the DuckDB oracle (verified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, to_double_array
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    The queries side is broadcast; ranking uses (cos desc, id asc) so
+    results are fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "cos")
+    )
+
+
+SIGN_LSH_DIMS = (0, 9, 21, 33, 47, 55)  # fixed coordinate hyperplanes
+
+
+def sign_bucket(vec_col: str, dims: tuple[int, ...] = SIGN_LSH_DIMS):
+    """Bucket key from sign bits of selected components (array is 0-based
+    in semantics; element_at is 1-based)."""
+    bits = [
+        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket. At 100 TB the corpus is hash-partitioned by bucket once and
+    reused across query batches; each query touches ~1/2^b of the data."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(vec_col).alias("qv"),
+        sign_bucket(vec_col).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(vec_col).alias("cv"),
+        sign_bucket(vec_col).alias("bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "cos")
+    )
+
+
+def brp_lsh_model(df: DataFrame, vec_col: str = "embedding", seed: int = 42):
+    """Fit a stock BucketedRandomProjectionLSH model (pyspark.ml path).
+
+    Returns (model, vectorized_df) where the embedding array is converted
+    to an ml VectorUDT column 'features'.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vec_df = df.withColumn("features", array_to_vector(to_double_array(vec_col)))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=3,
+        seed=seed,
+    )
+    return lsh.fit(vec_df), vec_df
+
+
+def brp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """approxSimilarityJoin-based neighbor candidates ranked by euclidean
+    distance (BRP-LSH is L2-based). Seeded → deterministic run-to-run,
+    but not SQL-expressible (rows-only oracle)."""
+    model, corpus_vec = brp_lsh_model(corpus, vec_col)
+    _, query_vec = brp_lsh_model(queries, vec_col)
+    joined = model.approxSimilarityJoin(
+        query_vec, corpus_vec, threshold=float("inf"), distCol="dist"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("query_id"),
+            F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "dist")
+    )

@@ -1,0 +1,133 @@
+"""Text analysis operators for document corpora: token statistics,
+quality scoring, language identification, fingerprinting.
+
+All pure column expressions (JVM-side, codegen'd) — at 100 TB these are
+map-only passes fused into the parquet scan, no shuffle except the
+explicit aggregations. The regex/token conventions match functions.text
+so the DuckDB oracles are literally the same computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, tokens
+
+# Tiny per-language stopword anchor sets for the n-gram/stopword-count
+# language heuristic. Deliberately minimal & deterministic.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "von", "zu"],
+}
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: counts, lengths, type-token ratio."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.when(F.size(toks) > 0,
+                   F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+                   / F.size(toks)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(F.size(toks) > 0,
+                   F.size(F.array_distinct(toks)) / F.size(toks))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("type_token_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + lexical diversity +
+    alphanumeric density (the standard cheap pre-filter before expensive
+    model-based scoring)."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    ttr = F.when(n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    alnum_density = F.when(
+        F.length(F.col(text_col)) > 0,
+        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
+        / F.length(F.col(text_col)),
+    ).otherwise(F.lit(0.0))
+    length_band = F.when((n_tokens >= 10) & (n_tokens <= 5000), F.lit(1.0)).otherwise(
+        F.when(n_tokens > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    score = F.round(0.4 * length_band + 0.3 * ttr + 0.3 * alnum_density, 6)
+    return df.select(
+        F.col(id_col),
+        F.col("lang"),
+        n_tokens.alias("n_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(alnum_density, 6).alias("alnum_density"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-anchor language guess: score per language = number of
+    tokens that are in that language's stopword set; argmax with
+    deterministic tie-break on language code; 'und' (undetermined) when
+    no stopword hits at all."""
+    toks = tokens(text_col)
+
+    def _in_set(words):
+        # closure, not default-arg: a 2nd lambda param would be read as
+        # the array-index argument by F.filter's arity inspection.
+        return lambda t: t.isin(words)
+
+    scores = [
+        F.size(F.filter(toks, _in_set(sw))).alias(f"score_{lang}")
+        for lang, sw in LANG_STOPWORDS.items()
+    ]
+    scored = df.select(F.col(id_col), F.col("lang").alias("labeled_lang"), *scores)
+    langs = list(LANG_STOPWORDS)
+    pairs = F.array(*[
+        F.struct(
+            F.col(f"score_{lg}").alias("score"), F.lit(lg).alias("lang")
+        )
+        for lg in langs
+    ])
+    # argmax: sort by (score desc, lang asc) portably via array_max on
+    # (score, reverse-lang) is messy — use greatest + filter instead.
+    best_score = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    best_lang = F.when(best_score == 0, F.lit("und")).otherwise(
+        F.element_at(
+            F.filter(pairs, lambda p: p["score"] == best_score), 1
+        )["lang"]
+    )
+    return scored.select(
+        F.col(id_col),
+        "labeled_lang",
+        best_score.alias("stopword_hits"),
+        best_lang.alias("guessed_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Two content fingerprints per doc: md5 of normalized text (exact
+    content key) and the OpenRefine-style key-collision fingerprint
+    (md5 of sorted distinct tokens — order/duplication-insensitive)."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(normalize_text(text_col)).alias("content_md5"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "keyset_md5"
+        ),
+    )

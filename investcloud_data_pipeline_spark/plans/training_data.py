@@ -1,0 +1,394 @@
+"""Training-data pipeline queries: dedup family, similarity search, text
+analysis — over the driver's ``documents`` and ``embeddings`` tables.
+
+Oracle convention: the DuckDB SQL re-states the *identical* computation —
+same normalization regex, same md5-based hashing, same double-precision
+left-to-right vector math (verified bit-exact) — so value-hash comparison
+is strict, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup_fuzzy as DF
+from ..operators import multimodal as MM
+from ..operators import simsearch as SS
+from ..operators import text as TX
+from ..sources.batch import load_table
+
+# Shared DuckDB fragments — the SQL mirror of functions/text.py.
+NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+SHINGLES_CTE = f"""
+docs AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM docs WHERE norm <> ''),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)])
+         END AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------- dedup family ----------
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DF.exact_dedup(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_DOCUMENTS_SQL = f"""
+SELECT md5({NORM_SQL}) AS digest,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DF.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON id1 = s1.doc_id
+JOIN sizes s2 ON id2 = s2.doc_id
+WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
+"""
+
+_NUM_HASHES, _BANDS, _ROWS_PER_BAND = 12, 4, 3
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (first 4 components exposed) — the
+    oracle-checkable core of the LSH pipeline."""
+    d = _docs(spark, sf_dir)
+    return (
+        DF.minhash_signatures(d, num_hashes=4)
+        .filter(F.col("mh_0").isNotNull())
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+DEDUP_MINHASH_SIGNATURES_SQL = f"""
+WITH {SHINGLES_CTE}
+SELECT doc_id,
+       min(md5('0:' || shingle)) AS mh_0,
+       min(md5('1:' || shingle)) AS mh_1,
+       min(md5('2:' || shingle)) AS mh_2,
+       min(md5('3:' || shingle)) AS mh_3
+FROM ex GROUP BY doc_id
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DF.minhash_lsh_candidates(
+        _docs(spark, sf_dir), n=3, num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+
+
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM mh".format(
+        b=b,
+        key=" || '|' || ".join(
+            f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(_BANDS)
+)
+_MH_COLS = ",\n       ".join(
+    f"min(md5('{j}:' || shingle)) AS mh_{j}" for j in range(_NUM_HASHES)
+)
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {SHINGLES_CTE},
+mh AS (
+  SELECT doc_id,
+       {_MH_COLS}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+{_BAND_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding candidates — pandas-UDF bit twiddling, rows-only
+    oracle (not SQL-expressible)."""
+    return DF.simhash_candidates(_docs(spark, sf_dir))
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DF.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+DEDUP_EMBEDDING_COSINE_SQL = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+"""
+
+
+# ---------- similarity search ----------
+
+def _queries_subset(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < 10)
+
+
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return SS.brute_force_topk(emb, _queries_subset(emb), k=5)
+
+
+ANN_BRUTE_FORCE_TOPK_SQL = """
+SELECT query_id, rk, neighbor_id, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                    c.vec_id ASC
+         ) AS rk
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rk <= 5
+"""
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END)"
+    for d in SS.SIGN_LSH_DIMS
+)
+
+
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return SS.lsh_bucketed_topk(emb, _queries_subset(emb), k=5)
+
+
+ANN_LSH_BUCKETED_TOPK_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+)
+SELECT query_id, rk, neighbor_id, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                    c.vec_id ASC
+         ) AS rk
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rk <= 5
+"""
+
+
+def ann_brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock pyspark.ml BucketedRandomProjectionLSH — rows-only oracle."""
+    emb = _emb(spark, sf_dir)
+    return SS.brp_lsh_topk(emb, _queries_subset(emb), k=5)
+
+
+# ---------- text analysis ----------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_stats(_docs(spark, sf_dir))
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+WITH docs AS (SELECT doc_id, text, {NORM_SQL} AS norm FROM documents),
+toks AS (
+  SELECT doc_id, text,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS t
+  FROM docs
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct_tokens,
+       round(CASE WHEN len(t) > 0
+                  THEN list_sum(list_transform(t, x -> length(x))) / len(t)
+                  ELSE 0.0 END, 6) AS avg_token_len,
+       round(CASE WHEN len(t) > 0
+                  THEN len(list_distinct(t)) / len(t)
+                  ELSE 0.0 END, 6) AS type_token_ratio
+FROM toks
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(_docs(spark, sf_dir))
+
+
+TEXT_QUALITY_SCORE_SQL = f"""
+WITH docs AS (SELECT doc_id, lang, text, {NORM_SQL} AS norm FROM documents),
+toks AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS t
+  FROM docs
+),
+m AS (
+  SELECT doc_id, lang,
+         len(t) AS n_tokens,
+         CASE WHEN len(t) > 0 THEN len(list_distinct(t)) / len(t) ELSE 0.0 END AS ttr,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / length(text)
+              ELSE 0.0 END AS alnum,
+         CASE WHEN len(t) BETWEEN 10 AND 5000 THEN 1.0
+              WHEN len(t) > 0 THEN 0.5 ELSE 0.0 END AS band
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       round(ttr, 6) AS type_token_ratio,
+       round(alnum, 6) AS alnum_density,
+       round(0.4 * band + 0.3 * ttr + 0.3 * alnum, 6) AS quality_score
+FROM m
+"""
+
+_LANGS = list(TX.LANG_STOPWORDS)
+_SCORE_EXPRS = ",\n       ".join(
+    "len(list_filter(t, x -> list_contains({words}, x))) AS score_{lg}".format(
+        lg=lg, words="[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    )
+    for lg, ws in TX.LANG_STOPWORDS.items()
+)
+_BEST = "greatest(" + ", ".join(f"score_{lg}" for lg in _LANGS) + ")"
+_LANG_CASE = "CASE WHEN {best} = 0 THEN 'und' {whens} END".format(
+    best=_BEST,
+    whens=" ".join(
+        f"WHEN score_{lg} = {_BEST} THEN '{lg}'" for lg in _LANGS
+    ),
+)
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.language_id(_docs(spark, sf_dir)).select(
+        "doc_id", "labeled_lang", "stopword_hits", "guessed_lang"
+    )
+
+
+TEXT_LANGUAGE_ID_SQL = f"""
+WITH docs AS (SELECT doc_id, lang AS labeled_lang, {NORM_SQL} AS norm FROM documents),
+toks AS (
+  SELECT doc_id, labeled_lang,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS t
+  FROM docs
+),
+scored AS (
+  SELECT doc_id, labeled_lang,
+       {_SCORE_EXPRS}
+  FROM toks
+)
+SELECT doc_id, labeled_lang,
+       {_BEST} AS stopword_hits,
+       {_LANG_CASE} AS guessed_lang
+FROM scored
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(_docs(spark, sf_dir))
+
+
+TEXT_FINGERPRINT_SQL = f"""
+WITH docs AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+toks AS (
+  SELECT doc_id, norm,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS t
+  FROM docs
+)
+SELECT doc_id,
+       md5(norm) AS content_md5,
+       md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS keyset_md5
+FROM toks
+"""
+
+# ---------- multimodal ----------
+
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas 'decode' (deterministic stand-in kernel);
+    the oracle re-states the same formula in SQL, so what's actually
+    verified is the binary Arrow round-trip plumbing."""
+    media = MM.attach_binary_payload(_docs(spark, sf_dir))
+    return MM.fake_decode_dims(media)
+
+
+MULTIMODAL_DECODE_META_SQL = """
+SELECT doc_id AS id,
+       octet_length(encode(text)) AS n_bytes,
+       64 + (octet_length(encode(text)) % 448) AS width,
+       64 + ((octet_length(encode(text)) * 7) % 448) AS height,
+       CAST(3 AS INTEGER) AS n_channels
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_binary_payload(_docs(spark, sf_dir))
+    return MM.sample_frames(media, every_k=7)
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = """
+WITH media AS (
+  SELECT doc_id, octet_length(encode(text)) % 64 + 1 AS n_frames FROM documents
+)
+SELECT doc_id, n_frames, unnest(range(0, n_frames, 7)) AS frame_idx FROM media
+"""
+
+
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy byte-histogram features via mapInPandas — rows-only oracle
+    (per-byte histograms aren't reasonably SQL-expressible)."""
+    media = MM.attach_binary_payload(_docs(spark, sf_dir))
+    return MM.byte_histogram_features(media)
+
+
+QUERIES = {
+    "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_DOCUMENTS_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIGNATURES_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_simhash_candidates": (dedup_simhash_candidates, None),  # rows-only
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+    "ann_brute_force_topk": (ann_brute_force_topk, ANN_BRUTE_FORCE_TOPK_SQL),
+    "ann_lsh_bucketed_topk": (ann_lsh_bucketed_topk, ANN_LSH_BUCKETED_TOPK_SQL),
+    "ann_brp_lsh_topk": (ann_brp_lsh_topk, None),  # rows-only (ml randomness)
+    "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
+    "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "multimodal_decode_meta": (multimodal_decode_meta, MULTIMODAL_DECODE_META_SQL),
+    "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
+    "multimodal_byte_histogram": (multimodal_byte_histogram, None),  # rows-only
+}

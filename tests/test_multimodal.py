@@ -1,0 +1,61 @@
+"""Multimodal plumbing tests: binary payloads, Arrow round-trip kernels,
+frame sampling, and the stubbed real-decode gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from investcloud_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    byte_histogram_features,
+    decode_media,
+    fake_decode_dims,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "x" * 100), (3, "")],
+        "doc_id long, text string",
+    )
+    return attach_binary_payload(docs)
+
+
+def test_payload_and_metadata(media):
+    rows = {r.doc_id: r for r in media.collect()}
+    assert bytes(rows[1].content) == b"abcd"
+    assert rows[2].media_meta.n_bytes == 100
+    assert rows[2].media_meta.n_frames == 100 % 64 + 1
+    assert rows[3].media_meta.n_bytes == 0
+
+
+def test_fake_decode_dims_roundtrip(media):
+    out = {r.id: r for r in fake_decode_dims(media).collect()}
+    assert out[1].n_bytes == 4
+    assert out[1].width == 64 + 4 and out[1].height == 64 + 28
+    assert out[3].n_bytes == 0  # empty payload survives the Arrow round-trip
+
+
+def test_byte_histogram_features(media):
+    out = {r.id: r.features for r in byte_histogram_features(media).collect()}
+    assert len(out[1]) == 16
+    assert abs(sum(out[1]) - 1.0) < 1e-6
+    # 'x' == 0x78 → bin 7 of 16 (range 0-256, width 16)
+    assert out[2][7] == 1.0
+    assert out[3] == [0.0] * 16
+
+
+def test_sample_frames_stride(media):
+    rows = [
+        (r.doc_id, r.frame_idx) for r in sample_frames(media, every_k=7).collect()
+    ]
+    doc2 = sorted(idx for d, idx in rows if d == 2)
+    n_frames = 100 % 64 + 1  # 37
+    assert doc2 == list(range(0, n_frames, 7))
+
+
+def test_real_decode_is_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media)

