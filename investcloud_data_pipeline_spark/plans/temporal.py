@@ -1,0 +1,227 @@
+"""Temporal join operators Spark lacks natively: as-of join and range
+join, implemented Spark-first (single-shuffle window / bucketed
+equi-join), plus the remaining aggregate surface (cube + grouping id,
+global top-N, string functions, approximate aggregates).
+
+As-of join strategy: union both sides with a side marker, one window
+partitioned by the key ordered by (ts, side), and ``last_value(...,
+ignoreNulls)`` carries the most recent right-side payload onto each left
+row. One shuffle + one sort total — no join at all, which beats the
+naive inequality join (O(n·m) row pairs) and stays fully deterministic.
+
+Range join strategy: coarse time-bucketing; each left row probes its own
+bucket and the two adjacent ones (explode of 3 bucket keys), the join is
+a plain equi-join on (key, bucket), and the exact predicate filters the
+bucket false-positives. At 100 TB this turns an unbounded inequality
+join into a co-partitionable equi-join whose fan-out is bounded by
+bucket width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+
+DEC = "decimal(18,2)"
+
+
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the same user's most recent click at or
+    before the purchase time (classic event-attribution as-of join).
+
+    Right side (clicks) is pre-aggregated to one row per (user, ts) so
+    tie handling is deterministic in every engine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.col("event_id"),
+        F.col("value"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_click"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "click_value",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    # clicks sort BEFORE purchases at equal ts (is_click desc) → a click
+    # at exactly the purchase time is eligible ("at or before").
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn(
+            "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_click") == 0)
+        .select("event_id", "user_id", "ts", "value",
+                "last_click_ts", "last_click_value")
+    )
+
+
+ASOF_PURCHASE_LAST_CLICK_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS last_click_ts, c.click_value AS last_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def range_join_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each 'error' event: how many other events the same user had
+    within ±300 s. Bucketed equi-join (bucket = 300 s) + exact filter."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / 300)  # noqa: E731
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id"),
+        F.col("ts").alias("err_ts"),
+        F.explode(
+            F.array(bucket("ts") - 1, bucket("ts"), bucket("ts") + 1)
+        ).alias("bucket"),
+    )
+    others = e.select(
+        F.col("event_id").alias("other_id"),
+        F.col("user_id"),
+        F.col("ts").alias("other_ts"),
+        bucket("ts").alias("bucket"),
+    )
+    return (
+        errors.join(others, ["user_id", "bucket"])
+        .filter(
+            (F.col("other_id") != F.col("err_id"))
+            & (F.abs(F.unix_timestamp("other_ts") - F.unix_timestamp("err_ts")) <= 300)
+        )
+        .groupBy("err_id", "user_id")
+        .agg(F.count("*").alias("n_nearby"))
+    )
+
+
+RANGE_JOIN_NEARBY_EVENTS_SQL = """
+SELECT e.event_id AS err_id, e.user_id, count(*) AS n_nearby
+FROM events e
+JOIN events o ON o.user_id = e.user_id
+             AND o.event_id <> e.event_id
+             AND abs(CAST(floor(epoch(o.ts)) AS BIGINT) - CAST(floor(epoch(e.ts)) AS BIGINT)) <= 300
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+"""
+
+
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic top-N (TakeOrderedAndProject — no full sort
+    materialization, per-partition heaps + driver merge)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+TOP_ORDERS_GLOBAL_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+def string_functions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: regexp_extract, substring, concat, case-insensitive
+    LIKE, length, replace — over part names/types."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "([0-9]+)$", 1).alias("brand_num"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.lower("p_name").like("%steel%").alias("is_steel"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+    )
+
+
+STRING_FUNCTIONS_PARTS_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num,
+       substring(p_type, 1, 6) AS type_prefix,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       lower(p_name) LIKE '%steel%' AS is_steel,
+       length(p_name) AS name_len,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels
+FROM part
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id — all 4 aggregation granularities in one
+    pass (Expand + single shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+CUBE_ORDER_STATS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation surface (HLL++ distinct count, GK-sketch
+    quantiles). Rows-only oracle: sketch values are engine-specific by
+    construction; exact counterparts are covered in
+    distinct_and_percentiles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )
+
+
+QUERIES = {
+    "asof_purchase_last_click": (asof_purchase_last_click, ASOF_PURCHASE_LAST_CLICK_SQL),
+    "range_join_nearby_events": (range_join_nearby_events, RANGE_JOIN_NEARBY_EVENTS_SQL),
+    "top_orders_global": (top_orders_global, TOP_ORDERS_GLOBAL_SQL),
+    "string_functions_parts": (string_functions_parts, STRING_FUNCTIONS_PARTS_SQL),
+    "cube_order_stats": (cube_order_stats, CUBE_ORDER_STATS_SQL),
+    "approx_aggregates": (approx_aggregates, None),  # rows-only (sketches)
+}

@@ -83,11 +83,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature (first 4 components exposed) — the
     oracle-checkable core of the LSH pipeline."""
     d = _docs(spark, sf_dir)
-    return (
-        DF.minhash_signatures(d, num_hashes=4)
-        .filter(F.col("mh_0").isNotNull())
-        .withColumnRenamed("id", "doc_id")
-    )
+    return DF.minhash_signatures(d, num_hashes=4).withColumnRenamed("id", "doc_id")
 
 
 DEDUP_MINHASH_SIGNATURES_SQL = f"""
