@@ -217,6 +217,40 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage salted sum — result-identical to a plain
+    grouped sum (which is exactly what the oracle asserts). Decimal cast
+    keeps partial-combination order irrelevant."""
+    from ..operators.scale import salted_sum
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast(DEC)
+    )
+    out = salted_sum(e, ["user_id"], "value_dec", "total_value", salt_buckets=16)
+    return out.select("user_id", F.col("total_value").cast("double").alias("total_value"))
+
+
+SALTED_USER_TOTALS_SQL = """
+SELECT user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def skew_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: heaviest keys first (deterministic tie-break)."""
+    from ..operators.scale import hot_keys
+
+    return hot_keys(load_table(spark, sf_dir, "events"), ["user_id"], top_n=10)
+
+
+SKEW_HOT_USERS_SQL = """
+SELECT user_id, count(*) AS n_rows
+FROM events GROUP BY user_id
+ORDER BY n_rows DESC, user_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "asof_purchase_last_click": (asof_purchase_last_click, ASOF_PURCHASE_LAST_CLICK_SQL),
     "range_join_nearby_events": (range_join_nearby_events, RANGE_JOIN_NEARBY_EVENTS_SQL),
@@ -224,4 +258,6 @@ QUERIES = {
     "string_functions_parts": (string_functions_parts, STRING_FUNCTIONS_PARTS_SQL),
     "cube_order_stats": (cube_order_stats, CUBE_ORDER_STATS_SQL),
     "approx_aggregates": (approx_aggregates, None),  # rows-only (sketches)
+    "salted_user_totals": (salted_user_totals, SALTED_USER_TOTALS_SQL),
+    "skew_hot_users": (skew_hot_users, SKEW_HOT_USERS_SQL),
 }

@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: the scale properties we designed for
+must be visible in the executed plans, not just intended.
+
+These assert on plan strings (pushdown reaching the scan, broadcast
+joins on dimensions, bucketed joins eliminating exchanges, salted agg
+equivalence) so a future refactor that silently regresses the plan shape
+fails loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from investcloud_data_pipeline_spark.operators.scale import (
+    hot_keys,
+    salted_sum,
+    write_bucketed,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    from investcloud_data_pipeline_spark.plans.relational import q1_pricing_summary
+
+    qe = q1_pricing_summary(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in qe
+    # column pruning: the scan must not read l_orderkey/l_partkey/...
+    read_schema = [l for l in qe.split("\n") if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    from investcloud_data_pipeline_spark.plans.pipeline_queries import silver_enrich
+
+    plan = _plan(silver_enrich(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gold_plan_shuffle_budget(spark, sf_dir):
+    """The flagship Gold plan needs exactly: one exchange for dedup
+    (event_id), one for the two-key aggregate, one for the user window —
+    plus at most one AQE artifact. More means a regression."""
+    from investcloud_data_pipeline_spark.plans.pipeline_queries import gold_user_argmax
+
+    plan = _plan(gold_user_argmax(spark, sf_dir))
+    assert plan.count("Exchange") <= 4
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.range(0, 1000).select(
+            F.col("id").alias("o_key"), (F.col("id") % 7).alias("o_val")
+        )
+        lines = spark.range(0, 5000).select(
+            (F.col("id") % 1000).alias("l_key"), F.col("id").alias("l_val")
+        )
+        write_bucketed(orders, "t_orders_b", ["o_key"], num_buckets=4)
+        write_bucketed(lines, "t_lines_b", ["l_key"], num_buckets=4)
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lines_b")
+        joined = a.join(b, a.o_key == b.l_key)
+        plan = _plan(joined)
+        # co-located buckets: sort-merge join with NO shuffle exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 5000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lines_b")
+
+
+def test_salted_sum_equals_plain_sum(spark):
+    # extreme skew: 90% of rows share one key
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    plain = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = {r.k: r.total for r in salted_sum(df, ["k"], "v", "total").collect()}
+    assert salted == plain
+
+
+def test_hot_keys_diagnostic(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)], "k string"
+    )
+    out = [(r.k, r.n_rows) for r in hot_keys(df, ["k"], top_n=2).collect()]
+    assert out == [("a", 5), ("b", 2)]
