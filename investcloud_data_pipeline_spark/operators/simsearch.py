@@ -109,6 +109,74 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means partitions the corpus into cells;
+    each query probes only its ``n_probe`` nearest cells.
+
+    The 100 TB path: centroids are tiny (broadcast); the corpus is
+    clustered once and stored partitioned by cell, so a query batch
+    touches n_probe/n_cells of the data with plain partition pruning.
+    Seeded k-means → deterministic run-to-run, but not SQL-expressible
+    (rows-only oracle).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_vec = corpus.withColumn(
+        "features", array_to_vector(to_double_array(vec_col))
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(corpus_vec)
+    assigned = model.transform(corpus_vec).select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(vec_col).alias("cv"),
+        F.col("prediction").alias("cell"),
+    )
+    centroids = [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    # nearest n_probe cells per query (centroid set is tiny → broadcast)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("cell").asc()
+    )
+    probe = (
+        q.join(F.broadcast(cent_df))
+        .withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("crk", F.row_number().over(w_cell))
+        .filter(F.col("crk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        assigned.join(F.broadcast(probe), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "cos")
+    )
+
+
 def brp_lsh_model(df: DataFrame, vec_col: str = "embedding", seed: int = 42):
     """Fit a stock BucketedRandomProjectionLSH model (pyspark.ml path).
 

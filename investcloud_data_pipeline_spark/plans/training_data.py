@@ -216,6 +216,12 @@ def ann_brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.brp_lsh_topk(emb, _queries_subset(emb), k=5)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (seeded k-means cells, n_probe=2) — rows-only oracle."""
+    emb = _emb(spark, sf_dir)
+    return SS.ivf_topk(emb, _queries_subset(emb), k=5)
+
+
 # ---------- text analysis ----------
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,6 +386,7 @@ QUERIES = {
     "ann_brute_force_topk": (ann_brute_force_topk, ANN_BRUTE_FORCE_TOPK_SQL),
     "ann_lsh_bucketed_topk": (ann_lsh_bucketed_topk, ANN_LSH_BUCKETED_TOPK_SQL),
     "ann_brp_lsh_topk": (ann_brp_lsh_topk, None),  # rows-only (ml randomness)
+    "ann_ivf_topk": (ann_ivf_topk, None),  # rows-only (kmeans not in SQL)
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
     "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),

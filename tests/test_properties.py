@@ -1,0 +1,68 @@
+"""Property-based tests (SURVEY §5 item 4): dedup idempotence and gold
+aggregation invariance under input permutation and re-partitioning."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from investcloud_data_pipeline_spark.operators.dedup import dedup_keep_first
+from investcloud_data_pipeline_spark.operators.gold import user_argmax_totals
+
+row_strategy = st.tuples(
+    st.integers(0, 5),                      # key
+    st.integers(0, 3),                      # region idx
+    st.integers(0, 100),                    # value (int → exact doubles)
+    st.integers(0, 10**6),                  # tiebreak id
+)
+rows_strategy = st.lists(row_strategy, min_size=1, max_size=40)
+
+REGIONS = ["r0", "r1", "r2", "r3"]
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from investcloud_data_pipeline_spark.session import get_spark
+
+        _spark = get_spark("props", cpus=4)
+    return _spark
+
+
+def _df(rows, n_parts=None):
+    spark = _get_spark()
+    data = [
+        (f"u{k}", REGIONS[r], float(v), f"id{i}") for k, r, v, i in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id string, geo_region string, watch_time double, rid string"
+    )
+    return df.repartition(n_parts) if n_parts else df
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=rows_strategy)
+def test_dedup_idempotent_and_subset(rows):
+    df = _df(rows)
+    once = dedup_keep_first(df, ["user_id"], ["watch_time", "rid"])
+    twice = dedup_keep_first(once, ["user_id"], ["watch_time", "rid"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    assert len(a) == len({r[0] for r in rows})
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=rows_strategy, n_parts=st.sampled_from([1, 3, 8]))
+def test_gold_invariant_under_partitioning_and_order(rows, n_parts):
+    base = sorted(
+        map(tuple, user_argmax_totals(_df(rows)).collect())
+    )
+    shuffled = sorted(
+        map(tuple, user_argmax_totals(_df(list(reversed(rows)), n_parts)).collect())
+    )
+    assert base == shuffled
