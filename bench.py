@@ -27,6 +27,11 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
 
+    # Warm the JVM / codegen / parquet footers so the first measured query
+    # isn't charged for session startup.
+    for t in ("lineitem", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()

@@ -260,6 +260,47 @@ def simhash_candidates(
     )
 
 
+def embedding_near_dup_pairs_fast(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Arrow/numpy blocked-matmul near-dup pairs: the full corpus matrix
+    rides to every partition (broadcast-sized precondition — at larger
+    scale, loop this kernel over right-side blocks), each Arrow batch
+    does one dense matmul, and only pairs ≥ threshold with id1 < id2 are
+    emitted. ~10× the expression-tree pairwise plan on wide corpora;
+    rows-only oracle (numpy summation order), equivalence to the exact
+    plan asserted in tests."""
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    all_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    all_norm = np.linalg.norm(all_mat, axis=1)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norm = np.linalg.norm(mat, axis=1)
+            sims = (mat @ all_mat.T) / np.outer(norm, all_norm)
+            ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id1": ids[ii],
+                    "id2": all_ids[jj],
+                    "cos": np.round(sims[ii, jj], 6),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, schema="id1 long, id2 long, cos double"
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

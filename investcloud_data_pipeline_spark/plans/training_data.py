@@ -142,6 +142,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DF.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
+def dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-matmul variant of dedup_embedding_cosine — rows-only."""
+    return DF.embedding_near_dup_pairs_fast(_emb(spark, sf_dir), threshold=0.35)
+
+
 DEDUP_EMBEDDING_COSINE_SQL = """
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -220,6 +225,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (seeded k-means cells, n_probe=2) — rows-only oracle."""
     emb = _emb(spark, sf_dir)
     return SS.ivf_topk(emb, _queries_subset(emb), k=5)
+
+
+def ann_vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy matmul exact top-k — rows-only oracle (numpy pairwise
+    summation is not bit-identical to a sequential fold; equivalence to
+    brute_force_topk is asserted in tests instead)."""
+    emb = _emb(spark, sf_dir)
+    return SS.vectorized_topk(emb, _queries_subset(emb), k=5)
 
 
 # ---------- text analysis ----------
@@ -383,10 +396,12 @@ QUERIES = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash_candidates": (dedup_simhash_candidates, None),  # rows-only
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+    "dedup_embedding_cosine_fast": (dedup_embedding_cosine_fast, None),  # rows-only
     "ann_brute_force_topk": (ann_brute_force_topk, ANN_BRUTE_FORCE_TOPK_SQL),
     "ann_lsh_bucketed_topk": (ann_lsh_bucketed_topk, ANN_LSH_BUCKETED_TOPK_SQL),
     "ann_brp_lsh_topk": (ann_brp_lsh_topk, None),  # rows-only (ml randomness)
     "ann_ivf_topk": (ann_ivf_topk, None),  # rows-only (kmeans not in SQL)
+    "ann_vectorized_topk": (ann_vectorized_topk, None),  # rows-only (fp order)
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
     "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),

@@ -186,6 +186,41 @@ def test_lsh_bucketed_topk_subset_of_bruteforce(spark, sf_dir):
         assert rks == list(range(1, len(rks) + 1))
 
 
+def test_vectorized_topk_matches_exact(spark, sf_dir):
+    from investcloud_data_pipeline_spark.operators.simsearch import vectorized_topk
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 5")
+    exact = {(r.query_id, r.rk): (r.neighbor_id, r.cos)
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    fast = {(r.query_id, r.rk): (r.neighbor_id, r.cos)
+            for r in vectorized_topk(emb, q, k=5).collect()}
+    assert set(exact) == set(fast)
+    for key in exact:
+        assert exact[key][0] == fast[key][0], key
+        assert abs(exact[key][1] - fast[key][1]) <= 1e-6
+
+
+def test_embedding_near_dup_fast_matches_exact(spark, sf_dir):
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        embedding_near_dup_pairs_fast,
+    )
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id1, r.id2): r.cos
+             for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()}
+    fast = {(r.id1, r.id2): r.cos
+            for r in embedding_near_dup_pairs_fast(emb, threshold=0.3).collect()}
+    # identical pair sets except possibly pairs sitting ON the threshold
+    for p in set(exact) ^ set(fast):
+        val = exact.get(p, fast.get(p))
+        assert abs(val - 0.3) < 1e-5, (p, val)
+    for p in set(exact) & set(fast):
+        assert abs(exact[p] - fast[p]) <= 1e-6
+
+
 def test_token_stats_empty_doc(spark, docs):
     out = {r.doc_id: r for r in token_stats(docs).collect()}
     assert out[5].n_tokens == 0 and out[5].avg_token_len == 0.0
