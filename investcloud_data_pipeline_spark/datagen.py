@@ -82,12 +82,18 @@ def write_activity_files(
     seed: int = 42,
     fmt: str = "parquet",
     dirty_fraction: float = 0.0,
+    start_index: int = 0,
 ) -> list[str]:
     """Write N activity files (csv or parquet) into ``out_dir``.
 
     Cross-file duplicates arise naturally because each file draws log_ids
     from the same 10^9 space with overlapping seeds — plus the explicit
     intra-file injection above.
+
+    ``start_index`` offsets the file names: streaming file sources track
+    processed files BY NAME, so a second wave written into a watched
+    directory must not reuse wave-one names (an overwritten file is
+    silently treated as already processed).
     """
     os.makedirs(out_dir, exist_ok=True)
     paths = []
@@ -95,7 +101,7 @@ def write_activity_files(
         df = make_activity_frame(
             rows_per_file, seed=seed + i, dirty_fraction=dirty_fraction
         )
-        path = os.path.join(out_dir, f"activity_{i:04d}.{fmt}")
+        path = os.path.join(out_dir, f"activity_{start_index + i:04d}.{fmt}")
         if fmt == "csv":
             df.to_csv(path, index=False)
         else:

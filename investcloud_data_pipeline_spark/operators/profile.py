@@ -1,0 +1,57 @@
+"""Table profiling: one-pass per-column statistics.
+
+The standard first step of any data-pipeline onboarding job: null rates,
+cardinalities, ranges. Everything is computed in a single aggregate pass
+(one scan, map-side partials, no per-column jobs) and unpivoted to one
+row per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.IntegerType, T.LongType, T.DoubleType, T.FloatType, T.DecimalType)
+
+
+def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
+    """One row per column: n_rows, n_null, n_distinct, min/max (as
+    strings, so mixed types unpivot into one frame).
+
+    ``approx_distinct=True`` switches exact distinct counts to HLL++ —
+    at 100 TB the exact count is an Expand over every column and the
+    sketch is the only sane default; exact is kept for oracle checking.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
+        if approx_distinct:
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+        if isinstance(
+            f.dataType,
+            _NUMERIC
+            + (T.StringType, T.TimestampType, T.TimestampNTZType, T.DateType),
+        ):
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
+    wide = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(f.name).alias("column"),
+            F.lit(f.dataType.simpleString()).alias("dtype"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{f.name}__nulls").alias("n_null"),
+            F.col(f"{f.name}__distinct").alias("n_distinct"),
+            F.col(f"{f.name}__min").alias("min_value"),
+            F.col(f"{f.name}__max").alias("max_value"),
+        )
+        for f in df.schema.fields
+    ])
+    return wide.select(F.explode(rows).alias("p")).select("p.*")

@@ -217,6 +217,105 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q1_pricing_summary_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 issued as SQL TEXT through the engine's SQL surface — Catalyst
+    compiles it to the same plan as the DataFrame form (same oracle)."""
+    from ..sql_interface import sql
+
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+
+
+Q1_PRICING_SUMMARY_SQL_API_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def datetime_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface: extract fields, truncation, date
+    arithmetic, epoch — aggregated so the result is compact."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+            F.datediff(
+                F.to_date(F.lit("2002-01-01")), F.to_date("o_orderdate")
+            ).alias("age_days"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("yr", "qtr")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("due_date").alias("first_due"),
+            F.max("age_days").alias("max_age_days"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+    )
+
+
+DATETIME_FUNCTIONS_ORDERS_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       count(*) AS n,
+       min(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)::DATE AS first_due,
+       max(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS max_age_days,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY 1, 2
+"""
+
+
+def null_handling_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/conditional surface: coalesce, nullif, least/greatest, CASE,
+    null-safe comparisons."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                   F.lit("SUPPRESSED")).alias("segment_masked"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("capped_bal"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("floored_bal"),
+        F.when(F.col("c_acctbal") < 0, F.lit("overdrawn"))
+        .when(F.col("c_acctbal") < 1000, F.lit("low"))
+        .otherwise(F.lit("normal"))
+        .alias("balance_band"),
+        F.col("c_acctbal").eqNullSafe(F.lit(0.0)).alias("exactly_zero"),
+    )
+
+
+NULL_HANDLING_CUSTOMER_SQL = """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS segment_masked,
+       least(c_acctbal, 5000.0) AS capped_bal,
+       greatest(c_acctbal, 0.0) AS floored_bal,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 1000 THEN 'low'
+            ELSE 'normal' END AS balance_band,
+       c_acctbal IS NOT DISTINCT FROM 0.0 AS exactly_zero
+FROM customer
+"""
+
+
 def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant two-stage salted sum — result-identical to a plain
     grouped sum (which is exactly what the oracle asserts). Decimal cast
@@ -251,6 +350,31 @@ ORDER BY n_rows DESC, user_id ASC LIMIT 10
 """
 
 
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profiling of the orders table."""
+    from ..operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"))
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp_ntz"),  # parquet isAdjustedToUTC=false → NTZ in Spark
+    ("o_orderpriority", "string"),
+]
+PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", '{t}' AS dtype, count(*) AS n_rows,
+       count(*) FILTER ({c} IS NULL) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value FROM orders"""
+    for c, t in _PROFILE_COLS
+)
+
+
 QUERIES = {
     "asof_purchase_last_click": (asof_purchase_last_click, ASOF_PURCHASE_LAST_CLICK_SQL),
     "range_join_nearby_events": (range_join_nearby_events, RANGE_JOIN_NEARBY_EVENTS_SQL),
@@ -260,4 +384,8 @@ QUERIES = {
     "approx_aggregates": (approx_aggregates, None),  # rows-only (sketches)
     "salted_user_totals": (salted_user_totals, SALTED_USER_TOTALS_SQL),
     "skew_hot_users": (skew_hot_users, SKEW_HOT_USERS_SQL),
+    "q1_pricing_summary_sql_api": (q1_pricing_summary_sql_api, Q1_PRICING_SUMMARY_SQL_API_SQL),
+    "datetime_functions_orders": (datetime_functions_orders, DATETIME_FUNCTIONS_ORDERS_SQL),
+    "null_handling_customer": (null_handling_customer, NULL_HANDLING_CUSTOMER_SQL),
+    "profile_orders": (profile_orders, PROFILE_ORDERS_SQL),
 }

@@ -35,6 +35,7 @@ def run_once(
     ip_regions: DataFrame,
     fmt: str = "parquet",
     timeout_s: int = 300,
+    gold_mode: str = "recompute",
 ) -> None:
     """Drain raw → bronze → silver → gold synchronously (availableNow)."""
     _ensure_dirs(paths)
@@ -42,7 +43,7 @@ def run_once(
     q1.awaitTermination(timeout_s)
     q2 = start_silver(spark, paths, ip_regions, available_now=True)
     q2.awaitTermination(timeout_s)
-    q3 = start_gold(spark, paths, available_now=True)
+    q3 = start_gold(spark, paths, available_now=True, mode=gold_mode)
     q3.awaitTermination(timeout_s)
 
 

@@ -112,6 +112,40 @@ def _row(log_id, ts, user="user_1", ip="10.0.0.1", wt=30):
     }
 
 
+def test_incremental_gold_equals_recompute(spark, tmp_path, ip_regions):
+    """The merge-based incremental Gold must produce exactly the same
+    snapshot as the full recompute, across multiple micro-batches."""
+    inc = PipelinePaths(str(tmp_path / "inc"))
+    full = PipelinePaths(str(tmp_path / "full"))
+    for paths in (inc, full):
+        os.makedirs(paths.raw, exist_ok=True)
+        write_activity_files(paths.raw, num_files=2, rows_per_file=300)
+    run_once(spark, inc, ip_regions, gold_mode="incremental")
+    run_once(spark, full, ip_regions, gold_mode="recompute")
+
+    # second wave of files (disjoint names!) → second merge on the
+    # incremental side; overwriting wave-one names would be silently
+    # ignored by the file-stream source's processed-file log.
+    for paths in (inc, full):
+        write_activity_files(
+            paths.raw, num_files=1, rows_per_file=150, seed=99, start_index=10
+        )
+    run_once(spark, inc, ip_regions, gold_mode="incremental")
+    run_once(spark, full, ip_regions, gold_mode="recompute")
+
+    # the second wave must actually have landed
+    assert spark.read.parquet(inc.bronze).count() > 2 * 300 * 0.9
+
+    def snap(paths):
+        return sorted(
+            (r.user_id, round(r.total_watch_time, 6), r.geo_region)
+            for r in spark.read.parquet(paths.gold).collect()
+        )
+
+    assert snap(inc) == snap(full)
+    assert len(snap(inc)) > 0
+
+
 def test_watermark_dedup_semantics(spark, tmp_path, ip_regions):
     """Duplicates within the 2h horizon are dropped across micro-batches;
     records with event time older than the advanced watermark — duplicate
