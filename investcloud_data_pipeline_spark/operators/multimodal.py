@@ -123,14 +123,16 @@ def sample_frames(
     every k-th frame up to media_meta.n_frames). Pure built-ins — the
     explode happens JVM-side; at scale the binary column is pruned unless
     a downstream decode actually needs it."""
+    # cast the sequence elements, not the explode output — a generator
+    # can't be nested inside a cast expression
     return df.select(
         F.col(id_col),
-        F.col("media_meta.n_frames").alias("n_frames"),
+        F.col("media_meta.n_frames").cast("long").alias("n_frames"),
         F.explode(
             F.sequence(
-                F.lit(0),
-                F.col("media_meta.n_frames") - 1,
-                F.lit(every_k),
+                F.lit(0).cast("long"),
+                (F.col("media_meta.n_frames") - 1).cast("long"),
+                F.lit(every_k).cast("long"),
             )
         ).alias("frame_idx"),
     )

@@ -57,7 +57,7 @@ def brute_force_topk(
         .withColumn("cos", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "rk", "neighbor_id", "cos")
+        .select("query_id", F.col("rk").cast("long").alias("rk"), "neighbor_id", "cos")
     )
 
 
@@ -105,7 +105,7 @@ def lsh_bucketed_topk(
         .withColumn("cos", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "rk", "neighbor_id", "cos")
+        .select("query_id", F.col("rk").cast("long").alias("rk"), "neighbor_id", "cos")
     )
 
 
@@ -173,7 +173,7 @@ def ivf_topk(
         .withColumn("cos", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "rk", "neighbor_id", "cos")
+        .select("query_id", F.col("rk").cast("long").alias("rk"), "neighbor_id", "cos")
     )
 
 
@@ -238,7 +238,7 @@ def vectorized_topk(
     return (
         partials.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "rk", "neighbor_id", "cos")
+        .select("query_id", F.col("rk").cast("long").alias("rk"), "neighbor_id", "cos")
     )
 
 
@@ -289,5 +289,5 @@ def brp_lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "rk", "neighbor_id", "dist")
+        .select("query_id", F.col("rk").cast("long").alias("rk"), "neighbor_id", "dist")
     )

@@ -30,9 +30,9 @@ def token_stats(df: DataFrame, text_col: str = "text",
     toks = tokens(text_col)
     return df.select(
         F.col(id_col),
-        F.length(F.col(text_col)).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.round(
             F.when(F.size(toks) > 0,
                    F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
@@ -70,7 +70,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     return df.select(
         F.col(id_col),
         F.col("lang"),
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(ttr, 6).alias("type_token_ratio"),
         F.round(alnum_density, 6).alias("alnum_density"),
         score.alias("quality_score"),
@@ -113,7 +113,7 @@ def language_id(df: DataFrame, text_col: str = "text",
     return scored.select(
         F.col(id_col),
         "labeled_lang",
-        best_score.alias("stopword_hits"),
+        best_score.cast("long").alias("stopword_hits"),
         best_lang.alias("guessed_lang"),
     )
 

@@ -168,7 +168,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("c_nationkey", "rk", "c_custkey", "c_name", "c_acctbal")
+        .select("c_nationkey", F.col("rk").cast("long").alias("rk"), "c_custkey", "c_name", "c_acctbal")
     )
 
 
@@ -241,8 +241,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, count(*) AS n_events,
@@ -372,7 +372,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_PROPS_EXTRACT_SQL = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type

@@ -165,7 +165,7 @@ def string_functions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_type", 1, 6).alias("type_prefix"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
         F.lower("p_name").like("%steel%").alias("is_steel"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
     )
 
@@ -261,7 +261,7 @@ def datetime_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
             F.datediff(
                 F.to_date(F.lit("2002-01-01")), F.to_date("o_orderdate")
-            ).alias("age_days"),
+            ).cast("long").alias("age_days"),
             F.col("o_totalprice"),
         )
         .groupBy("yr", "qtr")

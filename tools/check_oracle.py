@@ -67,14 +67,37 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = normalize(res.fetchall())
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = normalize(rel.fetchall())
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures += 1
             continue
         problems = []
+        # type compatibility check (the driver compares schemas; DuckDB's
+        # default integer widths differ from Spark's in easy-to-miss ways)
+        DUCK_TO_SPARK = {
+            "BIGINT": {"bigint"},
+            "INTEGER": {"int"},
+            "SMALLINT": {"smallint"},
+            "DOUBLE": {"double"},
+            "FLOAT": {"float"},
+            "VARCHAR": {"string"},
+            "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+            "DATE": {"date"},
+            "BOOLEAN": {"boolean"},
+            "HUGEINT": set(),  # no Spark equivalent — always flag
+        }
+        sdtypes = dict(sdf.dtypes)
+        for cname, dtype in zip(ocols, otypes):
+            stype = sdtypes.get(cname)
+            if stype is None:
+                continue
+            allowed = DUCK_TO_SPARK.get(str(dtype).split("(")[0])
+            if allowed is not None and stype not in allowed:
+                problems.append(f"type[{cname}] spark={stype} duckdb={dtype}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={scols} oracle={ocols}")
         elif scols != ocols:
