@@ -203,6 +203,9 @@ def simhash64(pdf_iter, text_col: str = "text", id_col: str = "doc_id"):
     positions), so it runs Arrow-batched; each batch is vectorized over
     docs with plain ints.
     """
+    import numpy as np
+
+    bit_idx = np.arange(64, dtype=np.uint64)
     for pdf in pdf_iter:
         out_ids, out_hashes = [], []
         for _id, text in zip(pdf[id_col], pdf[text_col]):
@@ -214,14 +217,21 @@ def simhash64(pdf_iter, text_col: str = "text", id_col: str = "doc_id"):
                 if len(toks) > 3
                 else ({" ".join(toks)} if toks else set())
             )
-            votes = [0] * 64
-            for s in shingles:
-                h = int.from_bytes(
-                    hashlib.md5(s.encode()).digest()[:8], "big"
+            if shingles:
+                hashes = np.array(
+                    [
+                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                        for s in shingles
+                    ],
+                    dtype=np.uint64,
                 )
-                for bit in range(64):
-                    votes[bit] += 1 if (h >> bit) & 1 else -1
-            sh = sum((1 << bit) for bit in range(64) if votes[bit] > 0)
+                # vectorized bit voting: bits (n_shingles × 64) → per-bit
+                # majority (replaces a 64×|shingles| Python loop)
+                bits = (hashes[:, None] >> bit_idx) & np.uint64(1)
+                votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(hashes)
+                sh = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
+            else:
+                sh = 0
             out_ids.append(_id)
             # shift into signed-64 range for Spark LongType
             out_hashes.append(sh - (1 << 63))

@@ -449,7 +449,162 @@ FROM customer c JOIN na ON c.c_nationkey = na.c_nationkey
 WHERE c_acctbal > na.nation_avg
 """
 
+# --- Q4-style: order priority checking (semi-join EXISTS + agg).
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1996-07-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1996-10-01 00:00:00'"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.expr("timestamp'1997-01-01 00:00:00'")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q6-style: forecast revenue change (pure scan-filter-agg; the
+# pushdown benchmark — every predicate reaches the parquet scan).
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("timestamp'1997-01-01 00:00:00'"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+Q6_FORECAST_REVENUE_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity < 24
+"""
+
+
+# --- Q7-style: volume shipping between two nations (supplier nation ×
+# customer nation flows by year).
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q7_VOLUME_SHIPPING_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# --- Q10-style: returned-item reporting (top-20 customers by lost revenue).
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1996-10-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1997-01-01 00:00:00'"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).alias("rev"))
+        .orderBy(F.col("rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.col("rev").cast("double").alias("revenue"),
+            "c_acctbal", "n_name",
+        )
+    )
+
+
+Q10_RETURNED_ITEMS_SQL = """
+SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue, c_acctbal, n_name
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+ORDER BY rev DESC, c_custkey ASC LIMIT 20
+"""
+
+
 QUERIES = {
+    "q4_order_priority": (q4_order_priority, Q4_ORDER_PRIORITY_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_FORECAST_REVENUE_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_SHIPPING_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_RETURNED_ITEMS_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_PRICING_SUMMARY_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SHIPPING_PRIORITY_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_LOCAL_SUPPLIER_VOLUME_SQL),

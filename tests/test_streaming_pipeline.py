@@ -95,6 +95,20 @@ def test_bronze_single_pass_split_schema(spark, tmp_path, ip_regions):
     assert {"dq_reason", "processing_time"} <= set(q.columns)
 
 
+def test_csv_ingest_e2e(spark, tmp_path, ip_regions):
+    """The pipeline's CSV ingest contract (reference S3: generator CSVs)
+    flows end to end with the same schema enforcement as parquet."""
+    paths = PipelinePaths(str(tmp_path))
+    os.makedirs(paths.raw, exist_ok=True)
+    write_activity_files(paths.raw, num_files=2, rows_per_file=150, fmt="csv")
+    run_once(spark, paths, ip_regions, fmt="csv")
+    bronze = spark.read.parquet(paths.bronze)
+    gold = spark.read.parquet(paths.gold)
+    assert bronze.count() == 300
+    assert gold.count() > 0
+    assert dict(bronze.dtypes)["watch_time"] == "double"
+
+
 def _one_file(tmp_dir: str, name: str, rows: list[dict]) -> None:
     os.makedirs(tmp_dir, exist_ok=True)
     pd.DataFrame(rows)[
