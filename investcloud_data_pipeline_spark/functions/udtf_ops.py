@@ -1,0 +1,52 @@
+"""Python UDTF surface (Spark 4 table functions).
+
+The reference's UDF surface is a single scalar dict-UDF (SURVEY §2.12);
+this completes the trio — scalar (replaced by broadcast join), grouped
+pandas kernels (simhash/multimodal), and a table function: one input row
+expanding to N output rows with its own schema. UDTFs run row-at-a-time
+in Python, so they are for LOW-VOLUME expansion steps (config fan-out,
+small-dimension explosion); high-volume expansion belongs to JVM-side
+``explode`` (see multimodal.sample_frames) or ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="chunk_idx int, chunk string, n_tokens int")
+class ChunkText:
+    """Split a document into fixed-size token chunks with overlap — the
+    canonical pre-embedding chunker of an LLM data pipeline."""
+
+    CHUNK = 64
+    OVERLAP = 8
+
+    def eval(self, text: str):  # noqa: D102
+        toks = (text or "").split()
+        if not toks:
+            return
+        step = self.CHUNK - self.OVERLAP
+        idx = 0
+        for start in range(0, max(len(toks) - self.OVERLAP, 1), step):
+            piece = toks[start : start + self.CHUNK]
+            yield idx, " ".join(piece), len(piece)
+            idx += 1
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply the chunker UDTF per document via a lateral join."""
+    df.createOrReplaceTempView("__docs_to_chunk")
+    spark = df.sparkSession
+    spark.udtf.register("chunk_text", ChunkText)
+    return spark.sql(
+        f"""
+        SELECT d.{id_col}, c.chunk_idx, c.chunk, c.n_tokens
+        FROM __docs_to_chunk d,
+        LATERAL chunk_text(d.{text_col}) c
+        """
+    )

@@ -389,6 +389,32 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.byte_histogram_features(media)
 
 
+def text_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF chunker (64-token chunks, 8-token overlap) applied per
+    document via LATERAL join — oracle re-states the chunk arithmetic in
+    SQL, so the UDTF's row expansion is value-checked."""
+    from ..functions.udtf_ops import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+TEXT_CHUNKING_UDTF_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text <> ''
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(len(t) - 8, 1), 56)) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start / 56 AS INT) AS chunk_idx,
+       array_to_string(t[start + 1 : start + 64], ' ') AS chunk,
+       CAST(least(64, len(t) - start) AS INT) AS n_tokens
+FROM starts
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_DOCUMENTS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
@@ -409,4 +435,5 @@ QUERIES = {
     "multimodal_decode_meta": (multimodal_decode_meta, MULTIMODAL_DECODE_META_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "multimodal_byte_histogram": (multimodal_byte_histogram, None),  # rows-only
+    "text_chunking_udtf": (text_chunking_udtf, TEXT_CHUNKING_UDTF_SQL),
 }

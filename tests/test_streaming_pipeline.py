@@ -95,6 +95,22 @@ def test_bronze_single_pass_split_schema(spark, tmp_path, ip_regions):
     assert {"dq_reason", "processing_time"} <= set(q.columns)
 
 
+def test_micro_batch_admission_control(spark, tmp_path, ip_regions):
+    """T5: maxFilesPerTrigger caps each micro-batch — 25 input files with
+    a 10-file cap must drain in ≥3 batches, all checkpointed."""
+    from investcloud_data_pipeline_spark.streaming.bronze import start_bronze
+
+    paths = PipelinePaths(str(tmp_path))
+    os.makedirs(paths.raw, exist_ok=True)
+    write_activity_files(paths.raw, num_files=25, rows_per_file=40)
+    q = start_bronze(spark, paths, available_now=True)
+    q.awaitTermination(180)
+    progress = q.recentProgress
+    batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(batches) >= 3, f"expected >=3 micro-batches, got {len(batches)}"
+    assert spark.read.parquet(paths.bronze).count() == 25 * 40
+
+
 def test_csv_ingest_e2e(spark, tmp_path, ip_regions):
     """The pipeline's CSV ingest contract (reference S3: generator CSVs)
     flows end to end with the same schema enforcement as parquet."""

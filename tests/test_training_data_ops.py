@@ -242,6 +242,26 @@ def test_language_id_stopword_anchors(spark):
     assert out[3] == "und"
 
 
+def test_udtf_chunker_overlap_and_edges(spark):
+    from investcloud_data_pipeline_spark.functions.udtf_ops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(150))), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 150 tokens, chunk 64, overlap 8 → starts 0/56/112 → sizes 64/64/38
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in d1] == [64, 64, 38]
+    # overlap: last 8 tokens of chunk 0 == first 8 of chunk 1
+    assert d1[0].chunk.split()[-8:] == d1[1].chunk.split()[:8]
+    assert [r.n_tokens for r in by_doc[2]] == [2]
+    assert 3 not in by_doc  # empty text yields no chunks
+
+
 def test_fingerprint_order_insensitive_keyset(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma alpha beta beta")],
