@@ -28,9 +28,12 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Warm the JVM / codegen / parquet footers so the first measured query
-    # isn't charged for session startup.
+    # isn't charged for session startup. load_table, not a raw read —
+    # events.parquet needs the nanos-timestamp handling it provides.
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
     for t in ("lineitem", "events"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+        load_table(spark, sf_dir, t).limit(1).count()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

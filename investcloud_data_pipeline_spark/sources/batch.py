@@ -40,6 +40,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds — the same ns→µs truncation DuckDB applies, so oracle
     comparisons see identical instants.
     """
+    # Defensive: queries may run under a caller-provided session (the
+    # driver's); event-time semantics and DuckDB-oracle comparisons
+    # assume UTC, so pin it here rather than trusting the caller's conf.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
