@@ -107,24 +107,6 @@ def ngram_jaccard_pairs(
     )
 
 
-def _salted_md5(salt: str):
-    # NB: higher-order functions inspect the lambda's arity — a second
-    # parameter (even with a default) would be bound to the array INDEX
-    # column, so the salt must be captured via closure, not default arg.
-    return lambda s: F.md5(F.concat(F.lit(salt), s))
-
-
-def minhash_cols_over(shingles_col: Column, num_hashes: int) -> list[Column]:
-    """MinHash components over a pre-computed shingle-array column:
-    mh_j = min over shingles of md5(j:shingle). Lexicographic min over
-    identical md5 hex strings is a valid, fully portable min-hash family
-    (one permutation per salt)."""
-    return [
-        F.array_min(F.transform(shingles_col, _salted_md5(f"{j}:"))).alias(f"mh_{j}")
-        for j in range(num_hashes)
-    ]
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -133,20 +115,28 @@ def minhash_signatures(
     num_hashes: int = 12,
 ) -> DataFrame:
     """Per-doc MinHash signature (docs with no tokens are excluded, like a
-    shingle-table GROUP BY would). The shingle array is materialized in
-    its own projection so the tokenize+shingle work runs ONCE, not once
-    per hash — measured 10× on the signature build (Catalyst does not CSE
-    the shingle expression across the ``num_hashes`` usages). The
-    explicit ``localCheckpoint``-free barrier is ``F.explode``-free too:
-    an eager filter on the *input* text keeps the plan a pure narrow
-    pipeline."""
+    shingle-table GROUP BY would).
+
+    Physical form: explode the (once-computed) shingle array and take the
+    ``num_hashes`` salted-md5 mins in ONE hash aggregate. Two reasons over
+    the array-transform formulation: higher-order functions evaluate
+    interpreted (outside whole-stage codegen) while min()-aggregates are
+    codegen'd, and the shingle expression is guaranteed to run once (a
+    multi-column projection re-inlines it per column — measured 10×).
+    The groupBy shuffles one narrow row per (doc, shingle) on the doc id.
+    """
     from ..functions.text import normalize_text
 
-    sh = (
-        df.filter(normalize_text(text_col) != "")
-        .select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("__sh"))
+    ex = df.filter(normalize_text(text_col) != "").select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("__s"),
     )
-    return sh.select("id", *minhash_cols_over(F.col("__sh"), num_hashes))
+    return ex.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__s")))).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
+    )
 
 
 def minhash_lsh_candidates(

@@ -600,8 +600,36 @@ ORDER BY rev DESC, c_custkey ASC LIMIT 20
 """
 
 
+# --- Q13-style: customer order-count distribution (left outer join +
+# double aggregation; the classic "customers with zero orders" shape).
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_CUSTOMER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_ORDER_PRIORITY_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_CUSTOMER_DISTRIBUTION_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_FORECAST_REVENUE_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_SHIPPING_SQL),
     "q10_returned_items": (q10_returned_items, Q10_RETURNED_ITEMS_SQL),
