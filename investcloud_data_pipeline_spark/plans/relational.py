@@ -600,6 +600,40 @@ ORDER BY rev DESC, c_custkey ASC LIMIT 20
 """
 
 
+# --- Array/collection function surface: per-user event-type profiles.
+def array_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list("event_type"))
+    return (
+        e.groupBy("user_id")
+        .agg(arr.alias("all_types"))
+        .select(
+            "user_id",
+            F.slice(F.col("all_types"), 1, 3).alias("first3"),
+            F.array_distinct(F.col("all_types")).alias("distinct_types"),
+            F.size(F.array_distinct(F.col("all_types"))).cast("long").alias("n_distinct"),
+            F.array_contains(F.col("all_types"), "purchase").alias("has_purchase"),
+            F.array_position(F.col("all_types"), "error").cast("long").alias("first_error_pos"),
+            F.array_join(F.array_distinct(F.col("all_types")), ",").alias("types_csv"),
+        )
+    )
+
+
+ARRAY_FUNCTIONS_EVENTS_SQL = """
+WITH agg AS (
+  SELECT user_id, list_sort(list(event_type)) AS all_types FROM events GROUP BY user_id
+)
+SELECT user_id,
+       all_types[1:3] AS first3,
+       list_sort(list_distinct(all_types)) AS distinct_types,
+       len(list_distinct(all_types)) AS n_distinct,
+       list_contains(all_types, 'purchase') AS has_purchase,
+       CAST(coalesce(list_position(all_types, 'error'), 0) AS BIGINT) AS first_error_pos,
+       array_to_string(list_sort(list_distinct(all_types)), ',') AS types_csv
+FROM agg
+"""
+
+
 # --- Q13-style: customer order-count distribution (left outer join +
 # double aggregation; the classic "customers with zero orders" shape).
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,6 +664,7 @@ GROUP BY c_count
 QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_ORDER_PRIORITY_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_CUSTOMER_DISTRIBUTION_SQL),
+    "array_functions_events": (array_functions_events, ARRAY_FUNCTIONS_EVENTS_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_FORECAST_REVENUE_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_SHIPPING_SQL),
     "q10_returned_items": (q10_returned_items, Q10_RETURNED_ITEMS_SQL),
