@@ -600,6 +600,41 @@ ORDER BY rev DESC, c_custkey ASC LIMIT 20
 """
 
 
+# --- Ranking-window function surface: the full rank-family over one
+# partition/sort (shared window → one shuffle + one sort for all six).
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first_value(F.col("c_custkey")).over(w).alias("segment_top_cust"),
+    )
+
+
+WINDOW_RANK_FUNCTIONS_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(c_custkey) OVER w AS segment_top_cust
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 # --- Array/collection function surface: per-user event-type profiles.
 def array_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
@@ -665,6 +700,7 @@ QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_ORDER_PRIORITY_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_CUSTOMER_DISTRIBUTION_SQL),
     "array_functions_events": (array_functions_events, ARRAY_FUNCTIONS_EVENTS_SQL),
+    "window_rank_functions": (window_rank_functions, WINDOW_RANK_FUNCTIONS_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_FORECAST_REVENUE_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_SHIPPING_SQL),
     "q10_returned_items": (q10_returned_items, Q10_RETURNED_ITEMS_SQL),
