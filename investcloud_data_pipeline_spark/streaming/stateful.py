@@ -59,6 +59,63 @@ def _update_running_totals(
     )
 
 
+def _make_expiring_session(timeout_ms: int):
+    def _expiring_session(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Session accumulator with idle-timeout eviction: while events keep
+        arriving the session stays open (state updated, nothing emitted); when
+        the key goes idle past the timeout, the final session row is emitted
+        and the state removed — the canonical bounded-state pattern."""
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n],
+                 "total_value": [round(total, 6)], "closed": [1]}
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_ms)  # ms of idleness before eviction
+        yield pd.DataFrame(
+            {"user_id": [], "n_events": [], "total_value": [], "closed": []}
+        ).astype({"user_id": "int64", "n_events": "int64",
+                  "total_value": "float64", "closed": "int64"})
+
+    return _expiring_session
+
+
+def expiring_user_sessions(
+    events_stream: DataFrame, timeout_ms: int = 30_000
+) -> DataFrame:
+    """Streaming sessions that close (emit + evict state) after
+    ``timeout_ms`` of processing-time idleness — state size stays
+    O(active keys), the 100 TB requirement.
+
+    The timeout is relative to the micro-batch that last saw the key;
+    eviction fires in the first batch that runs after the deadline
+    (including Spark's no-data maintenance batches), so the timeout must
+    exceed the expected batch cadence or sessions close between triggers.
+    """
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_expiring_session(timeout_ms),
+            outputStructType="user_id long, n_events long, total_value double, closed long",
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Streaming per-user running totals with custom state.
 
