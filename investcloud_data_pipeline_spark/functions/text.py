@@ -31,11 +31,20 @@ def tokens(col: Column | str) -> Column:
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram strings (array<string>); docs shorter than n
-    tokens yield a single shingle of all their tokens, so no doc is
-    silently dropped from shingle-based dedup."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram strings from an already-materialized token
+    array column; docs shorter than n tokens yield a single shingle of
+    all their tokens, so no doc is silently dropped from shingle-based
+    dedup.
+
+    The argument must be a plain attribute (a column of a relation, not
+    an expression tree): every `slice` below references the token array
+    once per shingle, and if `toks` were an unevaluated expression the
+    interpreted higher-order functions would re-run it per shingle —
+    measured ~5× on the full shingle pipeline. Producers should
+    materialize the token array behind a shuffle (see
+    ``operators/dedup_fuzzy.tokenized``) before calling this.
+    """
     joined_all = F.array_join(toks, " ")
     shingle_at = lambda i: F.array_join(F.slice(toks, i, n), " ")  # noqa: E731
     n_shingles = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
@@ -48,3 +57,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
             )
         )
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram strings straight from a text column.
+
+    Convenience form for small inputs/tests: the token subtree is
+    re-evaluated per shingle by the interpreted higher-order functions,
+    so hot paths should tokenize behind a barrier and use
+    ``shingles_from_tokens`` instead."""
+    return shingles_from_tokens(tokens(col), n)

