@@ -97,6 +97,34 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (purchase, click) pair of the same user with the click in
+    the trailing 15-minute attribution window — the batch form of the
+    stream-stream interval join (streaming/joins.py::attribute_purchases
+    runs the IDENTICAL plan on two unbounded streams; its watermark is a
+    no-op here)."""
+    from ..streaming.joins import attribute_purchases
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("value").alias("amount")
+    )
+    return attribute_purchases(clicks, purchases, window="15 minutes")
+
+
+INTERVAL_ATTRIBUTION_SQL = """
+SELECT p.user_id AS user_id, p.ts AS purchase_ts, p.value AS amount,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 def range_join_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each 'error' event: how many other events the same user had
     within ±300 s. Bucketed equi-join (bucket = 300 s) + exact filter."""
@@ -377,6 +405,7 @@ PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
 
 QUERIES = {
     "asof_purchase_last_click": (asof_purchase_last_click, ASOF_PURCHASE_LAST_CLICK_SQL),
+    "interval_attribution": (interval_attribution, INTERVAL_ATTRIBUTION_SQL),
     "range_join_nearby_events": (range_join_nearby_events, RANGE_JOIN_NEARBY_EVENTS_SQL),
     "top_orders_global": (top_orders_global, TOP_ORDERS_GLOBAL_SQL),
     "string_functions_parts": (string_functions_parts, STRING_FUNCTIONS_PARTS_SQL),

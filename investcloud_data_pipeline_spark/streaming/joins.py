@@ -1,0 +1,60 @@
+"""Stream-stream joins with event-time constraints.
+
+The reference has no stream-stream joins (SURVEY §2.11: "no
+stream-stream joins"); this extends the engine with the canonical
+attribution shape a clickstream pipeline needs: purchases joined to the
+clicks that preceded them within an attribution window, both sides
+unbounded streams.
+
+Scale notes: Spark buffers both sides in the state store, keyed by the
+join key — the watermark plus the time-range condition is what lets it
+EVICT state (rows older than watermark - window can never match and are
+dropped). Without the time bound, state grows forever; this module makes
+the bound mandatory. The join shuffles both streams on user_id once per
+micro-batch; skewed hot users salt the same way batch joins do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribute_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "15 minutes",
+    watermark_delay: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each purchase to the clicks by the same user within the
+    trailing attribution ``window`` (click_ts ≤ purchase_ts ≤ click_ts +
+    window).
+
+    Inputs: ``clicks`` (user_id, click_ts, click_id),
+    ``purchases`` (user_id, purchase_ts, amount) — both may be streaming.
+    ``how="left_outer"`` additionally emits unattributed purchases (null
+    click columns) once the click-side watermark proves no match can
+    arrive; outer rows therefore only materialize after the watermark
+    advances past ``purchase_ts + window``.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how}")
+    c = clicks.withWatermark("click_ts", watermark_delay).alias("c")
+    p = purchases.withWatermark("purchase_ts", watermark_delay).alias("p")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.purchase_ts") >= F.col("c.click_ts"))
+        & (
+            F.col("p.purchase_ts")
+            <= F.col("c.click_ts") + F.expr(f"interval {window}")
+        )
+    )
+    joined = p.join(c, cond, how)
+    return joined.select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.purchase_ts").alias("purchase_ts"),
+        F.col("p.amount").alias("amount"),
+        F.col("c.click_id").alias("click_id"),
+        F.col("c.click_ts").alias("click_ts"),
+    )

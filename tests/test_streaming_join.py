@@ -1,0 +1,87 @@
+"""Stream-stream interval join: streaming output equals the batch join
+of the same inputs (self-oracle), and the time bound excludes
+out-of-window purchases."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pandas as pd
+
+from investcloud_data_pipeline_spark.streaming.joins import attribute_purchases
+
+CLICKS_SCHEMA = "user_id long, click_ts timestamp, click_id long"
+PURCHASES_SCHEMA = "user_id long, purchase_ts timestamp, amount double"
+
+
+def _ts(minute: int) -> datetime:
+    return datetime(2026, 1, 1, 12, minute, 0)
+
+
+CLICKS = [
+    (1, _ts(0), 100),
+    (1, _ts(20), 101),   # second click session for user 1
+    (2, _ts(5), 200),
+    (3, _ts(0), 300),    # user 3 clicks but never buys
+]
+PURCHASES = [
+    (1, _ts(10), 9.99),   # within 15m of click 100 only
+    (1, _ts(30), 5.00),   # within 15m of click 101 only
+    (2, _ts(25), 7.50),   # 20m after click 200 → outside window, no match
+    (4, _ts(10), 1.00),   # user 4 never clicked
+]
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    cdir, pdir, out, ck = (
+        str(tmp_path / d) for d in ("clicks", "purchases", "out", "ck")
+    )
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+    # coerce to µs: pandas' default nanosecond INT64 is unreadable as a
+    # Spark timestamp column
+    pd.DataFrame(CLICKS, columns=["user_id", "click_ts", "click_id"]).to_parquet(
+        f"{cdir}/a.parquet", index=False, coerce_timestamps="us"
+    )
+    pd.DataFrame(
+        PURCHASES, columns=["user_id", "purchase_ts", "amount"]
+    ).to_parquet(f"{pdir}/a.parquet", index=False, coerce_timestamps="us")
+
+    streamed = attribute_purchases(
+        spark.readStream.schema(CLICKS_SCHEMA).parquet(cdir),
+        spark.readStream.schema(PURCHASES_SCHEMA).parquet(pdir),
+    )
+    q = (
+        streamed.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.purchase_ts, r.amount, r.click_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch self-oracle: identical plan on static frames
+    expected = {
+        (r.user_id, r.purchase_ts, r.amount, r.click_id)
+        for r in attribute_purchases(
+            spark.createDataFrame(
+                CLICKS, "user_id long, click_ts timestamp, click_id long"
+            ),
+            spark.createDataFrame(
+                PURCHASES, "user_id long, purchase_ts timestamp, amount double"
+            ),
+        ).collect()
+    }
+    assert got == expected
+    # semantic spot-checks: each in-window purchase matched exactly its
+    # session's click; the 20-minutes-later purchase and the clickless
+    # user matched nothing
+    assert (1, _ts(10), 9.99, 100) in got
+    assert (1, _ts(30), 5.00, 101) in got
+    assert not any(u == 2 or u == 4 for (u, *_rest) in got)
