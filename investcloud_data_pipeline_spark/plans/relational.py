@@ -696,6 +696,318 @@ GROUP BY c_count
 """
 
 
+# --- Q14-style promo revenue: conditional-ratio aggregate over the
+# lineitem⋈part equi-join. Scale: part side shuffles on partkey (or
+# broadcasts when the dim fits); the CASE folds into the partial agg so
+# the join output never materializes — one scalar row out.
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp'1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("timestamp'1997-04-01 00:00:00'"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast(DEC)
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_PROMO_REVENUE_SQL = """
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+         THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+# --- Q17-style small-quantity revenue: correlated scalar subquery
+# decorrelated into a self-join against a per-part average. Scale: the
+# per-part avg and the probe side shuffle on the SAME key (partkey), so
+# Catalyst reuses the partitioning; avg over integer-valued doubles is
+# FP-exact, keeping the threshold comparison deterministic.
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(part_avg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q17_SMALL_QUANTITY_REVENUE_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey) t ON l_partkey = pk
+WHERE p_brand = 'Brand#23' AND l_quantity < qty_threshold
+"""
+
+
+# --- Q18-style large-volume orders: HAVING-filtered aggregate joined
+# back to its fact's dimensions. Scale: the groupBy(orderkey) agg and the
+# orders join share the orderkey partitioning; the >300 filter makes the
+# agg output tiny, so AQE converts the join-back to broadcast at runtime.
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("o_qty"))
+        .filter(F.col("o_qty") > 300)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "o_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        .limit(100)
+    )
+
+
+Q18_LARGE_ORDERS_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, o_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN (SELECT l_orderkey, sum(l_quantity) AS o_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) t
+  ON o_orderkey = l_orderkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# --- Q19-style disjunctive-predicate join: OR-of-ANDs spanning both
+# sides of a lineitem⋈part join. Scale: Catalyst extracts the common
+# partkey equi-condition for the hash join and pushes the per-side
+# conjuncts (brand/size on part, quantity on lineitem) below it; the
+# residual OR evaluates post-join inside codegen.
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    branch = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(
+            branch("Brand#1", 1, 15, 1, 20)
+            | branch("Brand#13", 10, 30, 10, 30)
+            | branch("Brand#20", 20, 50, 20, 40)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+Q19_DISJUNCTIVE_REVENUE_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# --- Q22-style idle high-balance customers: scalar subquery threshold +
+# anti join (every customer in this data has SOME order, so "idle" =
+# no order since 2000). Scale: the threshold aggregate is one scalar
+# broadcast to every partition; the NOT EXISTS is a left-anti hash join
+# on custkey with the date filter pushed to the orders scan — no
+# driver-side collection anywhere.
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.expr("timestamp'2000-01-01 00:00:00'")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")
+        ).alias("thr")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+Q22_IDLE_CUSTOMERS_SQL = """
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+# --- Q8-style market share: a nation's share of a region's market per
+# order year. Scale: the two dimension chains (customer→nation→region,
+# supplier→nation) broadcast; lineitem⋈orders is the one big shuffle;
+# the share ratio folds into a single grouped aggregate.
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n_c = _t(spark, sf_dir, "nation").alias("nc")
+    n_s = _t(spark, sf_dir, "nation").alias("ns")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .join(F.broadcast(r), F.col("nc.n_regionkey") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("ns.n_name") == "NATION_2", rev).otherwise(
+                        F.lit(0).cast(DEC)
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN ns.n_name = 'NATION_2'
+              THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region   ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+"""
+
+
+# --- Explicit GROUPING SETS (beyond rollup/cube): caller-chosen
+# granularities in one pass — Expand multiplies rows by the number of
+# sets, then a single shuffle aggregates all of them together.
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+GROUPING_SETS_ORDER_STATS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+"""
+
+
+# --- Map-function surface: build a per-user event_type→count map
+# (map_from_entries over a sorted collect_list) and read it back with
+# element_at / map_keys / map_contains_key. The map stays inside the
+# row — no explode round-trip — and the projected lookups keep the
+# result oracle-comparable as plain columns.
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "c")))
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(m.alias("type_counts"))
+        .select(
+            "user_id",
+            F.element_at("type_counts", "click").alias("clicks"),
+            F.element_at("type_counts", "purchase").alias("purchases"),
+            F.size("type_counts").alias("ntypes"),
+            F.map_contains_key("type_counts", "error").alias("has_error"),
+            F.array_join(F.map_keys("type_counts"), ",").alias("types_csv"),
+        )
+    )
+
+
+MAP_FUNCTIONS_EVENTS_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN c END) AS BIGINT) AS clicks,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN c END) AS BIGINT) AS purchases,
+       CAST(count(*) AS INTEGER) AS ntypes,
+       bool_or(event_type = 'error') AS has_error,
+       string_agg(event_type, ',' ORDER BY event_type) AS types_csv
+FROM (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY user_id, event_type)
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_ORDER_PRIORITY_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_CUSTOMER_DISTRIBUTION_SQL),
@@ -718,4 +1030,12 @@ QUERIES = {
     "distinct_and_percentiles": (distinct_and_percentiles, DISTINCT_AND_PERCENTILES_SQL),
     "hourly_event_rollup": (hourly_event_rollup, HOURLY_EVENT_ROLLUP_SQL),
     "above_nation_avg_customers": (above_nation_avg_customers, ABOVE_NATION_AVG_CUSTOMERS_SQL),
+    "q8_market_share": (q8_market_share, Q8_MARKET_SHARE_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_PROMO_REVENUE_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SMALL_QUANTITY_REVENUE_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_LARGE_ORDERS_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_DISJUNCTIVE_REVENUE_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_IDLE_CUSTOMERS_SQL),
+    "grouping_sets_order_stats": (grouping_sets_order_stats, GROUPING_SETS_ORDER_STATS_SQL),
+    "map_functions_events": (map_functions_events, MAP_FUNCTIONS_EVENTS_SQL),
 }
