@@ -20,6 +20,9 @@ from investcloud_data_pipeline_spark.plans import pipeline_queries as P
 from investcloud_data_pipeline_spark.plans import relational as R
 from investcloud_data_pipeline_spark.plans import temporal as T
 from investcloud_data_pipeline_spark.plans import training_data as TD
+from investcloud_data_pipeline_spark.sources.python_datasource import (
+    activity_source_profile,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -45,6 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **{name: fn for name, (fn, _) in TD.QUERIES.items()},
         # Temporal joins (as-of, range) + cube/top-N/string/approx surface
         **{name: fn for name, (fn, _) in T.QUERIES.items()},
+        # Engine-native Python data source (rows-only: generator input,
+        # no DuckDB-visible tables)
+        "pydatasource_activity_profile": activity_source_profile,
     }
 
 
