@@ -379,6 +379,36 @@ FROM events GROUP BY event_type
 """
 
 
+# --- VARIANT semi-structured path (Spark 4): parse once into the
+# binary variant encoding, then typed path extraction — the
+# scale-correct alternative to repeated string JSON parsing (one parse,
+# columnar-shreddable, no per-access regex). Extractions are projected
+# to plain columns so the result stays oracle-comparable.
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.parse_json("props").alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.variant_get("v", "$.k", "long")).alias("sum_k"),
+            F.max(F.variant_get("v", "$.k", "long")).alias("max_k"),
+            F.count(F.try_variant_get("v", "$.absent", "long")).alias("n_absent"),
+            F.min(F.schema_of_variant("v")).alias("variant_schema"),
+        )
+    )
+
+
+VARIANT_PROPS_EXTRACT_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(count(json_extract_string(props, '$.absent')) AS BIGINT) AS n_absent,
+       'OBJECT<k: BIGINT>' AS variant_schema
+FROM events GROUP BY event_type
+"""
+
+
 # --- Distinct + exact percentile aggregates.
 def distinct_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -1038,4 +1068,5 @@ QUERIES = {
     "q22_idle_customers": (q22_idle_customers, Q22_IDLE_CUSTOMERS_SQL),
     "grouping_sets_order_stats": (grouping_sets_order_stats, GROUPING_SETS_ORDER_STATS_SQL),
     "map_functions_events": (map_functions_events, MAP_FUNCTIONS_EVENTS_SQL),
+    "variant_props_extract": (variant_props_extract, VARIANT_PROPS_EXTRACT_SQL),
 }
