@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from investcloud_data_pipeline_spark.functions import pandas_udfs as PU
 from investcloud_data_pipeline_spark.plans import pipeline_queries as P
 from investcloud_data_pipeline_spark.plans import relational as R
 from investcloud_data_pipeline_spark.plans import temporal as T
@@ -48,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **{name: fn for name, (fn, _) in TD.QUERIES.items()},
         # Temporal joins (as-of, range) + cube/top-N/string/approx surface
         **{name: fn for name, (fn, _) in T.QUERIES.items()},
+        # Vectorized Python function surface (scalar/grouped-agg/grouped-map)
+        **{name: fn for name, (fn, _) in PU.QUERIES.items()},
         # Engine-native Python data source (rows-only: generator input,
         # no DuckDB-visible tables)
         "pydatasource_activity_profile": activity_source_profile,
@@ -65,4 +68,5 @@ def oracle_sql() -> dict[str, str]:
         **{name: sql for name, (_, sql) in R.QUERIES.items()},
         **{name: sql for name, (_, sql) in TD.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in T.QUERIES.items() if sql},
+        **{name: sql for name, (_, sql) in PU.QUERIES.items() if sql},
     }

@@ -379,6 +379,45 @@ FROM events GROUP BY event_type
 """
 
 
+# --- Built-in session windows (F.session_window): dynamic-gap
+# sessionization as a single grouped aggregate — the Expand-free,
+# state-mergeable form that also runs on streams (watermark + append
+# mode), unlike the manual gaps-and-islands plan in sessionize_events.
+# New session when the gap since the previous event is >= 10 minutes.
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
+SESSION_WINDOW_STATS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 10 MINUTE AS session_end, count(*) AS n
+FROM sess GROUP BY user_id, sid
+"""
+
+
 # --- VARIANT semi-structured path (Spark 4): parse once into the
 # binary variant encoding, then typed path extraction — the
 # scale-correct alternative to repeated string JSON parsing (one parse,
@@ -406,6 +445,134 @@ SELECT event_type, count(*) AS n,
        CAST(count(json_extract_string(props, '$.absent')) AS BIGINT) AS n_absent,
        'OBJECT<k: BIGINT>' AS variant_schema
 FROM events GROUP BY event_type
+"""
+
+
+# --- Correlated LATERAL join (Spark 4 DataFrame API): top-2 orders per
+# customer as a lateral subquery with outer references — the per-row
+# "top-k of my children" shape. Catalyst decorrelates it to a
+# partitioned rank rather than a nested loop, so it scales like the
+# window-function top-k (one shuffle on the correlation key).
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    top2 = (
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(top2).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+LATERAL_TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT c_custkey, c_name, t.o_orderkey, t.o_totalprice
+FROM customer, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+# --- SQL pipe syntax (Spark 4): the same Catalyst plan issued through
+# the |> operator chain — proves the SQL text surface accepts the
+# modern piped form (WHERE after AGGREGATE, etc.), not just ANSI.
+def pipe_syntax_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_interface import sql
+
+    return sql(
+        spark,
+        sf_dir,
+        """
+        FROM lineitem
+        |> WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |> AGGREGATE count(*) AS n, sum(l_quantity) AS qty GROUP BY l_returnflag
+        |> WHERE n > 0
+        """,
+    )
+
+
+PIPE_SYNTAX_RETURNFLAG_STATS_SQL = """
+SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty
+FROM lineitem
+WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+HAVING count(*) > 0
+"""
+
+
+# --- XML functions: serialize each row to XML and parse it back
+# (to_xml → from_xml round-trip), then aggregate the extracted fields —
+# proves the XML path end-to-end while keeping the result comparable as
+# plain columns. Integer payloads only: float→string formatting is
+# engine-specific, int round-trips are exact.
+def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor("value").cast("long").alias("v"),
+    )
+    xml = e.select("event_id", F.to_xml(F.struct("event_type", "v")).alias("x"))
+    parsed = xml.select(
+        "event_id",
+        F.from_xml("x", "event_type string, v long").alias("p"),
+    )
+    return (
+        parsed.groupBy(F.col("p.event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p.v").alias("sum_v"),
+        )
+    )
+
+
+XML_ROUNDTRIP_EVENTS_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
+FROM events GROUP BY event_type
+"""
+
+
+# --- Higher-order array functions: transform / filter / aggregate /
+# exists / forall over per-order quantity arrays. HOFs evaluate
+# interpreted (no codegen) — fine at one array per order; for hot
+# aggregate-shaped paths prefer explode+groupBy (see NOTES).
+def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    arr = F.sort_array(F.collect_list("q"))
+    return (
+        l.groupBy("l_orderkey")
+        .agg(arr.alias("qs"))
+        .select(
+            "l_orderkey",
+            F.size("qs").alias("n_items"),
+            F.aggregate(
+                "qs", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("total_qty"),
+            F.size(F.filter("qs", lambda x: x > 25)).alias("n_big"),
+            F.element_at(F.transform("qs", lambda x: x * 2), 1).alias(
+                "doubled_min"
+            ),
+            F.exists("qs", lambda x: x == 1).alias("has_unit"),
+            F.forall("qs", lambda x: x <= 50).alias("all_below_cap"),
+        )
+    )
+
+
+HIGHER_ORDER_ARRAY_OPS_SQL = """
+SELECT l_orderkey,
+       CAST(count(*) AS INTEGER) AS n_items,
+       CAST(sum(q) AS BIGINT) AS total_qty,
+       CAST(count(CASE WHEN q > 25 THEN 1 END) AS INTEGER) AS n_big,
+       2 * min(q) AS doubled_min,
+       bool_or(q = 1) AS has_unit,
+       bool_and(q <= 50) AS all_below_cap
+FROM (SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+GROUP BY l_orderkey
 """
 
 
@@ -1069,4 +1236,15 @@ QUERIES = {
     "grouping_sets_order_stats": (grouping_sets_order_stats, GROUPING_SETS_ORDER_STATS_SQL),
     "map_functions_events": (map_functions_events, MAP_FUNCTIONS_EVENTS_SQL),
     "variant_props_extract": (variant_props_extract, VARIANT_PROPS_EXTRACT_SQL),
+    "lateral_top_orders_per_customer": (
+        lateral_top_orders_per_customer,
+        LATERAL_TOP_ORDERS_PER_CUSTOMER_SQL,
+    ),
+    "pipe_syntax_returnflag_stats": (
+        pipe_syntax_returnflag_stats,
+        PIPE_SYNTAX_RETURNFLAG_STATS_SQL,
+    ),
+    "session_window_stats": (session_window_stats, SESSION_WINDOW_STATS_SQL),
+    "xml_roundtrip_events": (xml_roundtrip_events, XML_ROUNDTRIP_EVENTS_SQL),
+    "higher_order_array_ops": (higher_order_array_ops, HIGHER_ORDER_ARRAY_OPS_SQL),
 }

@@ -165,8 +165,8 @@ def activity_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     df = (
         spark.read.format("activity_log")
-        .option("rowsPerPartition", "2000")
-        .option("numPartitions", "8")
+        .option("rowsPerPartition", "1000")
+        .option("numPartitions", "4")
         .option("seed", "11")
         .load()
     )

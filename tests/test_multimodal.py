@@ -59,3 +59,16 @@ def test_sample_frames_stride(media):
 def test_real_decode_is_stubbed(media):
     with pytest.raises(NotImplementedError):
         decode_media(media)
+
+
+def test_arrow_histogram_matches_pandas_path(media):
+    from investcloud_data_pipeline_spark.operators.multimodal import (
+        byte_histogram_arrow,
+    )
+
+    pandas_out = {
+        r.id: r.features for r in byte_histogram_features(media).collect()
+    }
+    arrow_out = {r.id: r.features for r in byte_histogram_arrow(media).collect()}
+    assert arrow_out == pandas_out
+    assert arrow_out[3] == [0.0] * 16  # empty payload

@@ -81,3 +81,61 @@ def test_tumbling_window_stream_matches_batch(spark, tmp_path):
     }
     assert got == closed
     assert len(got) > 0
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Session windows on a stream (watermark + append): emitted sessions
+    equal the batch session_window computation for sessions closed by the
+    final watermark."""
+    src = str(tmp_path / "ssrc")
+    out = str(tmp_path / "sout")
+    ck = str(tmp_path / "sck")
+    os.makedirs(src)
+    # two users: bursts separated by >10m gaps → multiple sessions
+    base = pd.Timestamp("2024-02-01")
+    rows, eid = [], 0
+    for user, bursts in ((1, (0, 30, 120)), (2, (5, 90))):
+        for start in bursts:
+            for k in range(3):  # 3 events 2 min apart per burst
+                rows.append((eid, base + pd.Timedelta(minutes=start + 2 * k), user))
+                eid += 1
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id"]).astype(
+        {"ts": "datetime64[us]"}
+    ).to_parquet(f"{src}/p1.parquet", index=False)
+    ddl = "event_id long, ts timestamp, user_id long"
+
+    def sessions(df):
+        return (
+            df.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("s"),
+                F.col("session_window.end").alias("e"),
+                "n",
+            )
+        )
+
+    q = (
+        sessions(
+            spark.readStream.schema(ddl).parquet(src).withWatermark("ts", "5 minutes")
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.user_id, r.s, r.e, r.n) for r in spark.read.parquet(out).collect()}
+    batch = sessions(spark.read.schema(ddl).parquet(src))
+    max_ts = max(r[1] for r in rows)
+    closed = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in batch.collect()
+        if r.e <= max_ts - pd.Timedelta(minutes=5)
+    }
+    assert got == closed
+    assert len(got) >= 3  # the early bursts' sessions actually emitted
