@@ -576,6 +576,43 @@ GROUP BY l_orderkey
 """
 
 
+# --- unpivot/melt: wide→long reshape as a first-class operator
+# (Expand node — one pass, no union-of-scans like the SQL spelling).
+def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("base"),
+        F.sum(
+            (F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+        ).cast("double").alias("discount"),
+        F.sum(
+            (F.col("l_extendedprice").cast(DEC) * F.col("l_tax").cast(DEC))
+        ).cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["base", "discount", "tax"],
+        variableColumnName="component",
+        valueColumnName="amount",
+    )
+
+
+UNPIVOT_LINEITEM_CHARGES_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS base,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'base' AS component, base AS amount FROM wide
+UNION ALL
+SELECT l_returnflag, 'discount', discount FROM wide
+UNION ALL
+SELECT l_returnflag, 'tax', tax FROM wide
+"""
+
+
 # --- Distinct + exact percentile aggregates.
 def distinct_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -1247,4 +1284,5 @@ QUERIES = {
     "session_window_stats": (session_window_stats, SESSION_WINDOW_STATS_SQL),
     "xml_roundtrip_events": (xml_roundtrip_events, XML_ROUNDTRIP_EVENTS_SQL),
     "higher_order_array_ops": (higher_order_array_ops, HIGHER_ORDER_ARRAY_OPS_SQL),
+    "unpivot_lineitem_charges": (unpivot_lineitem_charges, UNPIVOT_LINEITEM_CHARGES_SQL),
 }

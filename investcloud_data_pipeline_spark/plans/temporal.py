@@ -125,6 +125,81 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def gap_fill_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: per user, a dense hourly grid
+    from their first to last event hour, carrying the latest observed
+    value forward across empty hours.
+
+    Spark-first plan: per-user bounds → ``F.sequence`` + ``explode``
+    builds the grid WITHOUT a cross join (grid size bounded per key);
+    hourly observations reduce to one deterministic row per (user, hour)
+    (latest ts, event_id tie-break); the fill is one
+    ``last(ignorenulls)`` window — a single shuffle on user_id shared by
+    grid, join, and window. Scale: grid fan-out is |hours-in-range| per
+    user; for multi-year ranges bucket the sequence by month first so no
+    single task materializes an unbounded array."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    w_pick = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        e.select("user_id", hour.alias("h"), "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(
+            hourly,
+            (grid.user_id == hourly.user_id) & (grid.hour == hourly.h),
+            "left",
+        )
+        .select(grid.user_id, "hour", "value")
+        .withColumn("filled", F.last("value", ignorenulls=True).over(w_fill))
+        .select("user_id", "hour", "filled")
+    )
+
+
+GAP_FILL_HOURLY_VALUES_SQL = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), hourly AS (
+  SELECT user_id, h, value FROM ranked WHERE rn = 1
+), bounds AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT g.user_id,
+       g.hour,
+       last_value(hv.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM grid g
+LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.hour = hv.h
+"""
+
+
 def range_join_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each 'error' event: how many other events the same user had
     within ±300 s. Bucketed equi-join (bucket = 300 s) + exact filter."""
@@ -406,6 +481,7 @@ PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
 QUERIES = {
     "asof_purchase_last_click": (asof_purchase_last_click, ASOF_PURCHASE_LAST_CLICK_SQL),
     "interval_attribution": (interval_attribution, INTERVAL_ATTRIBUTION_SQL),
+    "gap_fill_hourly_values": (gap_fill_hourly_values, GAP_FILL_HOURLY_VALUES_SQL),
     "range_join_nearby_events": (range_join_nearby_events, RANGE_JOIN_NEARBY_EVENTS_SQL),
     "top_orders_global": (top_orders_global, TOP_ORDERS_GLOBAL_SQL),
     "string_functions_parts": (string_functions_parts, STRING_FUNCTIONS_PARTS_SQL),
