@@ -576,6 +576,37 @@ GROUP BY l_orderkey
 """
 
 
+# --- ANSI-safe arithmetic (try_* family): Spark 4 runs ANSI mode by
+# default, where overflow/div-zero/bad casts THROW; the try_ variants
+# restore null-on-error semantics per expression — the contract a
+# quarantine-style pipeline needs (error rows surface as nulls to route,
+# instead of failing the job 90 minutes in).
+def try_functions_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")).alias("div0"),
+            F.try_divide(F.col("l_extendedprice"), F.lit(4.0)).alias("quarter"),
+            F.try_add(F.col("l_quantity"), F.col("l_tax")).alias("added"),
+            F.col("l_returnflag").try_cast("double").alias("bad_cast"),
+            F.col("l_quantity").cast("string").try_cast("double").alias("good_cast"),
+        )
+    )
+
+
+TRY_FUNCTIONS_SAFETY_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / nullif(l_quantity - l_quantity, 0.0) AS div0,
+       l_extendedprice / 4.0 AS quarter,
+       l_quantity + l_tax AS added,
+       try_cast(l_returnflag AS DOUBLE) AS bad_cast,
+       try_cast(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS good_cast
+FROM lineitem
+"""
+
+
 # --- unpivot/melt: wide→long reshape as a first-class operator
 # (Expand node — one pass, no union-of-scans like the SQL spelling).
 def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,4 +1316,5 @@ QUERIES = {
     "xml_roundtrip_events": (xml_roundtrip_events, XML_ROUNDTRIP_EVENTS_SQL),
     "higher_order_array_ops": (higher_order_array_ops, HIGHER_ORDER_ARRAY_OPS_SQL),
     "unpivot_lineitem_charges": (unpivot_lineitem_charges, UNPIVOT_LINEITEM_CHARGES_SQL),
+    "try_functions_safety": (try_functions_safety, TRY_FUNCTIONS_SAFETY_SQL),
 }

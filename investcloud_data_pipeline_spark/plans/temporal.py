@@ -164,13 +164,17 @@ def gap_fill_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # grid derives from hourly (self-lineage): explicit aliases make the
+    # join keys unambiguous instead of leaning on plan-id disambiguation
+    g, hv = grid.alias("g"), hourly.alias("hv")
     return (
-        grid.join(
-            hourly,
-            (grid.user_id == hourly.user_id) & (grid.hour == hourly.h),
+        g.join(
+            hv,
+            (F.col("g.user_id") == F.col("hv.user_id"))
+            & (F.col("g.hour") == F.col("hv.h")),
             "left",
         )
-        .select(grid.user_id, "hour", "value")
+        .select(F.col("g.user_id").alias("user_id"), "hour", "value")
         .withColumn("filled", F.last("value", ignorenulls=True).over(w_fill))
         .select("user_id", "hour", "filled")
     )
