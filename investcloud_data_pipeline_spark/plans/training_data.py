@@ -76,6 +76,48 @@ JOIN sizes s2 ON id2 = s2.doc_id
 WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
 """
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: Jaccard candidate pairs → distributed
+    connected components (operators/graph.py) → (doc_id, component).
+    Oracle: the same pair SQL closed transitively with a recursive CTE."""
+    from ..operators.graph import connected_components
+
+    pairs = DF.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return (
+        connected_components(pairs, src="id1", dst="id2")
+        .select(F.col("node").alias("doc_id"), "component")
+    )
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2
+  FROM common
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
+),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+"""
+
+
 _NUM_HASHES, _BANDS, _ROWS_PER_BAND = 12, 4, 3
 
 
@@ -418,6 +460,7 @@ FROM starts
 QUERIES = {
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_DOCUMENTS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIGNATURES_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash_candidates": (dedup_simhash_candidates, None),  # rows-only
