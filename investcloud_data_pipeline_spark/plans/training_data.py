@@ -118,6 +118,117 @@ SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
 """
 
 
+def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based split assignment per document (engine-
+    portable: same doc → same split everywhere, no RNG)."""
+    from ..operators.sampling import deterministic_split
+
+    return deterministic_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+CORPUS_TRAIN_TEST_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsample by language (rows-only: Bernoulli sampling
+    is engine-specific by construction; determinism for a fixed seed +
+    partitioning is pinned by tests/test_sampling.py)."""
+    from ..operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "und": 0.1}
+    return (
+        stratified_sample(d, "lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data query: the full corpus-cleaning funnel in
+    one plan — quality gate ∧ exact-dup canonical ∧ near-dup cluster
+    canonical, each predicate computed over the whole corpus and
+    intersected. Composes quality_score (operators/text.py), exact_dedup
+    (operators/dedup_fuzzy.py) and connected components
+    (operators/graph.py); every stage is individually oracle-checked by
+    its own query, and the composition is oracle-checked here."""
+    from ..operators.dedup_fuzzy import exact_dedup
+    from ..operators.graph import connected_components
+    from ..operators.text import quality_score
+
+    d = _docs(spark, sf_dir)
+    ok = quality_score(d).filter(F.col("quality_score") >= 0.5).select("doc_id")
+    exact_keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    pairs = DF.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    comp = connected_components(pairs, src="id1", dst="id2")
+    near_dup_losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        d.join(ok, "doc_id")
+        .join(exact_keep, "doc_id")
+        .join(near_dup_losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+CORPUS_CLEAN_PIPELINE_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+toks2 AS (
+  SELECT doc_id, text, CASE WHEN {NORM_SQL} = '' THEN []
+                            ELSE string_split({NORM_SQL}, ' ') END AS t
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+         round(0.4 * (CASE WHEN len(t) BETWEEN 10 AND 5000 THEN 1.0
+                           WHEN len(t) > 0 THEN 0.5 ELSE 0.0 END)
+             + 0.3 * (CASE WHEN len(t) > 0 THEN len(list_distinct(t)) / len(t) ELSE 0.0 END)
+             + 0.3 * (CASE WHEN length(text) > 0
+                           THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / length(text)
+                           ELSE 0.0 END), 6) AS q
+  FROM toks2
+),
+exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({NORM_SQL})
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2 FROM common
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
+),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN quality ON d.doc_id = quality.doc_id AND quality.q >= 0.5
+JOIN exact_keep ON d.doc_id = exact_keep.doc_id
+WHERE NOT EXISTS (SELECT 1 FROM comp
+                  WHERE comp.node = d.doc_id AND comp.node <> comp.component)
+"""
+
+
 _NUM_HASHES, _BANDS, _ROWS_PER_BAND = 12, 4, 3
 
 
@@ -461,6 +572,9 @@ QUERIES = {
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_DOCUMENTS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
+    "corpus_train_test_split": (corpus_train_test_split, CORPUS_TRAIN_TEST_SPLIT_SQL),
+    "corpus_stratified_sample": (corpus_stratified_sample, None),
+    "corpus_clean_pipeline": (corpus_clean_pipeline, CORPUS_CLEAN_PIPELINE_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIGNATURES_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash_candidates": (dedup_simhash_candidates, None),  # rows-only
