@@ -48,6 +48,31 @@ def token_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+# BPE-style pre-tokenizer classes (letters / digit runs / symbol runs):
+# the regex splits text the way byte-pair encoders pre-segment before
+# merging, so piece counts approximate tokenizer token counts without
+# shipping a vocab. Character classes only — portable across regex
+# engines (Java on Spark executors, RE2-like in oracle engines).
+BPE_WORD = "[a-zA-Z]+"
+BPE_NUMBER = "[0-9]+"
+BPE_OTHER = r"[^a-zA-Z0-9\s]+"
+BPE_PIECE = f"{BPE_WORD}|{BPE_NUMBER}|{BPE_OTHER}"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document BPE-ish piece counts (the cheap token-budget
+    estimator a training pipeline runs corpus-wide before mixing)."""
+    n = lambda pat: F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        n(BPE_PIECE).cast("long").alias("n_pieces"),
+        n(BPE_WORD).cast("long").alias("n_word_pieces"),
+        n(BPE_NUMBER).cast("long").alias("n_number_pieces"),
+        n(BPE_OTHER).cast("long").alias("n_other_pieces"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality score in [0,1]: length band + lexical diversity +

@@ -576,6 +576,40 @@ GROUP BY l_orderkey
 """
 
 
+# --- Time-range window frame (RANGE BETWEEN interval PRECEDING):
+# per-user rolling 1-hour totals. Spark range frames need a numeric
+# ordering column, so the frame is expressed over unix microseconds —
+# identical semantics to the oracle's native interval frame. The summed
+# metric is pre-scaled to integer micros so the rolling sum is exact
+# regardless of intra-frame ordering of timestamp ties.
+def time_range_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts"))
+    amount = F.floor(F.col("value") * 1_000_000).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(amount).over(w).alias("rolling_hour_micros"),
+        F.count(F.lit(1)).over(w).alias("rolling_hour_events"),
+    )
+
+
+TIME_RANGE_WINDOW_TOTALS_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) OVER w AS BIGINT) AS rolling_hour_micros,
+       count(*) OVER w AS rolling_hour_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- ANSI-safe arithmetic (try_* family): Spark 4 runs ANSI mode by
 # default, where overflow/div-zero/bad casts THROW; the try_ variants
 # restore null-on-error semantics per expression — the contract a
@@ -1317,4 +1351,5 @@ QUERIES = {
     "higher_order_array_ops": (higher_order_array_ops, HIGHER_ORDER_ARRAY_OPS_SQL),
     "unpivot_lineitem_charges": (unpivot_lineitem_charges, UNPIVOT_LINEITEM_CHARGES_SQL),
     "try_functions_safety": (try_functions_safety, TRY_FUNCTIONS_SAFETY_SQL),
+    "time_range_window_totals": (time_range_window_totals, TIME_RANGE_WINDOW_TOTALS_SQL),
 }

@@ -118,6 +118,20 @@ SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
 """
 
 
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bpe_token_count(_docs(spark, sf_dir))
+
+
+TEXT_BPE_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_pieces,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_word_pieces,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_pieces,
+       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_other_pieces
+FROM documents
+"""
+
+
 def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based split assignment per document (engine-
     portable: same doc → same split everywhere, no RNG)."""
@@ -572,6 +586,7 @@ QUERIES = {
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_DOCUMENTS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
+    "text_bpe_token_count": (text_bpe_token_count, TEXT_BPE_TOKEN_COUNT_SQL),
     "corpus_train_test_split": (corpus_train_test_split, CORPUS_TRAIN_TEST_SPLIT_SQL),
     "corpus_stratified_sample": (corpus_stratified_sample, None),
     "corpus_clean_pipeline": (corpus_clean_pipeline, CORPUS_CLEAN_PIPELINE_SQL),
