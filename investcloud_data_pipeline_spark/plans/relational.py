@@ -610,6 +610,79 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+# --- Recursive CTE (Spark 4): a gap-free month spine generated by the
+# recursion itself (no sequence()/generate_series), left-joined to
+# monthly order totals — the canonical "calendar spine" reporting shape.
+# Spark's recursion is UNION ALL only (cyclic closure stays with the
+# DataFrame components operator in operators/graph.py); depth here is
+# bounded by the date range.
+def recursive_month_spine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_interface import sql
+
+    return sql(
+        spark,
+        sf_dir,
+        """
+        WITH RECURSIVE ks(k) AS (
+          -- pure-constant recursion: each step is O(1), no table rescan
+          -- (a data-dependent recursive member re-evaluates its source
+          -- aggregate EVERY iteration — measured 20x slower). 96 months
+          -- covers the generator's 1995-2001 range inside the engine's
+          -- default 100-level recursion limit.
+          SELECT 0
+          UNION ALL
+          SELECT k + 1 FROM ks WHERE k < 96
+        ),
+        bounds AS (
+          SELECT date_trunc('MONTH', min(o_orderdate)) AS m0,
+                 date_trunc('MONTH', max(o_orderdate)) AS m1
+          FROM orders
+        ),
+        spine AS (
+          SELECT m0 + make_interval(0, k) AS m
+          FROM ks, bounds
+          WHERE m0 + make_interval(0, k) <= m1
+        ),
+        monthly AS (
+          SELECT date_trunc('MONTH', o_orderdate) AS m, count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM orders GROUP BY 1
+        )
+        SELECT spine.m AS month, coalesce(n, 0) AS n_orders,
+               coalesce(total, 0.0) AS total_price
+        FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+        """,
+    )
+
+
+RECURSIVE_MONTH_SPINE_ORDERS_SQL = """
+WITH RECURSIVE ks(k) AS (
+  SELECT 0
+  UNION ALL
+  SELECT k + 1 FROM ks WHERE k < 96
+),
+bounds AS (
+  -- date_trunc yields DATE here vs TIMESTAMP in the engine: align types
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS m0,
+         CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS m1
+  FROM orders
+),
+spine AS (
+  SELECT m0 + to_months(k) AS m
+  FROM ks, bounds
+  WHERE m0 + to_months(k) <= m1
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders GROUP BY 1
+)
+SELECT spine.m AS month, coalesce(n, 0) AS n_orders,
+       coalesce(total, 0.0) AS total_price
+FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+"""
+
+
 # --- ANSI-safe arithmetic (try_* family): Spark 4 runs ANSI mode by
 # default, where overflow/div-zero/bad casts THROW; the try_ variants
 # restore null-on-error semantics per expression — the contract a
@@ -1352,4 +1425,8 @@ QUERIES = {
     "unpivot_lineitem_charges": (unpivot_lineitem_charges, UNPIVOT_LINEITEM_CHARGES_SQL),
     "try_functions_safety": (try_functions_safety, TRY_FUNCTIONS_SAFETY_SQL),
     "time_range_window_totals": (time_range_window_totals, TIME_RANGE_WINDOW_TOTALS_SQL),
+    "recursive_month_spine_orders": (
+        recursive_month_spine_orders,
+        RECURSIVE_MONTH_SPINE_ORDERS_SQL,
+    ),
 }
