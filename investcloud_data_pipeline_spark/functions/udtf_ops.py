@@ -36,6 +36,53 @@ class ChunkText:
             idx += 1
 
 
+class SplitFixed:
+    """Polymorphic UDTF: splits a delimited string into N typed columns
+    where N and the column names are decided at PLAN time by
+    ``analyze()`` from the literal arguments — the Spark 4 dynamic-schema
+    table function (no hard-coded returnType). Used for ingesting
+    ragged delimited payloads whose width is a per-call contract."""
+
+    @staticmethod
+    def analyze(row_arg, n_arg, *_):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import StringType, StructType
+
+        n = int(n_arg.value)
+        schema = StructType()
+        for i in range(n):
+            schema = schema.add(f"part_{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, value: str, n: int, sep: str = ","):  # noqa: D102
+        if value is None:
+            yield (None,) * n
+            return
+        parts = value.split(sep)
+        parts = (parts + [None] * n)[:n]
+        yield tuple(parts)
+
+
+def split_fixed_columns(
+    df: DataFrame, col: str, n: int, sep: str = ","
+) -> DataFrame:
+    """Expand a delimited string column to ``n`` typed columns via the
+    polymorphic UDTF (schema resolved at analysis from the literal n)."""
+    from pyspark.sql.functions import udtf
+
+    spark = df.sparkSession
+    spark.udtf.register("split_fixed", udtf(SplitFixed))
+    df.createOrReplaceTempView("__split_src")
+    cols = ", ".join(f"s.part_{i}" for i in range(n))
+    return spark.sql(
+        f"""
+        SELECT d.*, {cols}
+        FROM __split_src d,
+        LATERAL split_fixed(d.{col}, {n}, '{sep}') s
+        """
+    )
+
+
 def chunk_documents(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

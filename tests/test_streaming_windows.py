@@ -139,3 +139,47 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     }
     assert got == closed
     assert len(got) >= 3  # the early bursts' sessions actually emitted
+
+
+def test_update_mode_aggregation_memory_sink(spark, tmp_path):
+    """T4 completeness: update output mode emits only the groups whose
+    aggregate changed in each trigger (vs append = closed-only and
+    complete = everything)."""
+    src = str(tmp_path / "usrc")
+    os.makedirs(src)
+    pd.DataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], columns=["user_id", "value"]
+    ).to_parquet(f"{src}/b1.parquet", index=False)
+
+    def run(name):
+        q = (
+            spark.readStream.schema("user_id long, value double")
+            .parquet(src)
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("total"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("upd1")
+    first = {
+        (r.user_id, r.total)
+        for r in spark.sql("SELECT * FROM upd1").collect()
+    }
+    assert first == {(1, 15.0), (2, 1.0)}
+
+    # second wave touches only user 1 → update mode re-emits just user 1
+    pd.DataFrame([(1, 2.0)], columns=["user_id", "value"]).to_parquet(
+        f"{src}/b2.parquet", index=False
+    )
+    run("upd2")
+    second = {
+        (r.user_id, r.total)
+        for r in spark.sql("SELECT * FROM upd2").collect()
+    }
+    # fresh checkpointless query reprocesses all files in one batch
+    assert second == {(1, 17.0), (2, 1.0)}

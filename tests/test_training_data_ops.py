@@ -286,3 +286,25 @@ def test_fingerprint_order_insensitive_keyset(spark):
     out = {r.doc_id: r for r in fingerprint(df).collect()}
     assert out[1].content_md5 != out[2].content_md5
     assert out[1].keyset_md5 == out[2].keyset_md5
+
+
+def test_polymorphic_udtf_schema_from_arguments(spark):
+    """SplitFixed's analyze() derives the output schema from the literal
+    width argument at plan time — different n, different schema."""
+    from investcloud_data_pipeline_spark.functions.udtf_ops import (
+        split_fixed_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a,b,c"), (2, "x,y"), (3, None)], "id long, s string"
+    )
+    out3 = split_fixed_columns(df, "s", 3)
+    assert out3.columns == ["id", "s", "part_0", "part_1", "part_2"]
+    rows = {r.id: (r.part_0, r.part_1, r.part_2) for r in out3.collect()}
+    assert rows[1] == ("a", "b", "c")
+    assert rows[2] == ("x", "y", None)   # short input right-padded
+    assert rows[3] == (None, None, None)  # null input → all null
+
+    out2 = split_fixed_columns(df, "s", 2)
+    assert out2.columns == ["id", "s", "part_0", "part_1"]
+    assert {r.id: (r.part_0, r.part_1) for r in out2.collect()}[1] == ("a", "b")
