@@ -324,6 +324,64 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize embeddings (the storage/serving convention that
+    turns cosine into a dot product). Double-precision sequential dot
+    mirrors the oracle's list_inner_product bit-for-bit; outputs rounded
+    so the array compares exactly."""
+    from ..functions.vectors import dot, to_double_array
+
+    e = _emb(spark, sf_dir)
+    arr = to_double_array("embedding")
+    norm = F.sqrt(dot(arr, arr))
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2"),
+        F.transform(arr, lambda x: F.round(x / norm, 6)).alias("unit_vec"),
+    )
+
+
+EMBEDDING_NORMALIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings
+),
+n AS (SELECT vec_id, a, sqrt(list_inner_product(a, a)) AS nrm FROM v)
+SELECT vec_id, round(nrm, 6) AS l2,
+       [round(x / nrm, 6) FOR x IN a] AS unit_vec
+FROM n
+"""
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (per-vector max-abs scale): the 4×
+    storage/bandwidth cut applied before ANN serving. Pure elementwise
+    arithmetic — exact under reordering, so strictly oracle-checkable."""
+    from ..functions.vectors import to_double_array
+
+    e = _emb(spark, sf_dir)
+    arr = to_double_array("embedding")
+    max_abs = F.array_max(F.transform(arr, F.abs))
+    scale = F.lit(127.0) / max_abs
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.transform(arr, lambda x: F.round(x * scale).cast("int")).alias("q8"),
+    )
+
+
+EMBEDDING_QUANTIZE_INT8_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings
+),
+s AS (
+  SELECT vec_id, a, 127.0 / list_max([abs(x) FOR x IN a]) AS scale FROM v
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       [CAST(round(x * scale) AS INTEGER) FOR x IN a] AS q8
+FROM s
+"""
+
+
 # ---------- similarity search ----------
 
 def _queries_subset(emb: DataFrame) -> DataFrame:
@@ -594,6 +652,8 @@ QUERIES = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash_candidates": (dedup_simhash_candidates, None),  # rows-only
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+    "embedding_normalize": (embedding_normalize, EMBEDDING_NORMALIZE_SQL),
+    "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "dedup_embedding_cosine_fast": (dedup_embedding_cosine_fast, None),  # rows-only
     "ann_brute_force_topk": (ann_brute_force_topk, ANN_BRUTE_FORCE_TOPK_SQL),
     "ann_lsh_bucketed_topk": (ann_lsh_bucketed_topk, ANN_LSH_BUCKETED_TOPK_SQL),
