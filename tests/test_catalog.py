@@ -29,3 +29,46 @@ def test_managed_table_lifecycle(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     assert all(t.name != name for t in spark.catalog.listTables())
+
+
+def test_parameterized_sql(spark):
+    """Named-parameter SQL (injection-safe substitution at parse time)."""
+    df = spark.sql(
+        "SELECT id FROM range(0, 100) WHERE id % :m = 0 AND id >= :lo",
+        args={"m": 7, "lo": 50},
+    )
+    assert [r.id for r in df.orderBy("id").collect()] == [56, 63, 70, 77, 84, 91, 98]
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """INSERT OVERWRITE with dynamic partitionOverwriteMode replaces only
+    the partitions present in the incoming batch — the idempotent
+    backfill pattern for date-partitioned layers (static mode would wipe
+    every other partition)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "parts")
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("g")
+    )
+    base.write.partitionBy("g").parquet(path)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # backfill partition g=1 only, with rewritten values
+        spark.range(1000, 1010).select(
+            F.col("id"), F.lit(1).alias("g")
+        ).write.mode("overwrite").partitionBy("g").parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    out = spark.read.parquet(path)
+    assert out.filter("g = 1").count() == 10          # replaced
+    assert out.filter("g = 0").count() == 25          # untouched
+    assert out.filter("g = 2").count() == 25
+    assert out.filter("g = 3").count() == 25
+    assert out.filter("g = 1 AND id >= 1000").count() == 10
