@@ -52,6 +52,10 @@ def connected_components(
         )
     ).persist()
 
+    # Labels only ever DECREASE (min-propagation), so convergence shows
+    # up as an unchanged label sum — one scalar aggregate per round
+    # instead of a join-and-count against the previous labels.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for i in range(max_iter):
         # neighbor messages: each edge (a,b) offers b's label to a
         msgs = (
@@ -67,16 +71,12 @@ def connected_components(
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
