@@ -66,3 +66,54 @@ def test_gold_invariant_under_partitioning_and_order(rows, n_parts):
         map(tuple, user_argmax_totals(_df(list(reversed(rows)), n_parts)).collect())
     )
     assert base == shuffled
+
+
+# ---- connected components vs a union-find reference ----
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp = {}
+    for n in parent:
+        root = find(n)
+        comp.setdefault(root, []).append(n)
+    return {
+        n: min(members) for members in comp.values() for n in members
+    }
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edges_strategy)
+def test_components_match_union_find_reference(edges):
+    from investcloud_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert got == _union_find_components(edges)
