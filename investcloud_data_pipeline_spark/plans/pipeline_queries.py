@@ -8,6 +8,8 @@ to it as a module constant. SURVEY §2 operator IDs cited per function.
 
 from __future__ import annotations
 
+from datetime import datetime
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -65,15 +67,31 @@ FROM events WHERE {VALID_SQL_WHERE}
 """
 
 
+_DIRTY_ROWS = [
+    (-1, None, None, "corrupt", -5.0),                     # null user + ts
+    (-2, 42, datetime(2024, 1, 1), "corrupt", None),       # null value
+    (-3, 7, datetime(2024, 1, 2), "corrupt", -0.01),       # negative value
+]
+
+
 def bronze_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 invalid branch + P5 dq_reason literal (reference 01:49-50).
+
+    The driver's events table is entirely valid, which would make this a
+    vacuous 0-row check — so the query appends a deterministic dirty
+    triplet (null user/ts, null value, negative value) before routing;
+    the oracle injects the identical literals. Volume-scale dirty input
+    is exercised by the streaming tests via the datagen dirty mode.
 
     ``processing_time`` (P6) is excluded from the oracle-checked shape —
     ``current_timestamp`` is inherently nondeterministic; it is covered by
     unit tests instead.
     """
-    e = _events(spark, sf_dir)
-    invalid = e.filter(
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    dirty = spark.createDataFrame(_DIRTY_ROWS, e.schema)
+    invalid = e.unionByName(dirty).filter(
         ~(
             F.col("event_id").isNotNull()
             & F.col("user_id").isNotNull()
@@ -92,8 +110,17 @@ def bronze_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BRONZE_QUALITY_QUARANTINE_SQL = f"""
+WITH all_events AS (
+  SELECT event_id, user_id, ts, event_type, value FROM events
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-1 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), 'corrupt', CAST(-5.0 AS DOUBLE)),
+    (CAST(-2 AS BIGINT), CAST(42 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00', 'corrupt', CAST(NULL AS DOUBLE)),
+    (CAST(-3 AS BIGINT), CAST(7 AS BIGINT), TIMESTAMP '2024-01-02 00:00:00', 'corrupt', CAST(-0.01 AS DOUBLE))
+  ) AS t(event_id, user_id, ts, event_type, value)
+)
 SELECT event_id, user_id, ts, value, 'Failed semantic validation' AS dq_reason
-FROM events WHERE NOT ({VALID_SQL_WHERE})
+FROM all_events WHERE NOT ({VALID_SQL_WHERE})
 """
 
 
