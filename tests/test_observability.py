@@ -68,3 +68,58 @@ def test_streaming_observation_in_progress(spark, tmp_path):
     assert metrics, "no observed metrics surfaced in streaming progress"
     assert sum(m["rows"] for m in metrics) == 5
     assert sum(m["invalid_rows"] for m in metrics) == 3
+
+
+def test_streaming_query_listener_lifecycle(spark, tmp_path):
+    """StreamingQueryListener receives start/progress/termination events —
+    the hook a production pipeline uses to ship per-trigger metrics
+    (rows/sec, batch duration, state size) to a metrics backend."""
+    import os
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events: dict[str, list] = {"started": [], "progress": [], "terminated": []}
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"].append(e.id)
+
+        def onQueryProgress(self, e):
+            events["progress"].append(e.progress.numInputRows)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"].append(e.id)
+
+    import pandas as pd
+
+    src = str(tmp_path / "lsrc")
+    os.makedirs(src)
+    pd.DataFrame({"user_id": [1, 2, 3], "value": [1.0, 2.0, 3.0]}).to_parquet(
+        f"{src}/a.parquet", index=False
+    )
+
+    spark.streams.addListener(listener := Capture())
+    try:
+        q = (
+            spark.readStream.schema("user_id long, value double")
+            .parquet(src)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "lck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously after termination
+        deadline = time.time() + 30
+        while time.time() < deadline and not events["terminated"]:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert events["started"], "no start event delivered"
+    assert events["terminated"], "no termination event delivered"
+    assert sum(events["progress"]) == 3  # all input rows observed
