@@ -610,6 +610,46 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+# --- Sliding time windows (F.window with slide < duration): each event
+# lands in duration/slide overlapping windows — Spark expands via the
+# window generator then aggregates once. The oracle enumerates the same
+# two window starts per event explicitly (floor-hour and floor-hour−1h).
+def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+                "total_micros"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_micros",
+        )
+    )
+
+
+SLIDING_WINDOW_EVENT_COUNTS_SQL = """
+WITH starts AS (
+  SELECT event_type, value,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h
+  FROM events
+), expanded AS (
+  SELECT event_type, value, h AS win_start FROM starts
+  UNION ALL
+  SELECT event_type, value, h - INTERVAL 1 HOUR FROM starts
+)
+SELECT win_start, event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micros
+FROM expanded
+GROUP BY win_start, event_type
+"""
+
+
 # --- Recursive CTE (Spark 4): a gap-free month spine generated by the
 # recursion itself (no sequence()/generate_series), left-joined to
 # monthly order totals — the canonical "calendar spine" reporting shape.
@@ -1428,5 +1468,9 @@ QUERIES = {
     "recursive_month_spine_orders": (
         recursive_month_spine_orders,
         RECURSIVE_MONTH_SPINE_ORDERS_SQL,
+    ),
+    "sliding_window_event_counts": (
+        sliding_window_event_counts,
+        SLIDING_WINDOW_EVENT_COUNTS_SQL,
     ),
 }
