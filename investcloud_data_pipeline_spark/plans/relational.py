@@ -610,6 +610,49 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+# --- FULL OUTER join on null-safe equality (<=>): the reconciliation
+# shape — two aggregates over different slices, stitched so unmatched
+# keys from EITHER side survive and the null key matches itself instead
+# of disappearing (a plain = would drop every null-keyed row).
+def full_outer_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    key = F.when(F.col("value") >= 1.0, F.floor("value") % 10)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(key.alias("k"))
+        .agg(F.count("*").alias("n_click"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(key.alias("k"))
+        .agg(F.count("*").alias("n_purch"))
+    )
+    c, p = clicks.alias("c"), purchases.alias("p")
+    return (
+        c.join(p, F.col("c.k").eqNullSafe(F.col("p.k")), "full_outer")
+        .select(
+            F.coalesce(F.col("c.k"), F.col("p.k")).alias("k"),
+            "n_click",
+            "n_purch",
+        )
+    )
+
+
+FULL_OUTER_NULL_SAFE_JOIN_SQL = """
+WITH c AS (
+  SELECT CASE WHEN value >= 1.0 THEN CAST(floor(value) AS BIGINT) % 10 END AS k,
+         count(*) AS n_click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT CASE WHEN value >= 1.0 THEN CAST(floor(value) AS BIGINT) % 10 END AS k,
+         count(*) AS n_purch
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT coalesce(c.k, p.k) AS k, n_click, n_purch
+FROM c FULL OUTER JOIN p ON c.k IS NOT DISTINCT FROM p.k
+"""
+
+
 # --- Sliding time windows (F.window with slide < duration): each event
 # lands in duration/slide overlapping windows — Spark expands via the
 # window generator then aggregates once. The oracle enumerates the same
@@ -1472,5 +1515,9 @@ QUERIES = {
     "sliding_window_event_counts": (
         sliding_window_event_counts,
         SLIDING_WINDOW_EVENT_COUNTS_SQL,
+    ),
+    "full_outer_null_safe_join": (
+        full_outer_null_safe_join,
+        FULL_OUTER_NULL_SAFE_JOIN_SQL,
     ),
 }
