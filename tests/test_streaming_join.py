@@ -85,3 +85,62 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert (1, _ts(10), 9.99, 100) in got
     assert (1, _ts(30), 5.00, 101) in got
     assert not any(u == 2 or u == 4 for (u, *_rest) in got)
+
+
+def test_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Outer rows materialize only once the click-side watermark passes
+    purchase_ts + window — a later wave advances event time and flushes
+    the unmatched purchase with null click columns."""
+    cdir, pdir, out, ck = (
+        str(tmp_path / d) for d in ("oclicks", "opurchases", "oout", "ock")
+    )
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+
+    def write(d, name, rows, cols):
+        pd.DataFrame(rows, columns=cols).to_parquet(
+            f"{d}/{name}", index=False, coerce_timestamps="us"
+        )
+
+    def drain():
+        streamed = attribute_purchases(
+            spark.readStream.schema(CLICKS_SCHEMA).parquet(cdir),
+            spark.readStream.schema(PURCHASES_SCHEMA).parquet(pdir),
+            window="15 minutes",
+            watermark_delay="10 minutes",
+            how="left_outer",
+        )
+        q = (
+            streamed.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # wave 1: user 1 matched; user 4 purchase has no click anywhere
+    write(cdir, "w1.parquet", [(1, _ts(0), 100)],
+          ["user_id", "click_ts", "click_id"])
+    write(pdir, "w1.parquet", [(1, _ts(10), 9.99), (4, _ts(10), 1.00)],
+          ["user_id", "purchase_ts", "amount"])
+    drain()
+    got1 = {
+        (r.user_id, r.click_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 100) in got1  # inner match emitted immediately
+
+    # wave 2: far-future rows push both watermarks way past
+    # purchase_ts + window → the unmatched user-4 purchase flushes
+    far = datetime(2026, 1, 1, 18, 0, 0)
+    write(cdir, "w2.parquet", [(9, far, 900)],
+          ["user_id", "click_ts", "click_id"])
+    write(pdir, "w2.parquet", [(9, far, 0.5)],
+          ["user_id", "purchase_ts", "amount"])
+    drain()
+    drain()  # one more cycle: outer flush happens as watermark commits
+    rows = spark.read.parquet(out).collect()
+    unmatched = [(r.user_id, r.click_id) for r in rows if r.click_id is None]
+    assert (4, None) in unmatched
