@@ -382,6 +382,47 @@ FROM s
 """
 
 
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile clipping (winsorization) — the standard outlier
+    treatment before a metric feeds training or monitoring. Per-type
+    [p05, p95] bounds from one exact-percentile aggregate broadcast back
+    onto the stream of rows; clipped sums integer-scaled so the check is
+    exact."""
+    e = load_table(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    j = e.join(F.broadcast(pct), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    out_of_range = (F.col("value") < F.col("lo")) | (
+        F.col("value") > F.col("hi")
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(clipped * 1_000_000).cast("long")).alias(
+            "clipped_sum_micros"
+        ),
+        F.sum(F.when(out_of_range, 1).otherwise(0)).cast("long").alias(
+            "n_clipped"
+        ),
+    )
+
+
+WINSORIZE_EVENT_VALUES_SQL = """
+WITH pct AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(CAST(floor(least(greatest(e.value, lo), hi) * 1000000) AS BIGINT)) AS BIGINT) AS clipped_sum_micros,
+       CAST(sum(CASE WHEN e.value < lo OR e.value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM events e JOIN pct USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 # ---------- similarity search ----------
 
 def _queries_subset(emb: DataFrame) -> DataFrame:
@@ -654,6 +695,7 @@ QUERIES = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "embedding_normalize": (embedding_normalize, EMBEDDING_NORMALIZE_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
+    "winsorize_event_values": (winsorize_event_values, WINSORIZE_EVENT_VALUES_SQL),
     "dedup_embedding_cosine_fast": (dedup_embedding_cosine_fast, None),  # rows-only
     "ann_brute_force_topk": (ann_brute_force_topk, ANN_BRUTE_FORCE_TOPK_SQL),
     "ann_lsh_bucketed_topk": (ann_lsh_bucketed_topk, ANN_LSH_BUCKETED_TOPK_SQL),
