@@ -45,17 +45,44 @@ def main() -> None:
             print(f"bench error in {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+
+    # Full per-query detail goes to a sidecar file; the stdout line must fit
+    # entirely inside the driver's 2000-char tail buffer or it records
+    # parsed:null (this happened in round 1 with all ~90 queries inlined).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    # Inline the slowest queries first (most informative vs BASELINE.md)
+    # until the compact JSON line would exceed the budget.
+    budget = 1700
+    inlined: dict[str, float] = {}
+    base = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": inlined,
+        "queries_total": len(timings),
+        "detail_file": "BENCH_DETAIL.json",
+        "sf": sf,
+    }
+    for name in sorted(timings, key=lambda k: -timings[k]):
+        inlined[name] = timings[name]
+        if len(json.dumps(base, separators=(",", ":"))) > budget:
+            del inlined[name]
+            break
+    print(json.dumps(base, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -38,7 +38,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, shingles_from_tokens, tokens
-from ..functions.vectors import cosine_similarity, to_double_array
+from ..functions.vectors import (
+    collect_vectors_guarded,
+    cosine_similarity,
+    to_double_array,
+)
 
 
 def tokenized(df: DataFrame, text_col: str = "text",
@@ -306,7 +310,7 @@ def embedding_near_dup_pairs_fast(
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
+    rows = collect_vectors_guarded(df, id_col, vec_col, what="near-dup corpus")
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     all_mat = np.array([r[1] for r in rows], dtype=np.float64)
     all_norm = np.linalg.norm(all_mat, axis=1)
@@ -395,7 +399,7 @@ def embedding_near_dup_pairs(
     """
     import numpy as np
 
-    rows = df.select(id_col, vec_col).collect()
+    rows = collect_vectors_guarded(df, id_col, vec_col, what="near-dup corpus")
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     all_mat = np.array([r[1] for r in rows], dtype=np.float64)
     all_norm = np.linalg.norm(all_mat, axis=1)

@@ -56,6 +56,7 @@ def connected_components(
     # up as an unchanged label sum — one scalar aggregate per round
     # instead of a join-and-count against the previous labels.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for i in range(max_iter):
         # neighbor messages: each edge (a,b) offers b's label to a
         msgs = (
@@ -75,9 +76,19 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     sym.unpersist()
+    if not converged:
+        # Min-label propagation needs O(diameter) rounds; exiting early
+        # would silently split long-chain components into wrong labels.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has a component with diameter > max_iter — raise "
+            "max_iter (or switch to large-star/small-star for "
+            "high-diameter graphs)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, to_double_array
+from ..functions.vectors import (
+    collect_vectors_guarded,
+    cosine_similarity,
+    to_double_array,
+)
 
 
 def brute_force_topk(
@@ -201,7 +205,7 @@ def vectorized_topk(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = collect_vectors_guarded(queries, id_col, vec_col, what="query block")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

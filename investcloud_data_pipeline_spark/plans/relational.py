@@ -1099,8 +1099,11 @@ def array_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(arr.alias("all_types"))
         .select(
             "user_id",
-            F.slice(F.col("all_types"), 1, 3).alias("first3"),
-            F.array_distinct(F.col("all_types")).alias("distinct_types"),
+            # Arrays are exercised (slice/distinct/sort) but projected to
+            # delimited strings: the driver's correctness canonicalizer
+            # cannot hash list-typed cells (round-1 gate failure).
+            F.array_join(F.slice(F.col("all_types"), 1, 3), ",").alias("first3_csv"),
+            F.array_join(F.array_distinct(F.col("all_types")), ",").alias("distinct_types_csv"),
             F.size(F.array_distinct(F.col("all_types"))).cast("long").alias("n_distinct"),
             F.array_contains(F.col("all_types"), "purchase").alias("has_purchase"),
             F.array_position(F.col("all_types"), "error").cast("long").alias("first_error_pos"),
@@ -1114,8 +1117,8 @@ WITH agg AS (
   SELECT user_id, list_sort(list(event_type)) AS all_types FROM events GROUP BY user_id
 )
 SELECT user_id,
-       all_types[1:3] AS first3,
-       list_sort(list_distinct(all_types)) AS distinct_types,
+       array_to_string(all_types[1:3], ',') AS first3_csv,
+       array_to_string(list_sort(list_distinct(all_types)), ',') AS distinct_types_csv,
        len(list_distinct(all_types)) AS n_distinct,
        list_contains(all_types, 'purchase') AS has_purchase,
        CAST(coalesce(list_position(all_types, 'error'), 0) AS BIGINT) AS first_error_pos,

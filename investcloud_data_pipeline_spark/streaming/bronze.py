@@ -25,6 +25,30 @@ from ..config import RAW_SCHEMA, PipelinePaths
 from ..operators.quality import parse_raw, split_quality
 
 
+def sink_epoch_committed(sink_dir: str, epoch_id: int) -> bool:
+    """True if this micro-batch epoch already appended to ``sink_dir``."""
+    import os
+
+    return os.path.isfile(os.path.join(sink_dir, "_epochs", str(epoch_id)))
+
+
+def mark_sink_epoch(sink_dir: str, epoch_id: int) -> None:
+    """Record (after a successful append) that ``epoch_id`` is in the sink.
+
+    The parquet batch append itself is all-or-nothing at the job level
+    (Hadoop commit protocol), so marker-present == data-present; a
+    replayed epoch after a partial failure skips exactly the sinks that
+    committed, making the two-sink foreachBatch idempotent — the
+    reference got this from Delta's transaction log (01:68), plain
+    parquet sinks need the marker."""
+    import os
+
+    d = os.path.join(sink_dir, "_epochs")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, str(epoch_id)), "w"):
+        pass
+
+
 def read_raw_stream(
     spark: SparkSession,
     raw_dir: str,
@@ -43,6 +67,29 @@ def read_raw_stream(
     return reader.load(raw_dir)
 
 
+def bronze_process_batch(
+    paths: PipelinePaths, batch_df: DataFrame, epoch_id: int
+) -> None:
+    """Parse once, split, append to both sinks — skipping any sink that
+    already committed this epoch (idempotent under foreachBatch replay)."""
+    parsed = parse_raw(batch_df).persist()
+    try:
+        valid, quarantine = split_quality(parsed)
+        if not sink_epoch_committed(paths.bronze, epoch_id):
+            (
+                valid.withColumn("event_date", F.to_date("timestamp"))
+                .write.mode("append")
+                .partitionBy("event_date")
+                .parquet(paths.bronze)
+            )
+            mark_sink_epoch(paths.bronze, epoch_id)
+        if not sink_epoch_committed(paths.quarantine, epoch_id):
+            quarantine.write.mode("append").parquet(paths.quarantine)
+            mark_sink_epoch(paths.quarantine, epoch_id)
+    finally:
+        parsed.unpersist()
+
+
 def start_bronze(
     spark: SparkSession,
     paths: PipelinePaths,
@@ -55,18 +102,7 @@ def start_bronze(
     raw = read_raw_stream(spark, paths.raw, fmt=fmt)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        parsed = parse_raw(batch_df).persist()
-        try:
-            valid, quarantine = split_quality(parsed)
-            (
-                valid.withColumn("event_date", F.to_date("timestamp"))
-                .write.mode("append")
-                .partitionBy("event_date")
-                .parquet(paths.bronze)
-            )
-            quarantine.write.mode("append").parquet(paths.quarantine)
-        finally:
-            parsed.unpersist()
+        bronze_process_batch(paths, batch_df, epoch_id)
 
     writer = (
         raw.writeStream.foreachBatch(process_batch)

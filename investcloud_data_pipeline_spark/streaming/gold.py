@@ -45,8 +45,34 @@ def _totals_path(paths: PipelinePaths) -> str:
     return os.path.join(paths.root, "gold_totals_state")
 
 
+def _read_totals_marker(totals_root: str) -> tuple[int, str | None]:
+    """Return (last_applied_epoch, committed_version_dir). (-1, None) when
+    no epoch has been committed yet."""
+    import json
+    import os
+
+    marker = os.path.join(totals_root, "_COMMITTED")
+    if not os.path.isfile(marker):
+        return -1, None
+    with open(marker) as fh:
+        state = json.load(fh)
+    return int(state["epoch_id"]), os.path.join(totals_root, state["version_dir"])
+
+
+def _commit_totals_marker(totals_root: str, epoch_id: int, version_dir: str) -> None:
+    """Atomically (write-temp + rename) point the marker at version_dir."""
+    import json
+    import os
+
+    marker = os.path.join(totals_root, "_COMMITTED")
+    tmp = marker + f".tmp.{epoch_id}"
+    with open(tmp, "w") as fh:
+        json.dump({"epoch_id": epoch_id, "version_dir": os.path.basename(version_dir)}, fh)
+    os.replace(tmp, marker)
+
+
 def merge_gold_incremental(
-    spark: SparkSession, paths: PipelinePaths, batch_df: DataFrame
+    spark: SparkSession, paths: PipelinePaths, batch_df: DataFrame, epoch_id: int
 ) -> None:
     """Incremental Gold: aggregate ONLY the new silver appends, merge the
     partials into a persistent (user, region) totals table, and derive
@@ -55,54 +81,62 @@ def merge_gold_incremental(
     This is the 100 TB path: per trigger it reads |batch| + |user×region|
     rows instead of the full silver history. Sum is decomposable, so
     merged results are identical to the full recompute (asserted in
-    tests). The totals table is rewritten atomically per batch —
-    replaying a failed epoch re-merges the same batch, so the write path
-    relies on foreachBatch's epoch-id for idempotence at the semantic
-    level (duplicate log_ids were already removed upstream)."""
+    tests).
+
+    Idempotence under foreachBatch replay: the totals table is versioned
+    (one directory per applied epoch) with an atomically-renamed marker
+    file recording the last applied epoch_id. A retried micro-batch whose
+    epoch_id <= the committed epoch skips the merge (it would otherwise
+    double-count watch_time) and only re-derives the downstream snapshot,
+    which heals a crash between marker commit and snapshot write. The
+    marker rename is the commit point — no double-overwrite window."""
     import os
+    import shutil
 
     from pyspark.sql import functions as F
 
-    totals_path = _totals_path(paths)
-    batch_totals = batch_df.groupBy("user_id", "geo_region").agg(
-        F.sum("watch_time").alias("watch_time_by_region")
-    )
-    if os.path.isdir(totals_path) and any(
-        f.endswith(".parquet") for f in os.listdir(totals_path)
-    ):
-        prev = spark.read.parquet(totals_path)
-        merged = (
-            prev.unionByName(batch_totals)
-            .groupBy("user_id", "geo_region")
-            .agg(F.sum("watch_time_by_region").alias("watch_time_by_region"))
-        )
-    else:
-        merged = batch_totals
-    merged = merged.persist()
-    try:
-        staging = totals_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        final = spark.read.parquet(staging)
-        final.write.mode("overwrite").parquet(totals_path)
+    totals_root = _totals_path(paths)
+    os.makedirs(totals_root, exist_ok=True)
+    last_epoch, current_dir = _read_totals_marker(totals_root)
 
-        from pyspark.sql import Window
-
-        w_rank = Window.partitionBy("user_id").orderBy(
-            F.col("watch_time_by_region").desc(), F.col("geo_region").asc()
+    if epoch_id > last_epoch:
+        batch_totals = batch_df.groupBy("user_id", "geo_region").agg(
+            F.sum("watch_time").alias("watch_time_by_region")
         )
-        w_all = Window.partitionBy("user_id")
-        gold = (
-            spark.read.parquet(totals_path)
-            .withColumn("rn", F.row_number().over(w_rank))
-            .withColumn(
-                "total_watch_time", F.sum("watch_time_by_region").over(w_all)
+        if current_dir is not None:
+            prev = spark.read.parquet(current_dir)
+            merged = (
+                prev.unionByName(batch_totals)
+                .groupBy("user_id", "geo_region")
+                .agg(F.sum("watch_time_by_region").alias("watch_time_by_region"))
             )
-            .filter(F.col("rn") == 1)
-            .select("user_id", "total_watch_time", "geo_region")
+        else:
+            merged = batch_totals
+        new_dir = os.path.join(totals_root, f"v_{epoch_id}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        _commit_totals_marker(totals_root, epoch_id, new_dir)
+        if current_dir is not None and os.path.isdir(current_dir):
+            shutil.rmtree(current_dir, ignore_errors=True)
+        current_dir = new_dir
+    # else: replayed epoch — totals already include this batch; fall
+    # through to re-derive the snapshot only.
+
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("watch_time_by_region").desc(), F.col("geo_region").asc()
+    )
+    w_all = Window.partitionBy("user_id")
+    gold = (
+        spark.read.parquet(current_dir)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn(
+            "total_watch_time", F.sum("watch_time_by_region").over(w_all)
         )
-        gold.write.mode("overwrite").parquet(paths.gold)
-    finally:
-        merged.unpersist()
+        .filter(F.col("rn") == 1)
+        .select("user_id", "total_watch_time", "geo_region")
+    )
+    gold.write.mode("overwrite").parquet(paths.gold)
 
 
 def start_gold(
@@ -123,7 +157,7 @@ def start_gold(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if mode == "incremental":
-            merge_gold_incremental(spark, paths, batch_df)
+            merge_gold_incremental(spark, paths, batch_df, epoch_id)
         else:
             # batch_df is only the new appends; snapshot semantics need the
             # full table, so recompute from storage (complete-mode equivalent).

@@ -220,3 +220,97 @@ def test_watermark_dedup_semantics(spark, tmp_path, ip_regions):
     assert counts["log_a"] == 1, "late duplicate filtered as late data"
     assert "log_c" not in counts, "late new record filtered as late data"
     assert counts["log_d"] == 1, "in-horizon new record admitted"
+
+
+def test_bronze_replay_epoch_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same epoch_id) must not duplicate rows in
+    either sink — the epoch markers give plain-parquet sinks the
+    effectively-once append the reference got from Delta."""
+    from investcloud_data_pipeline_spark.streaming.bronze import (
+        bronze_process_batch,
+    )
+    from investcloud_data_pipeline_spark.config import RAW_SCHEMA
+
+    paths = PipelinePaths(str(tmp_path))
+    rows = [
+        _row("a", "2024-01-01T00:00:00"),
+        _row("b", "2024-01-01T01:00:00"),
+        _row("bad", "2024-01-01T02:00:00", wt=-5),
+    ]
+    batch = spark.createDataFrame(
+        pd.DataFrame(rows)[
+            ["log_id", "user_id", "timestamp", "ip_address", "watch_time(min)"]
+        ],
+        schema=RAW_SCHEMA,
+    )
+    bronze_process_batch(paths, batch, epoch_id=0)
+    bronze_process_batch(paths, batch, epoch_id=0)  # replay after "crash"
+    assert spark.read.parquet(paths.bronze).count() == 2
+    assert spark.read.parquet(paths.quarantine).count() == 1
+    # a genuinely new epoch still appends
+    batch2 = spark.createDataFrame(
+        pd.DataFrame([_row("c", "2024-01-01T03:00:00")])[
+            ["log_id", "user_id", "timestamp", "ip_address", "watch_time(min)"]
+        ],
+        schema=RAW_SCHEMA,
+    )
+    bronze_process_batch(paths, batch2, epoch_id=1)
+    assert spark.read.parquet(paths.bronze).count() == 3
+
+
+def test_gold_incremental_replay_epoch_no_double_count(spark, tmp_path, ip_regions):
+    """merge_gold_incremental consults epoch_id: re-merging a replayed
+    micro-batch must not double-count watch_time in the totals."""
+    from investcloud_data_pipeline_spark.streaming.gold import (
+        merge_gold_incremental,
+    )
+
+    paths = PipelinePaths(str(tmp_path))
+    os.makedirs(paths.root, exist_ok=True)
+    batch = spark.createDataFrame(
+        [
+            ("u1", "NA", 10.0),
+            ("u1", "EU", 5.0),
+            ("u2", "NA", 7.0),
+        ],
+        "user_id string, geo_region string, watch_time double",
+    )
+    merge_gold_incremental(spark, paths, batch, epoch_id=0)
+    snap1 = sorted(
+        (r.user_id, r.total_watch_time, r.geo_region)
+        for r in spark.read.parquet(paths.gold).collect()
+    )
+    assert snap1 == [("u1", 15.0, "NA"), ("u2", 7.0, "NA")]
+
+    merge_gold_incremental(spark, paths, batch, epoch_id=0)  # replay
+    snap2 = sorted(
+        (r.user_id, r.total_watch_time, r.geo_region)
+        for r in spark.read.parquet(paths.gold).collect()
+    )
+    assert snap2 == snap1  # no double-count
+
+    batch2 = spark.createDataFrame(
+        [("u1", "EU", 20.0)], "user_id string, geo_region string, watch_time double"
+    )
+    merge_gold_incremental(spark, paths, batch2, epoch_id=1)
+    snap3 = sorted(
+        (r.user_id, r.total_watch_time, r.geo_region)
+        for r in spark.read.parquet(paths.gold).collect()
+    )
+    assert snap3 == [("u1", 35.0, "EU"), ("u2", 7.0, "NA")]
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain longer than max_iter hops must raise, not silently return
+    split components."""
+    from investcloud_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    ok = connected_components(chain, max_iter=15)
+    assert ok.select("component").distinct().count() == 1

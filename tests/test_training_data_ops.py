@@ -308,3 +308,22 @@ def test_polymorphic_udtf_schema_from_arguments(spark):
     out2 = split_fixed_columns(df, "s", 2)
     assert out2.columns == ["id", "s", "part_0", "part_1"]
     assert {r.id: (r.part_0, r.part_1) for r in out2.collect()}[1] == ("a", "b")
+
+
+def test_collect_vectors_guarded_raises_on_oversized(spark):
+    """The blocked-matmul kernels must refuse (clear error, no driver
+    OOM) when the to-be-broadcast side exceeds the size precondition."""
+    import pytest
+
+    from investcloud_data_pipeline_spark.functions.vectors import (
+        collect_vectors_guarded,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="refusing to collect"):
+        collect_vectors_guarded(emb, "vec_id", "embedding", max_bytes=1000)
+    rows = collect_vectors_guarded(emb, "vec_id", "embedding")
+    assert len(rows) == 100
