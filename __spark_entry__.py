@@ -20,6 +20,7 @@ from investcloud_data_pipeline_spark.functions import pandas_udfs as PU
 from investcloud_data_pipeline_spark.plans import pipeline_queries as P
 from investcloud_data_pipeline_spark.plans import relational as R
 from investcloud_data_pipeline_spark.plans import temporal as T
+from investcloud_data_pipeline_spark.plans import tpch_remaining as TR
 from investcloud_data_pipeline_spark.plans import training_data as TD
 from investcloud_data_pipeline_spark.sources.python_datasource import (
     activity_source_profile,
@@ -49,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **{name: fn for name, (fn, _) in TD.QUERIES.items()},
         # Temporal joins (as-of, range) + cube/top-N/string/approx surface
         **{name: fn for name, (fn, _) in T.QUERIES.items()},
+        # Remaining TPC-H shapes (q2/q9/q11/q12/q15/q16/q20/q21)
+        **{name: fn for name, (fn, _) in TR.QUERIES.items()},
         # Vectorized Python function surface (scalar/grouped-agg/grouped-map)
         **{name: fn for name, (fn, _) in PU.QUERIES.items()},
         # Engine-native Python data source (rows-only: generator input,
@@ -68,5 +71,6 @@ def oracle_sql() -> dict[str, str]:
         **{name: sql for name, (_, sql) in R.QUERIES.items()},
         **{name: sql for name, (_, sql) in TD.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in T.QUERIES.items() if sql},
+        **{name: sql for name, (_, sql) in TR.QUERIES.items()},
         **{name: sql for name, (_, sql) in PU.QUERIES.items() if sql},
     }
