@@ -43,3 +43,39 @@ def stratified_sample(
     """Per-stratum Bernoulli sample with a pinned seed (deterministic
     for a fixed input partitioning)."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def source_mix_rates(
+    df: DataFrame,
+    strata_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-source sampling rates that equalize the token contribution of
+    every source (the "data mixture" step of corpus assembly: cap
+    over-represented crawls so no single source dominates training).
+
+    target = the smallest source's token total; rate = target / own
+    total (≤ 1 by construction, deterministic arithmetic — no RNG, so
+    the output is oracle-checkable; feed the rates into
+    ``stratified_sample`` to materialize the mixture).
+
+    Scale: one map-side-combined groupBy on the source key (|sources|
+    rows out) + a 1-row broadcast of the minimum — nothing here grows
+    with corpus size.
+    """
+    totals = df.groupBy(strata_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_col).cast("long").alias("total_tokens"),
+    )
+    target = totals.agg(F.min("total_tokens").alias("target_tokens"))
+    return (
+        totals.join(F.broadcast(target))
+        .select(
+            strata_col,
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("target_tokens") / F.col("total_tokens"), 6).alias(
+                "sample_rate"
+            ),
+        )
+    )

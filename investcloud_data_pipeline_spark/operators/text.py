@@ -156,3 +156,61 @@ def fingerprint(df: DataFrame, text_col: str = "text",
             "keyset_md5"
         ),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition filters: the fraction-of-repeated-content
+    heuristics ("Scaling Language Models", Rae et al. 2021, table A1)
+    that catch boilerplate and spam which per-token quality scores miss.
+
+    Per document: duplicate-word fraction, most-frequent-word share,
+    duplicate-bigram fraction, and a conjunctive ``keep`` flag. The word
+    frequencies need a per-(doc, word) count — explode + two-level
+    aggregation, both shuffling on the uniform doc id (no skew; at
+    100 TB this is one well-partitioned explode pass, the same profile
+    as the shingle pipeline it shares a shuffle key with).
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_words"),
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array() ELSE "
+        "transform(sequence(0, size(toks)-2), "
+        "i -> concat(toks[i], ' ', toks[i+1])) END"
+    )
+    sized = base.withColumn("n_bigrams", F.size(bigrams).cast("long")).withColumn(
+        "n_distinct_bigrams", F.size(F.array_distinct(bigrams)).cast("long")
+    )
+    top_word = (
+        base.select(F.col(id_col), F.explode("toks").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("top_word_count"))
+    )
+    out = sized.join(top_word, id_col)
+    dup_word_frac = F.round(
+        1.0 - F.col("n_distinct_words") / F.col("n_words"), 6
+    )
+    top_word_frac = F.round(F.col("top_word_count") / F.col("n_words"), 6)
+    dup_bigram_frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.round(1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col(id_col),
+        "n_words",
+        dup_word_frac.alias("dup_word_frac"),
+        top_word_frac.alias("top_word_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        (
+            (dup_word_frac <= 0.8)
+            & (top_word_frac <= 0.2)
+            & (dup_bigram_frac <= 0.4)
+        ).alias("keep"),
+    )

@@ -681,8 +681,148 @@ FROM starts
 """
 
 
+# ---------- corpus assembly: packing / decontamination / repetition / mixing ----------
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token-budget packing (operators/packing.py): documents
+    are packed per source in doc_id order into 200-token bins. One
+    window prefix-sum per source partition — the distributed greedy
+    packer."""
+    from ..operators.packing import pack_contiguous
+    from ..functions.text import tokens
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_contiguous(
+        docs, token_col="n_tokens", budget=200, order_col="doc_id",
+        shard_col="source",
+    )
+
+
+CORPUS_PACK_SEQUENCES_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER w, 0) / 200) AS BIGINT) AS bin_id,
+       CAST(coalesce(sum(n_tokens) OVER w, 0) % 200 AS BIGINT) AS bin_offset
+FROM docs
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): the corpus is
+    checked against an evaluation set (source 'src0' stands in for a
+    held-out benchmark) by 5-gram overlap; eval-set members flag
+    themselves at overlap 1.0, near-copies anywhere above threshold."""
+    from ..operators.decontam import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    eval_set = docs.filter(F.col("source") == "src0")
+    return ngram_contamination(docs, eval_set, n=5, threshold=0.2)
+
+
+CORPUS_DECONTAMINATE_SQL = f"""
+WITH docs AS (SELECT doc_id, source, {NORM_SQL} AS norm FROM documents),
+toks AS (SELECT doc_id, source, string_split(norm, ' ') AS t FROM docs WHERE norm <> ''),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) <= 4 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct([array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t)-3)])
+         END AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+eval_sh AS (SELECT DISTINCT shingle FROM ex WHERE source = 'src0'),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY 1),
+overlap AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM ex WHERE shingle IN (SELECT shingle FROM eval_sh)
+  GROUP BY 1
+)
+SELECT s.doc_id, s.n_shingles,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(o.n_overlap, 0) / s.n_shingles, 6) AS overlap_frac,
+       round(coalesce(o.n_overlap, 0) / s.n_shingles, 6) >= 0.2 AS contaminated
+FROM sizes s LEFT JOIN overlap o ON s.doc_id = o.doc_id
+"""
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/text.py):
+    duplicate-word / top-word / duplicate-bigram fractions + keep flag."""
+    return TX.repetition_stats(_docs(spark, sf_dir))
+
+
+TEXT_REPETITION_STATS_SQL = f"""
+WITH docs AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM docs WHERE norm <> ''),
+words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+wc AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY 1, 2),
+top AS (SELECT doc_id, max(cnt) AS top_word_count FROM wc GROUP BY 1),
+sizes AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_words,
+         CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+              ELSE [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+         END AS bg
+  FROM toks
+),
+m AS (
+  SELECT s.doc_id, s.n_words,
+         round(1.0 - s.n_distinct_words / s.n_words, 6) AS dup_word_frac,
+         round(top.top_word_count / s.n_words, 6) AS top_word_frac,
+         CASE WHEN len(bg) > 0
+              THEN round(1.0 - len(list_distinct(bg)) / len(bg), 6)
+              ELSE 0.0 END AS dup_bigram_frac
+  FROM sizes s JOIN top ON s.doc_id = top.doc_id
+)
+SELECT doc_id, n_words, dup_word_frac, top_word_frac, dup_bigram_frac,
+       (dup_word_frac <= 0.8 AND top_word_frac <= 0.2 AND dup_bigram_frac <= 0.4) AS keep
+FROM m
+"""
+
+
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-equalizing source mixture (operators/sampling.py): per-source
+    deterministic sampling rates that cap over-represented sources."""
+    from ..operators.sampling import source_mix_rates
+    from ..functions.text import tokens
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return source_mix_rates(docs, strata_col="source", token_col="n_tokens")
+
+
+CORPUS_SOURCE_MIX_SQL = f"""
+WITH docs AS (
+  SELECT source, CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+totals AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM docs GROUP BY 1
+)
+SELECT source, n_docs, total_tokens,
+       round((SELECT min(total_tokens) FROM totals) / total_tokens, 6) AS sample_rate
+FROM totals
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_DOCUMENTS_SQL),
+    "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SEQUENCES_SQL),
+    "corpus_decontaminate": (corpus_decontaminate, CORPUS_DECONTAMINATE_SQL),
+    "text_repetition_stats": (text_repetition_stats, TEXT_REPETITION_STATS_SQL),
+    "corpus_source_mix": (corpus_source_mix, CORPUS_SOURCE_MIX_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "text_bpe_token_count": (text_bpe_token_count, TEXT_BPE_TOKEN_COUNT_SQL),

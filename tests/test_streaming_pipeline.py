@@ -314,3 +314,30 @@ def test_connected_components_raises_on_non_convergence(spark):
         connected_components(chain, max_iter=3)
     ok = connected_components(chain, max_iter=15)
     assert ok.select("component").distinct().count() == 1
+
+
+def test_silver_dedup_on_rocksdb_state_store(spark, tmp_path, ip_regions):
+    """The watermarked dedup runs unchanged on the RocksDB state store
+    provider — the 100 TB posture, where dedup state exceeds executor
+    heap and must spill to local SST files. Same results as the default
+    HDFS-backed provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocksdb)
+    try:
+        paths = PipelinePaths(str(tmp_path))
+        os.makedirs(paths.raw, exist_ok=True)
+        write_activity_files(paths.raw, num_files=2, rows_per_file=300)
+        run_once(spark, paths, ip_regions)
+        silver = spark.read.parquet(paths.silver)
+        assert silver.count() > 0
+        assert silver.count() == silver.select("log_id").distinct().count()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -327,3 +327,81 @@ def test_collect_vectors_guarded_raises_on_oversized(spark):
         collect_vectors_guarded(emb, "vec_id", "embedding", max_bytes=1000)
     rows = collect_vectors_guarded(emb, "vec_id", "embedding")
     assert len(rows) == 100
+
+
+def test_pack_contiguous_respects_budget_and_order(spark):
+    from investcloud_data_pipeline_spark.operators.packing import pack_contiguous
+
+    docs = spark.createDataFrame(
+        [(1, "a", 50), (2, "a", 60), (3, "a", 120), (4, "a", 30), (5, "b", 90)],
+        "doc_id long, shard string, n_tokens long",
+    )
+    out = {
+        r.doc_id: (r.bin_id, r.bin_offset)
+        for r in pack_contiguous(
+            docs, "n_tokens", budget=100, order_col="doc_id", shard_col="shard"
+        ).collect()
+    }
+    # prefix sums per shard 'a': 0, 50, 110, 230 → bins 0,0,1,2
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 50)
+    assert out[3] == (1, 10)
+    assert out[4] == (2, 30)
+    assert out[5] == (0, 0)  # shard b independent
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_contiguous(docs, "n_tokens", budget=0, order_col="doc_id")
+
+
+def test_ngram_contamination_flags_eval_members_and_copies(spark):
+    from investcloud_data_pipeline_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different words about spark query engines here"),
+            (3, "the quick brown fox jumps over the lazy dog yesterday"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_contamination(corpus, eval_set, n=5).collect()}
+    assert out[1].contaminated and out[1].overlap_frac == 1.0
+    assert not out[2].contaminated and out[2].n_overlap == 0
+    assert out[3].contaminated  # shares most 5-grams with the eval doc
+    assert 0 < out[3].overlap_frac < 1
+
+
+def test_repetition_stats_flags_repeated_docs(spark):
+    from investcloud_data_pipeline_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "a perfectly normal sentence with distinct useful words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert not out[1].keep and out[1].top_word_frac == 1.0
+    assert out[2].keep and out[2].dup_word_frac == 0.0
+
+
+def test_source_mix_rates_equalize_tokens(spark):
+    from investcloud_data_pipeline_spark.operators.sampling import source_mix_rates
+
+    docs = spark.createDataFrame(
+        [("big", 100), ("big", 300), ("small", 50), ("small", 50)],
+        "source string, n_tokens long",
+    )
+    out = {r.source: r for r in source_mix_rates(docs).collect()}
+    assert out["small"].sample_rate == 1.0
+    assert out["big"].sample_rate == 0.25  # 100 / 400
+    assert out["big"].total_tokens == 400
