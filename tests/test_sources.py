@@ -23,3 +23,69 @@ def test_csv_schema_enforced_and_corrupt_routed(spark, tmp_path):
     bad = corrupt.collect()
     assert len(bad) == 1
     assert "NOT_A_NUMBER" in bad[0][0]
+
+
+class TestSchemaEvolution:
+    """Auto Loader schemaLocation/addNewColumns parity (SURVEY §1.3):
+    tracked schema persists, new columns evolve on restart, old files
+    null-fill, incompatible type changes raise."""
+
+    def test_evolves_new_column_across_restart(self, spark, tmp_path):
+        import pandas as pd
+
+        from investcloud_data_pipeline_spark.sources.schema_tracking import (
+            load_tracked_schema,
+            read_stream_evolving,
+        )
+
+        raw = str(tmp_path / "raw")
+        loc = str(tmp_path / "schema")
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        import os as _os
+
+        _os.makedirs(raw)
+        pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_parquet(
+            f"{raw}/wave1.parquet", index=False
+        )
+
+        def drain():
+            q = (
+                read_stream_evolving(spark, raw, loc)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        assert [f.name for f in load_tracked_schema(loc).fields] == ["a", "b"]
+
+        # wave 2 adds column c → restart picks it up; wave-1 rows null-fill
+        pd.DataFrame(
+            {"a": [3], "b": ["z"], "c": [9.5]}
+        ).to_parquet(f"{raw}/wave2.parquet", index=False)
+        drain()
+        got = spark.read.option("mergeSchema", "true").parquet(out)
+        assert set(got.columns) == {"a", "b", "c"}
+        rows = {r.a: r.c for r in got.collect()}
+        assert rows[3] == 9.5 and rows[1] is None
+
+    def test_numeric_widening_and_incompatible_raise(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import types as T
+
+        from investcloud_data_pipeline_spark.sources.schema_tracking import (
+            merge_schemas,
+        )
+
+        old = T.StructType([T.StructField("v", T.IntegerType())])
+        wide = T.StructType([T.StructField("v", T.DoubleType())])
+        assert merge_schemas(old, wide)["v"].dataType == T.DoubleType()
+        assert merge_schemas(wide, old)["v"].dataType == T.DoubleType()
+
+        bad = T.StructType([T.StructField("v", T.StringType())])
+        with _pytest.raises(ValueError, match="incompatible evolution"):
+            merge_schemas(old, bad)
