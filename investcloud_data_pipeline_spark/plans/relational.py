@@ -1466,8 +1466,106 @@ GROUP BY user_id
 """
 
 
+# --- Statistical-moment aggregate family: correlation, covariance,
+# variance/stddev (population + sample), skewness, excess kurtosis,
+# exact median, and the regression aggregates — the profile-statistics
+# surface of a warehouse engine. Engine-mapping notes: DuckDB's
+# ``kurtosis`` is sample-bias-corrected, its ``kurtosis_pop`` matches
+# Spark's population ``kurtosis``; DuckDB's ``skewness`` is
+# sample-corrected, so the Spark side applies the g1 →
+# G1 = g1·√(n(n−1))/(n−2) correction explicitly. All second-moment
+# results round to 4-6 decimals — the moments accumulate in double and
+# the final division is stable at that precision (verified both engines
+# at sf0.001 and sf0.01). Scale: one partial+final HashAggregate pass,
+# same profile as q1; every moment is a decomposable sum.
+def statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    g1 = F.skewness("l_extendedprice")
+    sample_skew = g1 * F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            n.alias("n_rows"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+            F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias("covar_pop_pq"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_samp_pq"),
+            F.round(F.stddev_pop("l_extendedprice"), 4).alias("sd_pop_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_samp_price"),
+            F.round(F.var_pop("l_quantity"), 6).alias("var_pop_qty"),
+            F.round(sample_skew, 6).alias("skew_price"),
+            F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt_pop_price"),
+            F.round(F.median("l_discount"), 6).alias("med_disc"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("regr_slope_pq"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("regr_r2_pq"),
+        )
+    )
+
+
+STATISTICAL_AGGREGATES_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+       round(covar_pop(l_extendedprice, l_quantity), 4) AS covar_pop_pq,
+       round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_samp_pq,
+       round(stddev_pop(l_extendedprice), 4) AS sd_pop_price,
+       round(stddev_samp(l_extendedprice), 4) AS sd_samp_price,
+       round(var_pop(l_quantity), 6) AS var_pop_qty,
+       round(skewness(l_extendedprice), 6) AS skew_price,
+       round(kurtosis_pop(l_extendedprice), 6) AS kurt_pop_price,
+       round(median(l_discount), 6) AS med_disc,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS regr_slope_pq,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS regr_r2_pq
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- Bitwise aggregates + positional generator: bit_and/or/xor fold the
+# event ids per user (integer-exact, order-free — safe strict oracle);
+# posexplode exposes element positions (DuckDB: generate_subscripts).
+# Scale: bit-folds are decomposable (partial agg); posexplode is a
+# JVM-side generator, no Python.
+def bitwise_and_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.bit_and("event_id").alias("id_bit_and"),
+            F.bit_or("event_id").alias("id_bit_or"),
+            F.bit_xor("event_id").alias("id_bit_xor"),
+            F.array_sort(F.collect_set("event_type")).alias("types"),
+        )
+    )
+    return (
+        per_user.select(
+            "user_id", "id_bit_and", "id_bit_or", "id_bit_xor",
+            F.posexplode("types").alias("pos", "event_type"),
+        )
+        .withColumn("pos", (F.col("pos") + 1).cast("long"))
+    )
+
+
+BITWISE_AND_GENERATORS_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         bit_and(event_id) AS id_bit_and,
+         bit_or(event_id) AS id_bit_or,
+         bit_xor(event_id) AS id_bit_xor,
+         list_sort(list_distinct(list(event_type))) AS types
+  FROM events GROUP BY user_id
+)
+SELECT user_id, id_bit_and, id_bit_or, id_bit_xor,
+       CAST(generate_subscripts(types, 1) AS BIGINT) AS pos,
+       unnest(types) AS event_type
+FROM per_user
+"""
+
+
 QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_ORDER_PRIORITY_SQL),
+    "statistical_aggregates": (statistical_aggregates, STATISTICAL_AGGREGATES_SQL),
+    "bitwise_and_generators": (bitwise_and_generators, BITWISE_AND_GENERATORS_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_CUSTOMER_DISTRIBUTION_SQL),
     "array_functions_events": (array_functions_events, ARRAY_FUNCTIONS_EVENTS_SQL),
     "window_rank_functions": (window_rank_functions, WINDOW_RANK_FUNCTIONS_SQL),
