@@ -94,3 +94,29 @@ def test_hot_keys_diagnostic(spark):
     )
     out = [(r.k, r.n_rows) for r in hot_keys(df, ["k"], top_n=2).collect()]
     assert out == [("a", 5), ("b", 2)]
+
+
+def test_tpch_remaining_plan_shapes(spark, sf_dir):
+    """The decorrelated TPC-H shapes must keep their intended physical
+    form: dimension/aggregate broadcasts (never a sort-merge join at
+    dim scale), heap-based TakeOrderedAndProject for ordered limits,
+    and real semi/anti joins for the EXISTS/NOT-EXISTS stack."""
+    from investcloud_data_pipeline_spark.plans import tpch_remaining as TR
+
+    p2 = _plan(TR.q2_min_price_supplier(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p2
+    assert "SortMergeJoin" not in p2
+
+    p21 = _plan(TR.q21_lone_failing_supplier(spark, sf_dir))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    """Spark 4's WindowGroupLimit pushdown must kick in for the
+    rank-filter top-k idiom — per-partition heaps instead of full
+    partition sorts feeding the rank."""
+    from investcloud_data_pipeline_spark.plans.relational import (
+        top_customers_per_nation,
+    )
+
+    assert "WindowGroupLimit" in _plan(top_customers_per_nation(spark, sf_dir))
