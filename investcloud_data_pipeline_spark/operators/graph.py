@@ -95,6 +95,119 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Connected components via the alternating large-star / small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SOCC'14) — the scale path for HIGH-DIAMETER graphs.
+
+    Min-label propagation (``connected_components``) needs O(diameter)
+    rounds: fine for near-dup clusters (diameter 1-3), hopeless for
+    chain-shaped graphs. Star contraction converges in O(log^2 n) rounds
+    regardless of diameter: each round every node hooks its neighborhood
+    onto the neighborhood minimum, halving tree heights.
+
+      large-star(u): for every neighbor v > u, re-edge (v, m) where
+                     m = min(N(u) ∪ {u})
+      small-star(u): orient edges toward the larger endpoint, then for
+                     every neighbor v (all ≤ u) and u itself, re-edge
+                     (v, m) where m = min(N(u) ∪ {u})
+
+    At fixpoint the edge set is a star forest: every node points at its
+    component's minimum id. Returns (node, component), same contract as
+    ``connected_components`` (isolated nodes never enter).
+
+    Scale notes: both phases are one groupBy-min + one re-join per
+    round, shuffling on node id each time; rounds are O(log^2 n) so a
+    1000-hop chain that min-propagation would need 1000 shuffles for
+    closes in ~10. ``localCheckpoint`` every few rounds truncates the
+    iterative lineage. Convergence is detected by an order-insensitive
+    edge-set fingerprint (count + xor of a per-edge hash), one scalar
+    aggregate per round.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        # bit_xor, not sum: the hash values span the full int64 range and
+        # a sum overflows under ANSI mode.
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        # Symmetric neighborhoods; m = min over N(u) ∪ {u}; connect
+        # strictly-larger neighbors to m.
+        sym = df.select("u", "v").union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # Orient toward the larger endpoint so every neighbor of u is
+        # ≤ u; hook them (and u) onto the minimum.
+        oriented = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = oriented.select("u", "v").union(
+            oriented.select("u", F.col("u").alias("v")).distinct()
+        )
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    prev_fp = _fingerprint(e)
+    converged = False
+    for i in range(max_iter):
+        stepped = _small_star(_large_star(e))
+        if (i + 1) % checkpoint_every == 0:
+            stepped = stepped.localCheckpoint(eager=False)
+        stepped = stepped.persist()
+        fp = _fingerprint(stepped)
+        e.unpersist()
+        e = stepped
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    if not converged:
+        e.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — pathological input (the alternating algorithm is "
+            "O(log^2 n) rounds; raise max_iter)"
+        )
+    # Star forest: edges are (node > root) → root. Components = every
+    # non-root node mapped to its root, plus each root mapped to itself.
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    out = members.union(roots)
+    e.unpersist()
+    return out
+
+
 def canonical_per_component(
     labeled: DataFrame,
     node_col: str = "node",

@@ -118,6 +118,21 @@ SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
 """
 
 
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as ``dedup_components`` but via the alternating
+    large-star/small-star contraction (O(log^2 n) rounds independent of
+    graph diameter) — the 100 TB path for arbitrary pair graphs. Same
+    recursive-CTE oracle: both algorithms must produce identical
+    (doc_id, component) labelings."""
+    from ..operators.graph import connected_components_star
+
+    pairs = DF.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return (
+        connected_components_star(pairs, src="id1", dst="id2")
+        .select(F.col("node").alias("doc_id"), "component")
+    )
+
+
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_token_count(_docs(spark, sf_dir))
 
@@ -825,6 +840,7 @@ QUERIES = {
     "corpus_source_mix": (corpus_source_mix, CORPUS_SOURCE_MIX_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
+    "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
     "text_bpe_token_count": (text_bpe_token_count, TEXT_BPE_TOKEN_COUNT_SQL),
     "corpus_train_test_split": (corpus_train_test_split, CORPUS_TRAIN_TEST_SPLIT_SQL),
     "corpus_stratified_sample": (corpus_stratified_sample, None),

@@ -3,15 +3,18 @@ convergence is reached within diameter rounds, output is deterministic."""
 
 from __future__ import annotations
 
+import pytest
+
 from investcloud_data_pipeline_spark.operators.graph import (
     canonical_per_component,
     connected_components,
+    connected_components_star,
 )
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, fn=connected_components, **kw):
     df = spark.createDataFrame(edges, "src long, dst long")
-    out = connected_components(df)
+    out = fn(df, **kw)
     return {r.node: r.component for r in out.collect()}
 
 
@@ -38,6 +41,40 @@ def test_long_chain_needs_propagation_rounds(spark):
 def test_direction_and_duplicate_edges_are_irrelevant(spark):
     a = _cc(spark, [(5, 9), (9, 5), (5, 9), (7, 9)])
     assert a == {5: 5, 9: 5, 7: 5}
+
+
+def test_star_matches_propagation_on_mixed_topologies(spark):
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (11, 12), (10, 12),    # triangle
+        (20, 21),                        # pair
+        (31, 30), (30, 33), (33, 32),    # out-of-order ids
+    ]
+    assert _cc(spark, edges, fn=connected_components_star) == _cc(spark, edges)
+
+
+def test_star_handles_high_diameter_in_log_rounds(spark):
+    # A 64-hop path: min-label propagation needs 64 rounds (raises at
+    # max_iter=25); star contraction closes it in O(log^2 n).
+    edges = [(i, i + 1) for i in range(64)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, edges, max_iter=25)
+    got = _cc(spark, edges, fn=connected_components_star, max_iter=12)
+    assert set(got.values()) == {0}
+    assert len(got) == 65
+
+
+def test_star_random_graph_equivalence(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _cc(spark, edges, fn=connected_components_star) == _cc(
+        spark, edges, max_iter=60
+    )
 
 
 def test_canonical_per_component(spark):
