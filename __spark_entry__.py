@@ -17,6 +17,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from investcloud_data_pipeline_spark.functions import pandas_udfs as PU
+from investcloud_data_pipeline_spark.plans import lakehouse as LH
+from investcloud_data_pipeline_spark.plans import mining as MN
 from investcloud_data_pipeline_spark.plans import pipeline_queries as P
 from investcloud_data_pipeline_spark.plans import relational as R
 from investcloud_data_pipeline_spark.plans import temporal as T
@@ -54,6 +56,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **{name: fn for name, (fn, _) in TR.QUERIES.items()},
         # Vectorized Python function surface (scalar/grouped-agg/grouped-map)
         **{name: fn for name, (fn, _) in PU.QUERIES.items()},
+        # Lakehouse mutations & governance (CDC merge, SCD2, PII, ER, URL)
+        **{name: fn for name, (fn, _) in LH.QUERIES.items()},
+        # Analytics mining (YoY, market-basket, triangles, funnel)
+        **{name: fn for name, (fn, _) in MN.QUERIES.items()},
         # Engine-native Python data source (rows-only: generator input,
         # no DuckDB-visible tables)
         "pydatasource_activity_profile": activity_source_profile,
@@ -73,4 +79,6 @@ def oracle_sql() -> dict[str, str]:
         **{name: sql for name, (_, sql) in T.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in TR.QUERIES.items()},
         **{name: sql for name, (_, sql) in PU.QUERIES.items() if sql},
+        **{name: sql for name, (_, sql) in LH.QUERIES.items() if sql},
+        **{name: sql for name, (_, sql) in MN.QUERIES.items() if sql},
     }

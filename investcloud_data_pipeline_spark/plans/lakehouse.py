@@ -1,0 +1,356 @@
+"""Lakehouse & governance queries: CDC merge, SCD2 history, PII
+redaction, URL parsing, fuzzy entity resolution, embedding statistics.
+
+These cover the mutation / compliance surface a production lake needs
+around the analytic core: Delta-style MERGE re-expressed on plain
+parquet (operators/merge.py), Type-2 dimensions, regex PII scrubbing
+(operators/pii.py), and blocked record linkage (operators/er.py).
+
+Oracle convention (PAPERS.md / training_data.py): the DuckDB SQL
+restates the identical computation — same regexes (Java/RE2 shared
+subset), same tie-breaks, same rounding — so the value-hash comparison
+is strict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import er as ER
+from ..operators import merge as MG
+from ..operators import pii as PII
+from ..sources.batch import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------- PII redaction ----------
+#
+# The synthetic documents table carries no real PII, so the query plants
+# deterministic PII fragments (varying per doc_id so counts differ) and
+# then redacts them — the assertion covers detection counts AND the
+# masked text (md5, to keep the compared rows narrow).
+
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    frag_email = F.when(
+        did % 3 > 0,
+        F.concat(F.lit(" mail user"), did, F.lit("@mail.example.org")),
+    ).otherwise(F.lit(""))
+    frag_phone = F.when(
+        did % 4 > 0,
+        F.concat(F.lit(" tel 555-123-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    frag_ip = F.when(
+        did % 5 > 0,
+        F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".7")),
+    ).otherwise(F.lit(""))
+    frag_ssn = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" ssn 987-65-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.substring("text", 1, 40), frag_email, frag_phone, frag_ip, frag_ssn
+        ),
+    )
+    return PII.redact_pii(planted).select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        "n_pii",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+PII_REDACT_DOCUMENTS_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         substr(text, 1, 40)
+         || CASE WHEN doc_id % 3 > 0 THEN ' mail user' || doc_id || '@mail.example.org' ELSE '' END
+         || CASE WHEN doc_id % 4 > 0 THEN ' tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 5 > 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+          + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+          + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_pii,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+FROM planted
+"""
+
+
+# ---------- URL parsing / domain stats ----------
+
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises Spark's ``parse_url`` (HOST / PATH / QUERY-param
+    extraction) over deterministic synthetic URLs, rolled up per host.
+    Scale: narrow projection + one small-key aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+    return u.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("path").alias("n_paths"),
+        F.countDistinct("lang_param").alias("n_langs"),
+        F.min("path").alias("first_path"),
+    )
+
+
+URL_DOMAIN_STATS_SQL = """
+WITH u AS (
+  SELECT 'https://' || source || '.example.com/docs/' || doc_id || '?lang=' || lang AS url
+  FROM documents
+), parts AS (
+  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+         regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+         regexp_extract(url, 'lang=(.*)$', 1) AS lang_param
+  FROM u
+)
+SELECT host,
+       count(*) AS n_urls,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT lang_param) AS BIGINT) AS n_langs,
+       min(path) AS first_path
+FROM parts GROUP BY host
+"""
+
+
+# ---------- fuzzy entity resolution ----------
+
+def er_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage over part names: first collapse records to
+    DISTINCT name strings (the classic ER reduction — candidate
+    generation runs over unique keys, never raw records, so a 100 TB
+    fact table with a low-cardinality entity key costs one aggregate
+    plus a tiny pair join), then block on the noun (second token) and
+    score within-block pairs with Levenshtein ≤ 4. Record multiplicity
+    is carried as n_recs per side."""
+    p = _t(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n_recs"))
+    pairs = ER.fuzzy_self_join(
+        names,
+        id_col="p_name",
+        name_col="p_name",
+        block_expr=F.element_at(F.split(F.col("p_name"), " "), 2),
+        max_distance=4,
+    ).select("name1", "name2", "block", "distance")
+    n1 = names.select(
+        F.col("p_name").alias("name1"), F.col("n_recs").alias("n_recs1")
+    )
+    n2 = names.select(
+        F.col("p_name").alias("name2"), F.col("n_recs").alias("n_recs2")
+    )
+    return pairs.join(n1, "name1").join(n2, "name2").select(
+        "name1", "name2", "block", "distance", "n_recs1", "n_recs2"
+    )
+
+
+ER_FUZZY_PART_PAIRS_SQL = """
+WITH names AS (
+  SELECT p_name, count(*) AS n_recs FROM part GROUP BY p_name
+), side AS (
+  SELECT p_name AS name, n_recs, string_split(p_name, ' ')[2] AS block
+  FROM names
+)
+SELECT a.name AS name1, b.name AS name2, a.block AS block,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance,
+       a.n_recs AS n_recs1, b.n_recs AS n_recs2
+FROM side a JOIN side b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 4
+"""
+
+
+# ---------- CDC MERGE (upsert + delete application) ----------
+#
+# The change batch is derived deterministically from orders: every order
+# is a change to its customer (op 'D' for orderkey % 11 == 0, else 'U'
+# with a payload rebuilt from the order), sequenced by orderkey. The
+# result is the merged customer snapshot — Delta MERGE semantics on
+# plain parquet.
+
+def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(
+            F.lit("Customer#"), F.lpad(F.col("o_custkey").cast("string"), 9, "0")
+        ).alias("c_name"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        F.round(F.col("o_totalprice"), 2).alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return MG.apply_cdc(c, changes, key_cols=["c_custkey"], seq_col="seq")
+
+
+CDC_APPLY_CUSTOMER_SQL = """
+WITH changes AS (
+  SELECT o_custkey AS c_custkey,
+         'Customer#' || lpad(CAST(o_custkey AS VARCHAR), 9, '0') AS c_name,
+         CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+         round(o_totalprice, 2) AS c_acctbal,
+         o_orderpriority AS c_mktsegment,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_orderkey AS seq
+  FROM orders
+), last AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+  FROM changes
+), l1 AS (SELECT * FROM last WHERE rn = 1)
+SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.c_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM l1 WHERE op = 'U'
+"""
+
+
+# ---------- SCD Type 2 dimension history ----------
+
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each customer's order priority: consecutive
+    same-priority orders collapse into one validity interval."""
+    o = _t(spark, sf_dir, "orders")
+    return MG.scd2_history(
+        o,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+    )
+
+
+SCD2_PRIORITY_HISTORY_SQL = """
+WITH v AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         row_number() OVER w AS rn,
+         lag(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderpriority ASC)
+), keep AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate
+  FROM v WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+)
+SELECT o_custkey, o_orderpriority,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderpriority ASC) AS valid_to,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderpriority ASC) IS NULL AS is_current
+FROM keep
+"""
+
+
+# ---------- per-dimension embedding statistics ----------
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-scaling statistics per embedding dimension (posexplode →
+    group by position). Scale: the explode multiplies rows by the
+    dimensionality but stays narrow (two columns); the aggregate's key
+    cardinality IS the dimensionality, so the shuffle is tiny — partial
+    aggregation does nearly all the work map-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "val"))
+        .select((F.col("dim") + 1).cast("long").alias("dim"),
+                F.col("val").cast("double").alias("val"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("val"), 4).alias("mean_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       count(*) AS n,
+       round(avg(val), 4) AS mean_val,
+       round(min(val), 6) AS min_val,
+       round(max(val), 6) AS max_val
+FROM ex GROUP BY dim ORDER BY dim
+"""
+
+
+# ---------- fixed-bound histogram ----------
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound 20-bucket histogram of event values via
+    ``width_bucket`` (bucket 0 = below range, 21 = above). One narrow
+    projection + a 22-key aggregate: map-side partials do everything."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(100.0), F.lit(20))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("bucket")
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+WITH b AS (
+  SELECT CASE WHEN value < 0.0 THEN 0
+              WHEN value >= 100.0 THEN 21
+              ELSE CAST(floor(value / 5.0) AS BIGINT) + 1 END AS bucket
+  FROM events
+)
+SELECT bucket, count(*) AS n_events FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+QUERIES = {
+    "pii_redact_documents": (pii_redact_documents, PII_REDACT_DOCUMENTS_SQL),
+    "url_domain_stats": (url_domain_stats, URL_DOMAIN_STATS_SQL),
+    "er_fuzzy_part_pairs": (er_fuzzy_part_pairs, ER_FUZZY_PART_PAIRS_SQL),
+    "cdc_apply_customer": (cdc_apply_customer, CDC_APPLY_CUSTOMER_SQL),
+    "scd2_priority_history": (scd2_priority_history, SCD2_PRIORITY_HISTORY_SQL),
+    "embedding_dim_stats": (embedding_dim_stats, EMBEDDING_DIM_STATS_SQL),
+    "value_histogram": (value_histogram, VALUE_HISTOGRAM_SQL),
+}

@@ -1,0 +1,254 @@
+"""Analytics / data-mining queries: year-over-year trends, market-basket
+co-occurrence, graph triangle statistics, and event funnels.
+
+These are the OLAP shapes a warehouse team runs daily on top of the
+relational core — each one stresses a distinct physical pattern:
+windowed self-comparison without a self-join (YoY), bounded quadratic
+expansion within a group (co-purchase), multi-way self-join with
+orientation pruning (triangles), and per-key sequence alignment
+(funnel). Oracle convention as elsewhere: identical math restated for
+DuckDB, decimal sums for bit-stable totals, total tie-break orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------- year-over-year revenue per nation ----------
+#
+# The trend-report shape: aggregate to (nation, year), then compare each
+# year against the key's previous year with lag() — one shuffle for the
+# agg, one tiny window over ~|nations|×|years| rows. The naive
+# formulation (self-join on year-1) doubles the scan; the window version
+# reads once. 100 TB note: the agg output is KB-sized regardless of fact
+# size, so the window stage is free.
+
+def yoy_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    return yearly.select(
+        "nation",
+        F.col("yr").cast("long").alias("yr"),
+        "revenue",
+        F.round(
+            F.col("revenue") / F.lag("revenue").over(w) - 1.0, 6
+        ).alias("yoy_growth"),
+    )
+
+
+YOY_NATION_REVENUE_SQL = """
+WITH yearly AS (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, yr, revenue,
+       round(revenue / lag(revenue) OVER (PARTITION BY nation ORDER BY yr) - 1.0, 6) AS yoy_growth
+FROM yearly
+"""
+
+
+# ---------- market-basket co-purchase pairs ----------
+#
+# Frequent-pair mining: parts bought together in one order. The
+# expansion is quadratic ONLY within an order (≈4 lines ⇒ ≈6 pairs), so
+# the self-join on l_orderkey is linear-ish in practice; distinct-ing
+# parts per order first stops duplicate lines from inflating counts.
+# Scale: both sides shuffle on l_orderkey (co-partitioned self-join —
+# one exchange, reused), the pair aggregate shuffles on the pair key.
+# Skew guard: a pathological order with thousands of lines would need a
+# per-order line cap before the join.
+
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part1"),
+            F.col("b.l_partkey").alias("part2"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+    return pairs
+
+
+COPURCHASE_PART_PAIRS_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part1, b.l_partkey AS part2, count(*) AS n_orders
+FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+# ---------- triangle statistics on the near-dup pair graph ----------
+#
+# Near-dup candidate pairs form a graph whose triangle density says how
+# clique-like the duplicate clusters are (validates the "dup clusters
+# are dense" assumption connected components relies on). Orientation
+# pruning (a<b<c) counts each triangle exactly once and cuts the join
+# fan-out; degrees come from one aggregate over the symmetrized edges.
+
+def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup_fuzzy as DFZ
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        DFZ.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        .select("id1", "id2")
+        .persist()
+    )
+    p1 = pairs.alias("p1")
+    p2 = pairs.alias("p2")
+    p3 = pairs.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p1.id2") == F.col("p2.id1"))
+        .join(
+            p3,
+            (F.col("p3.id1") == F.col("p1.id1"))
+            & (F.col("p3.id2") == F.col("p2.id2")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    sym = pairs.select("id1", "id2").union(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    )
+    wedges = (
+        sym.groupBy("id1")
+        .agg(F.count("*").alias("deg"))
+        .agg(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+            .cast("long")
+            .alias("n_wedges")
+        )
+    )
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "clustering_coef"
+        ),
+    )
+
+
+_PAIRS_CTE = """
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2
+  FROM common
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
+)
+"""
+
+
+def _triangle_sql() -> str:
+    from .training_data import SHINGLES_CTE
+
+    return f"""
+WITH {SHINGLES_CTE},
+{_PAIRS_CTE},
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs p1
+  JOIN pairs p2 ON p1.id2 = p2.id1
+  JOIN pairs p3 ON p3.id1 = p1.id1 AND p3.id2 = p2.id2
+),
+sym AS (
+  SELECT id1, id2 FROM pairs UNION ALL SELECT id2, id1 FROM pairs
+),
+wedges AS (
+  SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+  FROM (SELECT id1, count(*) AS deg FROM sym GROUP BY id1)
+)
+SELECT n_triangles, n_wedges,
+       round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef
+FROM tri, wedges
+"""
+
+
+# ---------- event funnel ----------
+#
+# Ordered-step conversion: of the users who viewed, how many later
+# clicked, and later still purchased? Per-user min timestamps per step,
+# then ordered comparison — one aggregate, no joins, no explode. The
+# funnel counts collapse to a single row.
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.col("t_view")).alias("n_viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_purchased_after_click"),
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(t_view) AS n_viewed,
+       count(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked_after_view,
+       count(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END) AS n_purchased_after_click
+FROM per_user
+"""
+
+
+QUERIES = {
+    "yoy_nation_revenue": (yoy_nation_revenue, YOY_NATION_REVENUE_SQL),
+    "copurchase_part_pairs": (copurchase_part_pairs, COPURCHASE_PART_PAIRS_SQL),
+    "dedup_triangle_stats": (dedup_triangle_stats, _triangle_sql()),
+    "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
+}

@@ -1,0 +1,58 @@
+"""Atomic versioned-snapshot commit protocol for foreachBatch sinks.
+
+Plain parquet directories have no transaction log, so exactly-once
+foreachBatch sinks that REWRITE state (merge/upsert targets, snapshot
+tables) use a versioned layout:
+
+    <root>/v_<epoch>/...parquet      one immutable directory per epoch
+    <root>/_COMMITTED                JSON {epoch_id, version_dir}
+
+The marker rename (``os.replace``) is the single commit point — readers
+resolve the marker first, so a crash mid-write leaves the previous
+version intact, and a replayed micro-batch (epoch_id ≤ committed) is
+detected and skipped. This is the minimal subset of what Delta's
+transaction log provided the reference (SURVEY §2.13); the real fix at
+fleet scale is a lakehouse table format, which sources/external.py
+gates on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+
+def read_committed(root: str) -> tuple[int, str | None]:
+    """(last committed epoch, path of its version dir); (-1, None) if
+    nothing has been committed yet."""
+    marker = os.path.join(root, "_COMMITTED")
+    if not os.path.isfile(marker):
+        return -1, None
+    with open(marker) as fh:
+        state = json.load(fh)
+    return int(state["epoch_id"]), os.path.join(root, state["version_dir"])
+
+
+def commit_version(root: str, epoch_id: int, version_dir: str) -> None:
+    """Atomically (write-temp + rename) mark ``version_dir`` committed."""
+    marker = os.path.join(root, "_COMMITTED")
+    tmp = marker + f".tmp.{epoch_id}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"epoch_id": epoch_id, "version_dir": os.path.basename(version_dir)},
+            fh,
+        )
+    os.replace(tmp, marker)
+
+
+def version_path(root: str, epoch_id: int) -> str:
+    return os.path.join(root, f"v_{epoch_id}")
+
+
+def drop_superseded(root: str, keep_dir: str) -> None:
+    """Best-effort GC of older version dirs (never the committed one)."""
+    keep = os.path.basename(keep_dir)
+    for name in os.listdir(root):
+        if name.startswith("v_") and name != keep:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)

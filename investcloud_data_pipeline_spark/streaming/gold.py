@@ -46,29 +46,15 @@ def _totals_path(paths: PipelinePaths) -> str:
 
 
 def _read_totals_marker(totals_root: str) -> tuple[int, str | None]:
-    """Return (last_applied_epoch, committed_version_dir). (-1, None) when
-    no epoch has been committed yet."""
-    import json
-    import os
+    from .atomic import read_committed
 
-    marker = os.path.join(totals_root, "_COMMITTED")
-    if not os.path.isfile(marker):
-        return -1, None
-    with open(marker) as fh:
-        state = json.load(fh)
-    return int(state["epoch_id"]), os.path.join(totals_root, state["version_dir"])
+    return read_committed(totals_root)
 
 
 def _commit_totals_marker(totals_root: str, epoch_id: int, version_dir: str) -> None:
-    """Atomically (write-temp + rename) point the marker at version_dir."""
-    import json
-    import os
+    from .atomic import commit_version
 
-    marker = os.path.join(totals_root, "_COMMITTED")
-    tmp = marker + f".tmp.{epoch_id}"
-    with open(tmp, "w") as fh:
-        json.dump({"epoch_id": epoch_id, "version_dir": os.path.basename(version_dir)}, fh)
-    os.replace(tmp, marker)
+    commit_version(totals_root, epoch_id, version_dir)
 
 
 def merge_gold_incremental(

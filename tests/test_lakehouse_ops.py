@@ -1,0 +1,155 @@
+"""Lakehouse mutation + governance operators: CDC merge semantics,
+SCD2 collapse, PII redaction, blocked fuzzy matching."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from investcloud_data_pipeline_spark.operators.er import (
+    block_size_profile,
+    fuzzy_self_join,
+)
+from investcloud_data_pipeline_spark.operators.merge import (
+    apply_cdc,
+    scd2_history,
+)
+from investcloud_data_pipeline_spark.operators.pii import redact_pii
+
+
+class TestApplyCdc:
+    def _run(self, spark, base_rows, change_rows):
+        base = spark.createDataFrame(base_rows, "k long, v string")
+        changes = spark.createDataFrame(
+            change_rows, "k long, v string, op string, seq long"
+        )
+        out = apply_cdc(base, changes, key_cols=["k"], seq_col="seq")
+        return {r.k: r.v for r in out.collect()}
+
+    def test_update_insert_delete_untouched(self, spark):
+        got = self._run(
+            spark,
+            [(1, "a"), (2, "b"), (3, "c")],
+            [
+                (1, "a2", "U", 10),   # update
+                (3, None, "D", 11),   # delete
+                (9, "new", "U", 12),  # insert
+            ],
+        )
+        assert got == {1: "a2", 2: "b", 9: "new"}
+
+    def test_last_change_per_key_wins(self, spark):
+        got = self._run(
+            spark,
+            [(1, "a")],
+            [(1, "mid", "U", 5), (1, "last", "U", 9), (1, "first", "U", 1)],
+        )
+        assert got == {1: "last"}
+
+    def test_delete_then_reinsert_ordered_by_seq(self, spark):
+        got = self._run(
+            spark,
+            [(1, "a")],
+            [(1, None, "D", 5), (1, "back", "U", 7)],
+        )
+        assert got == {1: "back"}
+
+    def test_rerun_is_idempotent(self, spark):
+        base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        changes = spark.createDataFrame(
+            [(1, "a2", "U", 10), (2, None, "D", 11)],
+            "k long, v string, op string, seq long",
+        )
+        once = apply_cdc(base, changes, ["k"], "seq")
+        twice = apply_cdc(once, changes, ["k"], "seq")
+        assert sorted(once.collect()) == sorted(twice.collect())
+
+
+class TestScd2:
+    def test_collapses_runs_and_tracks_validity(self, spark):
+        rows = [
+            (1, "GOLD", "2024-01-01"),
+            (1, "GOLD", "2024-02-01"),   # unchanged → collapsed
+            (1, "SILVER", "2024-03-01"),
+            (1, "GOLD", "2024-04-01"),   # back again → new version
+            (2, "BRONZE", "2024-01-15"),
+        ]
+        df = spark.createDataFrame(rows, "k long, tier string, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        hist = scd2_history(df, ["k"], ["tier"], "ts")
+        got = [
+            (r.k, r.tier, str(r.valid_from)[:10],
+             str(r.valid_to)[:10] if r.valid_to else None, r.is_current)
+            for r in hist.orderBy("k", "valid_from").collect()
+        ]
+        assert got == [
+            (1, "GOLD", "2024-01-01", "2024-03-01", False),
+            (1, "SILVER", "2024-03-01", "2024-04-01", False),
+            (1, "GOLD", "2024-04-01", None, True),
+            (2, "BRONZE", "2024-01-15", None, True),
+        ]
+
+    def test_exactly_one_current_row_per_key(self, spark):
+        rows = [(k, f"v{k % 3}_{i % 2}", f"2024-0{1 + i}-01") for k in range(5) for i in range(4)]
+        df = spark.createDataFrame(rows, "k long, tier string, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        hist = scd2_history(df, ["k"], ["tier"], "ts")
+        per_key = hist.filter("is_current").groupBy("k").count().collect()
+        assert all(r["count"] == 1 for r in per_key) and len(per_key) == 5
+
+
+class TestRedactPii:
+    def test_masks_and_counts_every_class(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a.b@x.io or c@y.org, tel 555-123-4567, "
+                 "host 192.168.0.1, ssn 987-65-4321 end")],
+            "id long, text string",
+        )
+        row = redact_pii(df).collect()[0]
+        assert (row.n_email, row.n_phone, row.n_ipv4, row.n_ssn) == (2, 1, 1, 1)
+        assert row.n_pii == 5
+        assert row.redacted == (
+            "mail <EMAIL> or <EMAIL>, tel <PHONE>, host <IP>, ssn <SSN> end"
+        )
+
+    def test_clean_text_untouched_and_original_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "no pii here, just 42 words and v1.2 versions")],
+            "id long, text string",
+        )
+        out = redact_pii(df)
+        row = out.collect()[0]
+        assert row.n_pii == 0
+        assert row.redacted == "no pii here, just 42 words and v1.2 versions"
+        assert "text" not in out.columns
+        kept = redact_pii(df, keep_original=True)
+        assert "text" in kept.columns
+
+
+class TestFuzzyJoin:
+    def test_blocking_limits_pairs_and_distance_filters(self, spark):
+        rows = [
+            (1, "red ring"), (2, "blue ring"), (3, "red gear"),
+            (4, "rod ring"),  # lev(red→rod)=1
+        ]
+        df = spark.createDataFrame(rows, "pk long, name string")
+        pairs = fuzzy_self_join(
+            df, "pk", "name",
+            block_expr=F.element_at(F.split(F.col("name"), " "), 2),
+            max_distance=3,
+        )
+        got = {(r.id1, r.id2): r.distance for r in pairs.collect()}
+        # (1,4) lev=1 in-block; (1,2) lev=4 and (2,4) lev=4 filtered by
+        # distance; (x,3) cross-block never scored.
+        assert got == {(1, 4): 1}
+
+    def test_block_size_profile_counts_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"n{i % 2}") for i in range(7)], "pk long, b string"
+        )
+        prof = {
+            r.block: (r.n_rows, r.n_pairs)
+            for r in block_size_profile(df, F.col("b")).collect()
+        }
+        assert prof == {"n0": (4, 6), "n1": (3, 3)}
