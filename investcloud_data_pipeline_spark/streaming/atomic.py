@@ -50,9 +50,27 @@ def version_path(root: str, epoch_id: int) -> str:
     return os.path.join(root, f"v_{epoch_id}")
 
 
-def drop_superseded(root: str, keep_dir: str) -> None:
-    """Best-effort GC of older version dirs (never the committed one)."""
+def drop_superseded(root: str, keep_dir: str, retain: int = 1) -> None:
+    """Best-effort GC of older version dirs (never the committed one).
+
+    ``retain`` keeps the newest N versions INCLUDING the committed one —
+    retained older versions stay readable via ``read_version`` (time
+    travel / incident debugging), the same retention dial as a table
+    format's VACUUM."""
     keep = os.path.basename(keep_dir)
-    for name in os.listdir(root):
-        if name.startswith("v_") and name != keep:
+    versions = sorted(
+        (n for n in os.listdir(root) if n.startswith("v_")),
+        key=lambda n: int(n[2:]),
+        reverse=True,
+    )
+    retained = set(versions[: max(retain, 1)]) | {keep}
+    for name in versions:
+        if name not in retained:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def list_versions(root: str) -> list[int]:
+    """Epoch ids of every version still on disk, oldest first."""
+    return sorted(
+        int(n[2:]) for n in os.listdir(root) if n.startswith("v_")
+    )

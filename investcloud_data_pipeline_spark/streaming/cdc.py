@@ -38,6 +38,7 @@ def apply_cdc_batch(
     seq_col: str,
     batch_df: DataFrame,
     epoch_id: int,
+    retain: int = 1,
 ) -> None:
     """Merge one change micro-batch into the versioned snapshot."""
     last_epoch, current = read_committed(snapshot_root)
@@ -51,7 +52,7 @@ def apply_cdc_batch(
     new_dir = version_path(snapshot_root, epoch_id)
     merged.write.mode("overwrite").parquet(new_dir)
     commit_version(snapshot_root, epoch_id, new_dir)
-    drop_superseded(snapshot_root, new_dir)
+    drop_superseded(snapshot_root, new_dir, retain=retain)
 
 
 def read_snapshot(
@@ -62,6 +63,29 @@ def read_snapshot(
     if current is None:
         return spark.createDataFrame([], base_schema)
     return spark.read.schema(base_schema).parquet(current)
+
+
+def read_version(
+    spark: SparkSession,
+    snapshot_root: str,
+    base_schema: T.StructType,
+    epoch_id: int,
+) -> DataFrame:
+    """Time travel: read a RETAINED older snapshot version by epoch id
+    (raise if GC'd — the retention dial is ``drop_superseded``'s
+    ``retain``). The lakehouse-format ``VERSION AS OF`` shape on plain
+    parquet."""
+    import os
+
+    path = version_path(snapshot_root, epoch_id)
+    if not os.path.isdir(path):
+        from .atomic import list_versions
+
+        raise FileNotFoundError(
+            f"snapshot version {epoch_id} not on disk; retained: "
+            f"{list_versions(snapshot_root)}"
+        )
+    return spark.read.schema(base_schema).parquet(path)
 
 
 def start_cdc_apply(
@@ -76,6 +100,7 @@ def start_cdc_apply(
     available_now: bool = False,
     trigger_seconds: int = 60,
     max_files_per_trigger: int = 10,
+    retain: int = 1,
 ) -> StreamingQuery:
     """File-stream the change log and continuously MERGE it into the
     snapshot. ``change_schema`` = base columns + op + seq."""
@@ -99,6 +124,7 @@ def start_cdc_apply(
             seq_col,
             batch_df,
             epoch_id,
+            retain=retain,
         )
 
     writer = (

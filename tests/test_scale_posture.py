@@ -111,6 +111,30 @@ def test_tpch_remaining_plan_shapes(spark, sf_dir):
     assert "LeftSemi" in p21 and "LeftAnti" in p21
 
 
+def test_round2_plan_shapes(spark, sf_dir):
+    """Round-2 operators keep their scale posture: the YoY nation join
+    broadcasts its dimension; CDC merge resolves to ONE anti join plus
+    a union (no extra shuffles beyond key dedup + merge key); PII
+    redaction stays a single map-only projection (no exchange at all)."""
+    from investcloud_data_pipeline_spark.plans import lakehouse as LH
+    from investcloud_data_pipeline_spark.plans import mining as MN
+
+    yoy = _plan(MN.yoy_nation_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in yoy
+
+    cdc = _plan(LH.cdc_apply_customer(spark, sf_dir))
+    assert "LeftAnti" in cdc
+    assert "Union" in cdc
+
+    pii = _plan(LH.pii_redact_documents(spark, sf_dir))
+    assert "Exchange" not in pii  # pure narrow projection
+    assert "*(1) Project" in pii  # and whole-stage-codegen'd
+
+    funnel = _plan(MN.event_funnel(spark, sf_dir))
+    # two-level aggregate: per-user shuffle then singleton collapse
+    assert funnel.count("Exchange") <= 3
+
+
 def test_topk_uses_window_group_limit(spark, sf_dir):
     """Spark 4's WindowGroupLimit pushdown must kick in for the
     rank-filter top-k idiom — per-partition heaps instead of full
