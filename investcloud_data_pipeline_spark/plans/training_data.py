@@ -147,6 +147,150 @@ FROM documents
 """
 
 
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (sub-document) dedup profile: documents are split
+    into fixed 20-word chunks and exact-deduped BY CHUNK across the
+    corpus — the finer-grained pass that catches boilerplate shared
+    between otherwise-distinct documents (doc-level exact dedup misses
+    it). Output: per source, chunk totals and the duplicate ratio.
+
+    Scale: chunking is a narrow explode (fan-out = words/20 per doc);
+    the dedup is one groupBy on an md5 chunk digest — uniform keys,
+    map-side partials. Same shuffle economics as exact doc dedup."""
+    from ..functions.text import normalize_text
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(normalize_text("text"), " ")
+    chunked = (
+        d.select(
+            "source",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            (F.size(toks) - 1) / 20, F.lit(0)
+                        ).cast("int"),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * 20 + 1, 20), " "
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .filter(F.col("chunk") != "")
+        .select("source", F.md5("chunk").alias("chunk_digest"))
+    )
+    per_digest = chunked.groupBy("source", "chunk_digest").agg(
+        F.count("*").alias("n_copies")
+    )
+    return per_digest.groupBy("source").agg(
+        F.sum("n_copies").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct_chunks"),
+        F.round(
+            1.0 - F.count("*") / F.sum("n_copies"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+CORPUS_CHUNK_DEDUP_SQL = f"""
+WITH docs AS (SELECT source, {NORM_SQL} AS norm FROM documents),
+toks AS (SELECT source, string_split(norm, ' ') AS t FROM docs),
+chunks AS (
+  SELECT source,
+         unnest([array_to_string(t[i*20+1:i*20+20], ' ')
+                 FOR i IN range(0, CAST(greatest((len(t)-1)/20, 0) AS INT) + 1)]) AS chunk
+  FROM toks
+),
+digests AS (
+  SELECT source, md5(chunk) AS chunk_digest FROM chunks WHERE chunk <> ''
+),
+per_digest AS (
+  SELECT source, chunk_digest, count(*) AS n_copies
+  FROM digests GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       round(1.0 - count(*) / sum(n_copies), 6) AS dup_ratio
+FROM per_digest GROUP BY source
+"""
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering with a fixed linear model: a
+    logistic score over cheap text features (token count, type-token
+    ratio, mean word length, alnum density) with published weights —
+    the deterministic stand-in for a fastText-style quality classifier
+    (same plumbing: featurize → dot product → sigmoid → threshold).
+    Pure column expressions; at scale this is a map-only pass fused
+    into the scan."""
+    from ..functions.text import normalize_text
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(normalize_text("text"), " ")
+    n_tokens = F.size(F.filter(toks, lambda t: t != ""))
+    ttr = F.when(
+        n_tokens > 0,
+        F.size(F.array_distinct(F.filter(toks, lambda t: t != ""))) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    mean_wlen = F.when(
+        n_tokens > 0,
+        F.length(F.regexp_replace(normalize_text("text"), " ", "")) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    alnum = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", ""))
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    # fixed "model": w·x + b, logistic link
+    z = (
+        F.lit(-3.0)
+        + 0.02 * n_tokens
+        + 2.0 * ttr
+        + 0.3 * mean_wlen
+        + 1.5 * alnum
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(mean_wlen, 6).alias("mean_wlen"),
+        F.round(alnum, 6).alias("alnum_density"),
+        score.alias("quality_prob"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+TEXT_QUALITY_CLASSIFIER_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(string_split({NORM_SQL}, ' '), x -> x <> '')) AS n_tokens,
+         list_filter(string_split({NORM_SQL}, ' '), x -> x <> '') AS toks,
+         {NORM_SQL} AS norm,
+         text
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CASE WHEN n_tokens > 0 THEN len(list_distinct(toks)) / n_tokens ELSE 0.0 END AS ttr,
+         CASE WHEN n_tokens > 0 THEN length(replace(norm, ' ', '')) / n_tokens ELSE 0.0 END AS mean_wlen,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / length(text)
+              ELSE 0.0 END AS alnum
+  FROM f
+)
+SELECT doc_id, n_tokens,
+       round(ttr, 6) AS ttr,
+       round(mean_wlen, 6) AS mean_wlen,
+       round(alnum, 6) AS alnum_density,
+       round(1.0 / (1.0 + exp(-(-3.0 + 0.02*n_tokens + 2.0*ttr + 0.3*mean_wlen + 1.5*alnum))), 6) AS quality_prob,
+       round(1.0 / (1.0 + exp(-(-3.0 + 0.02*n_tokens + 2.0*ttr + 0.3*mean_wlen + 1.5*alnum))), 6) >= 0.5 AS keep
+FROM feats
+"""
+
+
 def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based split assignment per document (engine-
     portable: same doc → same split everywhere, no RNG)."""
@@ -842,6 +986,8 @@ QUERIES = {
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
     "text_bpe_token_count": (text_bpe_token_count, TEXT_BPE_TOKEN_COUNT_SQL),
+    "corpus_chunk_dedup": (corpus_chunk_dedup, CORPUS_CHUNK_DEDUP_SQL),
+    "text_quality_classifier": (text_quality_classifier, TEXT_QUALITY_CLASSIFIER_SQL),
     "corpus_train_test_split": (corpus_train_test_split, CORPUS_TRAIN_TEST_SPLIT_SQL),
     "corpus_stratified_sample": (corpus_stratified_sample, None),
     "corpus_clean_pipeline": (corpus_clean_pipeline, CORPUS_CLEAN_PIPELINE_SQL),
