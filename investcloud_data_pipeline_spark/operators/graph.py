@@ -46,12 +46,17 @@ def _small_graph_loop_conf(spark, n_edges: int, threshold: int = 5_000_000):
         yield
         return
     conf = spark.conf
-    saved = conf.get("spark.sql.adaptive.enabled", "true")
+    saved_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    saved_sp = conf.get("spark.sql.shuffle.partitions", "32")
     conf.set("spark.sql.adaptive.enabled", "false")
+    # Without AQE coalescing, pick a small static shuffle width for the
+    # tiny per-round exchanges (measured: 4.2s → 3.7s at 8 vs 32).
+    conf.set("spark.sql.shuffle.partitions", "8")
     try:
         yield
     finally:
-        conf.set("spark.sql.adaptive.enabled", saved)
+        conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        conf.set("spark.sql.shuffle.partitions", saved_sp)
 
 
 def connected_components(
