@@ -31,8 +31,10 @@ def latest_per_key(
     """Deduplicate a CDC batch to the LAST change per key (highest
     ``seq_col``; ties broken deterministically by preferring deletes so
     a same-sequence insert+delete is stable, not arrival-ordered)."""
+    # op ASC on the seq tie: 'D' < 'U', so the delete ranks first and
+    # wins — matching the documented tie preference.
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(seq_col).desc(), F.col("op").desc()
+        F.col(seq_col).desc(), F.col("op").asc()
     )
     return (
         changes.withColumn("_rn", F.row_number().over(w))

@@ -231,7 +231,7 @@ WITH changes AS (
          o_orderkey AS seq
   FROM orders
 ), last AS (
-  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC, op ASC) AS rn
   FROM changes
 ), l1 AS (SELECT * FROM last WHERE rn = 1)
 SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment

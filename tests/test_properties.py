@@ -117,3 +117,61 @@ def test_components_match_union_find_reference(edges):
         r.node: r.component for r in connected_components(df).collect()
     }
     assert got == _union_find_components(edges)
+
+
+# ---------- CDC merge: equivalence with a sequential reference fold ----------
+
+cdc_change_strategy = st.tuples(
+    st.integers(0, 6),                       # key
+    st.integers(0, 50),                      # payload value
+    st.booleans(),                           # is_delete
+    st.integers(0, 10**6),                   # seq
+)
+cdc_strategy = st.lists(cdc_change_strategy, min_size=0, max_size=30)
+base_strategy = st.dictionaries(
+    st.integers(0, 6), st.integers(0, 50), max_size=7
+)
+
+
+def _reference_merge(base: dict, changes) -> dict:
+    """Sequential fold in seq order (= the semantics apply_cdc promises
+    for its batch): last change per key wins; 'D' preferred on seq tie."""
+    out = dict(base)
+    last = {}
+    for k, v, is_del, seq in changes:
+        cur = last.get(k)
+        # same total order as latest_per_key: seq desc, then deletes
+        # win seq ties (op asc — 'D' ranks before 'U')
+        rank = (seq, 1 if is_del else 0)
+        if cur is None or rank > cur[0]:
+            last[k] = (rank, v, is_del)
+    for k, (_, v, is_del) in last.items():
+        if is_del:
+            out.pop(k, None)
+        else:
+            out[k] = v
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(base=base_strategy, changes=cdc_strategy)
+def test_apply_cdc_matches_sequential_fold(base, changes):
+    from investcloud_data_pipeline_spark.operators.merge import apply_cdc
+
+    spark = _get_spark()
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or
+        spark.sparkContext.emptyRDD(),
+        "k long, v long",
+    )
+    ch_df = spark.createDataFrame(
+        [(k, v, "D" if d else "U", s) for k, v, d, s in changes] or
+        spark.sparkContext.emptyRDD(),
+        "k long, v long, op string, seq long",
+    )
+    got = {
+        r.k: r.v
+        for r in apply_cdc(base_df, ch_df, ["k"], "seq").collect()
+    }
+    assert got == _reference_merge(base, changes)
