@@ -72,3 +72,24 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     assert out.filter("g = 2").count() == 25
     assert out.filter("g = 3").count() == 25
     assert out.filter("g = 1 AND id >= 1000").count() == 10
+
+
+def test_sql_scalar_and_table_function_surface(spark):
+    """Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN expr): declarative,
+    catalog-registered, fully optimizable — Catalyst inlines the body,
+    so unlike Python UDFs they stay in codegen."""
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS disc_price")
+    spark.sql(
+        "CREATE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    got = spark.sql(
+        "SELECT round(disc_price(100.0, 0.25), 2) AS v"
+    ).collect()[0].v
+    assert got == 75.0
+
+    # lateral column alias: later select items reference earlier ones
+    row = spark.sql(
+        "SELECT 21 AS half, half * 2 AS full_val"
+    ).collect()[0]
+    assert (row.half, row.full_val) == (21, 42)

@@ -72,3 +72,61 @@ def test_arrow_histogram_matches_pandas_path(media):
     arrow_out = {r.id: r.features for r in byte_histogram_arrow(media).collect()}
     assert arrow_out == pandas_out
     assert arrow_out[3] == [0.0] * 16  # empty payload
+
+
+class TestImageHeaderParse:
+    """Real PNG/JPEG header parsing (no codec library): handcrafted
+    minimal containers with known dimensions."""
+
+    @staticmethod
+    def _png(w, h):
+        import struct, zlib
+
+        ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr))
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+        )
+
+    @staticmethod
+    def _jpeg(w, h):
+        import struct
+
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 11)
+            + b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x01\x01\x11\x00"
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    def test_known_containers_and_corrupt_routing(self, spark):
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            image_header_meta,
+            parse_image_header,
+        )
+
+        assert parse_image_header(self._png(640, 480)) == ("png", 640, 480)
+        assert parse_image_header(self._jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+        assert parse_image_header(b"not an image at all") is None
+
+        rows = [
+            (1, bytearray(self._png(64, 32))),
+            (2, bytearray(self._jpeg(320, 200))),
+            (3, bytearray(b"\x00\x01garbage")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        got = {
+            r.id: (r.format, r.width, r.height, r.is_image)
+            for r in image_header_meta(df).collect()
+        }
+        assert got == {
+            1: ("png", 64, 32, True),
+            2: ("jpeg", 320, 200, True),
+            3: (None, None, None, False),
+        }
