@@ -246,9 +246,73 @@ FROM per_user
 """
 
 
+# ---------- cohort retention ----------
+#
+# Weekly signup cohorts × activity-week offsets: the retention-matrix
+# shape every growth team runs. Two aggregates over the fact stream
+# (per-user signup week; distinct user-activity weeks) joined on user —
+# both shuffle on user_id, so AQE reuses one exchange; the final matrix
+# is |cohorts × offsets| rows, KB-sized at any fact scale.
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    cohort_sizes = signup.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("n_cohort")
+    )
+    matrix = (
+        signup.join(active, "user_id")
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .withColumn(
+            "week_offset",
+            (F.datediff("active_week", "cohort_week") / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return matrix.join(cohort_sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH signup AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week FROM events
+), cohort_sizes AS (
+  SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+  FROM signup GROUP BY cohort_week
+), matrix AS (
+  SELECT s.cohort_week,
+         CAST(date_diff('day', s.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
+         CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_active
+  FROM signup s JOIN active a ON s.user_id = a.user_id
+  WHERE a.active_week >= s.cohort_week
+  GROUP BY 1, 2
+)
+SELECT m.cohort_week, m.week_offset, m.n_active, c.n_cohort,
+       round(m.n_active / c.n_cohort, 6) AS retention
+FROM matrix m JOIN cohort_sizes c ON m.cohort_week = c.cohort_week
+"""
+
+
 QUERIES = {
     "yoy_nation_revenue": (yoy_nation_revenue, YOY_NATION_REVENUE_SQL),
     "copurchase_part_pairs": (copurchase_part_pairs, COPURCHASE_PART_PAIRS_SQL),
     "dedup_triangle_stats": (dedup_triangle_stats, _triangle_sql()),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
+    "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
 }
