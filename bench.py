@@ -39,8 +39,19 @@ def main() -> None:
     # ±40% (JIT, page cache, GC alignment); min-of-2 warm runs is the
     # achievable number and is what BASELINE.md's per-query table holds.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # Budget guard: never start a later pass if the elapsed wall clock
+    # already exceeds this — protects any driver-side timeout while
+    # keeping min-of-2 on the normal path.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    bench_t0 = time.time()
     timings: dict[str, float] = {}
     for pass_i in range(n_passes):
+        if pass_i > 0 and time.time() - bench_t0 > budget_s:
+            print(
+                f"bench: skipping pass {pass_i + 1} (budget {budget_s}s exceeded)",
+                file=sys.stderr,
+            )
+            break
         for name, fn in entrymod.queries().items():
             t0 = time.time()
             try:

@@ -117,13 +117,10 @@ HAVING count(*) >= 3
 # fan-out; degrees come from one aggregate over the symmetrized edges.
 
 def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup_fuzzy as DFZ
+    from .training_data import jaccard_pairs_cached
 
-    docs = _t(spark, sf_dir, "documents")
     pairs = (
-        DFZ.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
-        .select("id1", "id2")
-        .persist()
+        jaccard_pairs_cached(spark, sf_dir).select("id1", "id2").persist()
     )
     p1 = pairs.alias("p1")
     p2 = pairs.alias("p2")

