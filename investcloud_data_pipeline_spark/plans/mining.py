@@ -306,10 +306,103 @@ FROM matrix m JOIN cohort_sizes c ON m.cohort_week = c.cohort_week
 """
 
 
+# ---------- count-min sketch ----------
+#
+# A full CMS pipeline in relational form: build the d×w counter table
+# with one groupBy over (hash-row, bucket) pairs, then answer per-key
+# frequency estimates with min-over-rows. Engine-portable hashing: the
+# bucket id is a 2-hex-char md5 prefix (w=256, same md5-string trick as
+# the MinHash family — no hex→int conversion, which DuckDB lacks), so
+# DuckDB builds the IDENTICAL sketch and the oracle checks estimates
+# exactly, plus the CMS guarantee est ≥ true. Scale: the sketch is d×w
+# rows regardless of stream size (broadcastable); the build is one
+# map-side-combinable aggregate over d×|stream| narrow rows.
+
+_CMS_D = 4        # hash rows
+# w = 256 buckets per row: the two-hex-char md5 prefix
+
+
+def _cms_bucket(col, seed: int):
+    return F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 2)
+
+
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    pairs = e.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(key, s) for s in range(_CMS_D)])
+        ).alias("row", "bucket")
+    )
+    sketch = pairs.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+    truth = e.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    probes = truth.select(
+        "user_id",
+        "true_n",
+        F.posexplode(
+            F.array(
+                *[
+                    _cms_bucket(F.col("user_id").cast("string"), s)
+                    for s in range(_CMS_D)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return est.select(
+        "user_id",
+        F.col("true_n").cast("long").alias("true_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") >= F.col("true_n")).alias("never_underestimates"),
+    )
+
+
+def _cms_sql() -> str:
+    def bucket(src: str, s: int) -> str:
+        return f"substr(md5('s{s}:' || CAST({src} AS VARCHAR)), 1, 2)"
+
+    pair_rows = "\n  UNION ALL\n".join(
+        f"  SELECT {s} AS row, {bucket('user_id', s)} AS bucket FROM events"
+        for s in range(_CMS_D)
+    )
+    probe_rows = "\n  UNION ALL\n".join(
+        f"  SELECT user_id, true_n, {s} AS row, {bucket('user_id', s)} AS bucket FROM truth"
+        for s in range(_CMS_D)
+    )
+    return f"""
+WITH pairs AS (
+{pair_rows}
+),
+sketch AS (
+  SELECT row, bucket, count(*) AS cnt FROM pairs GROUP BY row, bucket
+),
+truth AS (
+  SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id
+),
+probes AS (
+{probe_rows}
+),
+est AS (
+  SELECT user_id, true_n, min(cnt) AS est_n
+  FROM probes JOIN sketch USING (row, bucket)
+  GROUP BY user_id, true_n
+)
+SELECT user_id, CAST(true_n AS BIGINT) AS true_n, CAST(est_n AS BIGINT) AS est_n,
+       est_n >= true_n AS never_underestimates
+FROM est
+"""
+
+
 QUERIES = {
     "yoy_nation_revenue": (yoy_nation_revenue, YOY_NATION_REVENUE_SQL),
     "copurchase_part_pairs": (copurchase_part_pairs, COPURCHASE_PART_PAIRS_SQL),
     "dedup_triangle_stats": (dedup_triangle_stats, _triangle_sql()),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
+    "cms_user_counts": (cms_user_counts, _cms_sql()),
 }

@@ -311,6 +311,78 @@ FROM feats
 """
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per source: term frequency summed per
+    (source, term) × ln(N/df) with unsmoothed document frequency —
+    the standard corpus-characterization pass (what distinguishes one
+    source's vocabulary from the rest).
+
+    Scale: two aggregations over the exploded token stream (per-term df
+    via distinct doc count, per-(source,term) tf) — both shuffle on the
+    term, partial aggregation does the heavy lifting; the idf side is
+    |vocabulary| rows and broadcasts into the final join; top-k per
+    source is a WindowGroupLimit heap, not a global sort. The tf×idf
+    product multiplies an integer count by one double — no sum-order
+    float nondeterminism."""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()
+    tok = d.select("doc_id", "source", F.explode(tokens("text")).alias("term"))
+    df_counts = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf_counts = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf_counts.join(F.broadcast(df_counts), "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "source",
+            F.col("rn").cast("long").alias("rn"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+        )
+    )
+
+
+TEXT_TFIDF_TOP_TERMS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, {NORM_SQL} AS norm FROM documents
+), tok AS (
+  SELECT doc_id, source, unnest(string_split(norm, ' ')) AS term
+  FROM docs WHERE norm <> ''
+), df_counts AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), tf_counts AS (
+  SELECT source, term, count(*) AS tf FROM tok GROUP BY source, term
+), scored AS (
+  SELECT source, term, tf, df,
+         round(tf * ln((SELECT count(*) FROM documents) / df), 6) AS tfidf
+  FROM tf_counts JOIN df_counts USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT source, CAST(rn AS BIGINT) AS rn, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM ranked WHERE rn <= 5
+"""
+
+
 def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based split assignment per document (engine-
     portable: same doc → same split everywhere, no RNG)."""
@@ -1008,6 +1080,7 @@ QUERIES = {
     "text_bpe_token_count": (text_bpe_token_count, TEXT_BPE_TOKEN_COUNT_SQL),
     "corpus_chunk_dedup": (corpus_chunk_dedup, CORPUS_CHUNK_DEDUP_SQL),
     "text_quality_classifier": (text_quality_classifier, TEXT_QUALITY_CLASSIFIER_SQL),
+    "text_tfidf_top_terms": (text_tfidf_top_terms, TEXT_TFIDF_TOP_TERMS_SQL),
     "corpus_train_test_split": (corpus_train_test_split, CORPUS_TRAIN_TEST_SPLIT_SQL),
     "corpus_stratified_sample": (corpus_stratified_sample, None),
     "corpus_clean_pipeline": (corpus_clean_pipeline, CORPUS_CLEAN_PIPELINE_SQL),
