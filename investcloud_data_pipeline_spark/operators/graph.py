@@ -262,6 +262,76 @@ def connected_components_star(
     return members.union(roots)
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping: float = 0.85,
+    undirected: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank by power iteration in DataFrame ops.
+
+    Per round: one join of ranks onto the out-edge list + one grouped
+    sum of contributions — both shuffle on node id, the same economics
+    as min-label propagation. A FIXED iteration count (not an epsilon
+    test) keeps the operator deterministic and oracle-expressible (the
+    DuckDB mirror is a recursive CTE with an iteration counter).
+
+    Dangling nodes cannot exist here: with ``undirected`` every node has
+    out-degree ≥ 1; in a directed input, sinks still accumulate rank but
+    leak their own mass (classic simplification; add a dangling-mass
+    redistribution term if exact stochastic normalization matters).
+    Returns (node, rank), rank approximately summing to 1.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if undirected:
+        e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.distinct().persist()
+
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+    out = e.join(deg, "a")  # (a, b, deg)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    n_edges = e.count()
+    with _small_graph_loop_conf(edges.sparkSession, n_edges):
+        for _ in range(n_iter):
+            contribs = (
+                out.join(ranks, out.a == ranks.node)
+                .select(
+                    F.col("b").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_sum"))
+            )
+            new_ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .persist()
+            )
+            new_ranks.count()  # materialize before dropping the parent
+            ranks.unpersist()
+            ranks = new_ranks
+    e.unpersist()
+    return ranks
+
+
 def canonical_per_component(
     labeled: DataFrame,
     node_col: str = "node",

@@ -398,6 +398,66 @@ FROM est
 """
 
 
+
+
+# ---------- PageRank on the co-purchase graph ----------
+#
+# Power iteration entirely in DataFrame ops (operators/graph.py): the
+# classic "which products anchor the catalog" centrality over parts
+# that co-occur in orders. Fixed 5 iterations keeps it deterministic
+# and lets the DuckDB oracle mirror it with an iteration-counter
+# recursive CTE. Float note: the per-node contribution sums fold in
+# engine-specific order; round(6) absorbs the ~1e-15 reassociation
+# noise (values are O(1e-3..1)).
+
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    edges = copurchase_part_pairs(spark, sf_dir).select(
+        F.col("part1").alias("src"), F.col("part2").alias("dst")
+    )
+    pr = pagerank(edges, n_iter=5, damping=0.85, undirected=True)
+    return pr.select(
+        F.col("node").alias("part"), F.round("rank", 6).alias("rank")
+    )
+
+
+COPURCHASE_PAGERANK_SQL = """
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), edges AS (
+  SELECT part1 AS a, part2 AS b FROM pairs
+  UNION
+  SELECT part2, part1 FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), deg AS (
+  SELECT a, count(*) AS deg FROM edges GROUP BY a
+), n_total AS (
+  SELECT count(*) AS n FROM nodes
+), pr(iter, node, rank) AS (
+  SELECT 0, node, 1.0 / (SELECT n FROM n_total) FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, nd.node,
+         (1.0 - 0.85) / (SELECT n FROM n_total)
+         + 0.85 * coalesce((
+             SELECT sum(p2.rank / d.deg)
+             FROM edges e
+             JOIN pr p2 ON p2.node = e.a AND p2.iter = p.iter
+             JOIN deg d ON d.a = e.a
+             WHERE e.b = nd.node
+           ), 0.0)
+  FROM (SELECT DISTINCT iter FROM pr WHERE iter < 5) p, nodes nd
+)
+SELECT node AS part, round(rank, 6) AS rank FROM pr WHERE iter = 5
+"""
+
+
 QUERIES = {
     "yoy_nation_revenue": (yoy_nation_revenue, YOY_NATION_REVENUE_SQL),
     "copurchase_part_pairs": (copurchase_part_pairs, COPURCHASE_PART_PAIRS_SQL),
@@ -405,4 +465,5 @@ QUERIES = {
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "cms_user_counts": (cms_user_counts, _cms_sql()),
+    "copurchase_pagerank": (copurchase_pagerank, COPURCHASE_PAGERANK_SQL),
 }

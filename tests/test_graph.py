@@ -87,3 +87,17 @@ def test_canonical_per_component(spark):
         for r in canonical_per_component(labeled).collect()
     }
     assert canon == {1: (1, 3), 20: (20, 2)}
+
+
+def test_pagerank_star_graph_properties(spark):
+    from investcloud_data_pipeline_spark.operators.graph import pagerank
+
+    # star: hub 0 connected to leaves 1..6 — hub must outrank leaves,
+    # all leaves equal, total mass ~1
+    edges = [(0, i) for i in range(1, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=10).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    hub, leaves = got[0], [v for k, v in got.items() if k != 0]
+    assert all(hub > l for l in leaves)
+    assert max(leaves) - min(leaves) < 1e-12
