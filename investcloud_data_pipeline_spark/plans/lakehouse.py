@@ -345,6 +345,59 @@ SELECT bucket, count(*) AS n_events FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+# ---------- declarative DQ expectation suite ----------
+
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style check suite over orders: null/domain/range/regex
+    checks fused into one scan, uniqueness via one grouped pass,
+    referential integrity to customer via one broadcast anti-join —
+    a (check, n_violations, passed) report, |checks| rows at any
+    table size."""
+    from ..operators import expectations as E
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return E.validate(
+        o,
+        [
+            E.not_null("o_custkey"),
+            E.not_null("o_orderdate"),
+            E.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            E.in_range("o_totalprice", 0.0, None),
+            E.matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+            E.unique("o_orderkey"),
+            E.references("o_custkey", c, "c_custkey"),
+        ],
+    )
+
+
+DQ_EXPECTATIONS_ORDERS_SQL = r"""
+WITH row_checks AS (
+  SELECT * FROM (
+    VALUES
+      ('not_null:o_custkey',
+         (SELECT CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders)),
+      ('not_null:o_orderdate',
+         (SELECT CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) FROM orders)),
+      ('accepted_values:o_orderstatus',
+         (SELECT CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL) AS BIGINT) FROM orders)),
+      ('in_range:o_totalprice',
+         (SELECT CAST(count(*) FILTER (WHERE o_totalprice < 0.0) AS BIGINT) FROM orders)),
+      ('matches:o_orderpriority',
+         (SELECT CAST(count(*) FILTER (WHERE o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')) AS BIGINT) FROM orders)),
+      ('unique:o_orderkey',
+         (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+          FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey))),
+      ('references:o_custkey->c_custkey',
+         (SELECT CAST(count(*) AS BIGINT) FROM orders
+          WHERE o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)))
+  ) AS t("check", n_violations)
+)
+SELECT "check", n_violations, n_violations = 0 AS passed FROM row_checks
+"""
+
+
 QUERIES = {
     "pii_redact_documents": (pii_redact_documents, PII_REDACT_DOCUMENTS_SQL),
     "url_domain_stats": (url_domain_stats, URL_DOMAIN_STATS_SQL),
@@ -353,4 +406,5 @@ QUERIES = {
     "scd2_priority_history": (scd2_priority_history, SCD2_PRIORITY_HISTORY_SQL),
     "embedding_dim_stats": (embedding_dim_stats, EMBEDDING_DIM_STATS_SQL),
     "value_histogram": (value_histogram, VALUE_HISTOGRAM_SQL),
+    "dq_expectations_orders": (dq_expectations_orders, DQ_EXPECTATIONS_ORDERS_SQL),
 }

@@ -153,3 +153,54 @@ class TestFuzzyJoin:
             for r in block_size_profile(df, F.col("b")).collect()
         }
         assert prof == {"n0": (4, 6), "n1": (3, 3)}
+
+
+class TestExpectations:
+    def test_suite_counts_planted_violations(self, spark):
+        from investcloud_data_pipeline_spark.operators import expectations as E
+
+        df = spark.createDataFrame(
+            [
+                (1, "A", 10.0, "x-1"),
+                (1, "A", -5.0, "x-2"),     # dup id, negative value
+                (2, None, 3.0, "bad"),     # null status, regex miss
+                (3, "Z", 7.0, "x-3"),      # unaccepted status
+            ],
+            "id long, status string, v double, code string",
+        )
+        ref = spark.createDataFrame([(1,), (2,)], "k long")
+        report = {
+            r.check: (r.n_violations, r.passed)
+            for r in E.validate(
+                df,
+                [
+                    E.not_null("status"),
+                    E.accepted_values("status", ["A", "B"]),
+                    E.in_range("v", 0.0, None),
+                    E.matches("code", r"^x-\d+$"),
+                    E.unique("id"),
+                    E.references("id", ref, "k"),
+                ],
+            ).collect()
+        }
+        assert report == {
+            "not_null:status": (1, False),
+            "accepted_values:status": (2, False),  # null + 'Z'
+            "in_range:v": (1, False),
+            "matches:code": (1, False),
+            "unique:id": (1, False),
+            "references:id->k": (1, False),  # id=3 orphaned
+        }
+
+    def test_clean_table_passes_everything(self, spark):
+        from investcloud_data_pipeline_spark.operators import expectations as E
+
+        df = spark.createDataFrame(
+            [(1, "A"), (2, "B")], "id long, status string"
+        )
+        report = E.validate(
+            df,
+            [E.not_null("status"), E.accepted_values("status", ["A", "B"]),
+             E.unique("id")],
+        )
+        assert all(r.passed for r in report.collect())
