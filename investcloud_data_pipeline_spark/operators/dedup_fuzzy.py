@@ -294,6 +294,67 @@ def simhash_candidates(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped near-duplicate pairs (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", 2023): k-means partitions the embedding space, then
+    cosine near-dup pairs are searched only WITHIN each cluster.
+
+    This is the billion-document scale path for embedding dedup: the
+    all-pairs compare (``embedding_near_dup_pairs``) is O(n²); clustering
+    first turns it into k independent O((n/k)²) blocks that self-join on
+    the cluster id — one shuffle co-partitioning both sides, no row ever
+    compared across clusters. The deliberate trade (as in the paper) is
+    that pairs straddling a cluster boundary are missed; recall against
+    the exact all-pairs set is asserted in tests. Seeded k-means is
+    deterministic run-to-run but not SQL-expressible → rows-only oracle.
+
+    Returns (id1, id2, cluster, cos) with id1 < id2, cos rounded to 6
+    exactly like the all-pairs plans.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vectors import dot, l2_norm
+
+    with_vec = df.withColumn(
+        "features", array_to_vector(to_double_array(vec_col))
+    )
+    # Same fit economics as simsearch.ivf_topk: cells need a spatial
+    # split, not converged clusters.
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=8, featuresCol="features"
+    ).fit(with_vec)
+    assigned = model.transform(with_vec).select(
+        F.col(id_col).alias("id"),
+        to_double_array(vec_col).alias("v"),
+        F.col("prediction").alias("cluster"),
+    ).persist()
+    a = assigned.select(
+        F.col("id").alias("id1"), F.col("v").alias("v1"), "cluster"
+    ).withColumn("n1", l2_norm(F.col("v1")))
+    b = assigned.select(
+        F.col("id").alias("id2"), F.col("v").alias("v2"), "cluster"
+    ).withColumn("n2", l2_norm(F.col("v2")))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", F.col("cluster").cast("long").alias("cluster"), "cos")
+    )
+
+
 def embedding_near_dup_pairs_fast(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -158,6 +158,77 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_lm_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style LM quality proxy: train a corpus-wide word-bigram
+    language model (add-one smoothing) on the documents themselves and
+    score every document by the average negative log-probability of its
+    bigrams — the standard "perplexity filter" a training-data pipeline
+    runs to rank documents by in-distribution-ness before mixing
+    (Wenzek et al., "CCNet", 2020 use a KenLM 5-gram; the bigram form
+    keeps the identical pipeline shape with a model that trains in two
+    aggregations).
+
+    Model: p(w2|w1) = (B(w1,w2) + 1) / (U(w1) + V) with B = bigram
+    count, U = context count, V = corpus vocabulary size. Score =
+    avg over the doc's bigram instances of -ln p; ppl = exp(score).
+    Docs with < 2 tokens carry NULL score (nothing to evaluate).
+
+    Scale notes: one explode pass over the corpus, two partial-agg
+    shuffles keyed on (w1,w2) and (w1), then one join of instances back
+    onto the model — also keyed (w1,w2), so AQE reuses the exchange.
+    Frequent bigrams ("of the") make heavy-but-bounded partitions: the
+    model side is one row per bigram, so the join has no row
+    amplification and AQE skew-split handles the uneven instance side.
+    The vocabulary scalar rides in on a broadcast of a 1-row aggregate.
+    """
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    # Pairs via index transform (same pattern as repetition_stats's
+    # bigrams; `toks` is a plain attribute here so the HOF doesn't
+    # re-evaluate the tokenization per element).
+    big = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array() ELSE "
+        "transform(sequence(0, size(toks)-2), "
+        "i -> struct(toks[i] AS w1, toks[i+1] AS w2)) END"
+    )
+    inst = (
+        toks_df.select(F.col(id_col), F.explode(big).alias("bg"))
+        .select(F.col(id_col), F.col("bg.w1"), F.col("bg.w2"))
+    )
+    big_counts = inst.groupBy("w1", "w2").agg(F.count("*").alias("b_cnt"))
+    ctx_counts = inst.groupBy("w1").agg(F.count("*").alias("u_cnt"))
+    vocab = toks_df.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    model = (
+        big_counts.join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.log((F.col("b_cnt") + F.lit(1.0)) / (F.col("u_cnt") + F.col("v"))
+                  ).alias("logp"),
+        )
+    )
+    scored = (
+        inst.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(-F.col("logp")).alias("a"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round("a", 6).alias("avg_nll"),
+            F.round(F.exp("a"), 4).alias("ppl"),
+        )
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition filters: the fraction-of-repeated-content

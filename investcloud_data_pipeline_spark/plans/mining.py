@@ -458,8 +458,82 @@ SELECT node AS part, round(rank, 6) AS rank FROM pr WHERE iter = 5
 """
 
 
+# ---------- robust outlier detection (median / MAD) ----------
+#
+# The anomaly-report shape a pipeline runs on metric streams: per-group
+# robust center (median) and spread (MAD), then count points beyond
+# k scaled-MADs. Mean/stddev would be poisoned by the outliers being
+# hunted; median/MAD have a 50% breakdown point. Physically: two
+# grouped exact-percentile aggregations (the second over |v - med|,
+# needing one join of the per-group medians back onto the facts — a
+# broadcast, since there is one row per group) plus a conditional count.
+# At 100 TB swap the exact percentiles for approx_percentile and the
+# plan shape is unchanged.
+
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+        F.count("*").alias("n"),
+    )
+    flagged = (
+        e.join(F.broadcast(mad.select("event_type", "med", "mad")), "event_type")
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("value") - F.col("med"))
+                > 3.0 * 1.4826 * F.col("mad")
+            ).cast("int").alias("is_out"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("is_out").alias("n_outliers"))
+    )
+    return (
+        mad.join(flagged, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_VALUE_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT m.event_type, m.n,
+       round(m.med, 6) AS med,
+       round(d.mad, 6) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY 1, 2, 3, 4
+ORDER BY m.event_type
+"""
+
+
 QUERIES = {
     "yoy_nation_revenue": (yoy_nation_revenue, YOY_NATION_REVENUE_SQL),
+    "event_value_outliers": (event_value_outliers, EVENT_VALUE_OUTLIERS_SQL),
     "copurchase_part_pairs": (copurchase_part_pairs, COPURCHASE_PART_PAIRS_SQL),
     "dedup_triangle_stats": (dedup_triangle_stats, _triangle_sql()),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),

@@ -167,6 +167,42 @@ FROM documents
 """
 
 
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter: corpus-trained word-bigram LM with
+    add-one smoothing, every document scored by avg -ln p of its
+    bigrams. Oracle restates the identical counts + ln arithmetic."""
+    return TX.bigram_lm_score(_docs(spark, sf_dir))
+
+
+TEXT_LM_PERPLEXITY_SQL = f"""
+WITH docs AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM docs WHERE norm <> ''),
+tok_pos AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM toks
+),
+inst AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok_pos a JOIN tok_pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, w2, count(*) AS b_cnt FROM inst GROUP BY 1, 2),
+uc AS (SELECT w1, count(*) AS u_cnt FROM inst GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM tok_pos),
+model AS (
+  SELECT w1, w2, ln((b_cnt + 1.0) / (u_cnt + (SELECT v FROM v))) AS logp
+  FROM bc JOIN uc USING (w1)
+),
+nll AS (
+  SELECT doc_id, count(*) AS n_bigrams, avg(-logp) AS a
+  FROM inst JOIN model USING (w1, w2) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(a, 6) AS avg_nll,
+       round(exp(a), 4) AS ppl
+FROM documents d LEFT JOIN nll USING (doc_id)
+"""
+
+
 def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level (sub-document) dedup profile: documents are split
     into fixed 20-word chunks and exact-deduped BY CHUNK across the
@@ -558,6 +594,14 @@ def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DF.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-scoped near-dup pairs — the k-independent-blocks
+    scale path for embedding dedup; rows-only (seeded k-means)."""
+    return DF.semantic_dedup_pairs(
+        _emb(spark, sf_dir), threshold=0.35, n_cells=8
+    )
 
 
 def dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1078,6 +1122,7 @@ QUERIES = {
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
     "text_bpe_token_count": (text_bpe_token_count, TEXT_BPE_TOKEN_COUNT_SQL),
+    "text_lm_perplexity": (text_lm_perplexity, TEXT_LM_PERPLEXITY_SQL),
     "corpus_chunk_dedup": (corpus_chunk_dedup, CORPUS_CHUNK_DEDUP_SQL),
     "text_quality_classifier": (text_quality_classifier, TEXT_QUALITY_CLASSIFIER_SQL),
     "text_tfidf_top_terms": (text_tfidf_top_terms, TEXT_TFIDF_TOP_TERMS_SQL),
@@ -1092,6 +1137,7 @@ QUERIES = {
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "winsorize_event_values": (winsorize_event_values, WINSORIZE_EVENT_VALUES_SQL),
     "dedup_embedding_cosine_fast": (dedup_embedding_cosine_fast, None),  # rows-only
+    "dedup_semantic_pairs": (dedup_semantic_pairs, None),  # rows-only (kmeans)
     "ann_brute_force_topk": (ann_brute_force_topk, ANN_BRUTE_FORCE_TOPK_SQL),
     "ann_lsh_bucketed_topk": (ann_lsh_bucketed_topk, ANN_LSH_BUCKETED_TOPK_SQL),
     "ann_brp_lsh_topk": (ann_brp_lsh_topk, None),  # rows-only (ml randomness)

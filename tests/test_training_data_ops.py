@@ -405,3 +405,68 @@ def test_source_mix_rates_equalize_tokens(spark):
     assert out["small"].sample_rate == 1.0
     assert out["big"].sample_rate == 0.25  # 100 / 400
     assert out["big"].total_tokens == 400
+
+
+def test_semantic_dedup_finds_all_within_cluster_pairs(spark):
+    """Two well-separated vector groups, near-identical within each:
+    k-means must isolate the groups, so the cluster-scoped search finds
+    every within-group pair with the same rounded cosine as the exact
+    all-pairs plan (the only pairs it may ever miss straddle clusters,
+    and none do here)."""
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        embedding_near_dup_pairs_expr,
+        semantic_dedup_pairs,
+    )
+
+    rows = []
+    for i in range(6):  # group A around (1, 0, 0, ...)
+        rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))
+    for i in range(6, 12):  # group B around (0, 0, 1, ...)
+        rows.append((i, [0.0, 0.0, 1.0, 0.001 * i]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.id1, r.id2): r.cos
+             for r in embedding_near_dup_pairs_expr(emb, threshold=0.9).collect()}
+    sem = {(r.id1, r.id2): r.cos
+           for r in semantic_dedup_pairs(emb, threshold=0.9, n_cells=2).collect()}
+    assert sem == exact
+    assert len(exact) == 2 * (6 * 5 // 2)  # all within-group pairs
+
+
+def test_semantic_dedup_subset_of_exact_on_testdata(spark, sf_dir):
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        embedding_near_dup_pairs_expr,
+        semantic_dedup_pairs,
+    )
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id1, r.id2): r.cos
+             for r in embedding_near_dup_pairs_expr(emb, threshold=0.3).collect()}
+    sem = {(r.id1, r.id2): r.cos
+           for r in semantic_dedup_pairs(emb, threshold=0.3, n_cells=4).collect()}
+    assert set(sem) <= set(exact)
+    for p, c in sem.items():
+        assert c == exact[p]
+
+
+def test_bigram_lm_score_ranks_and_edge_cases(spark):
+    from math import exp
+
+    from investcloud_data_pipeline_spark.operators.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat the cat sat the cat sat"),  # repeated bigrams
+            (2, "zebra quantum violet marmalade kettle"),  # all-unique bigrams
+            (3, "word"),  # single token: nothing to score
+            (4, ""),  # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert out[1].n_bigrams == 8 and out[2].n_bigrams == 4
+    # high-count bigrams are more probable -> lower avg negative log prob
+    assert out[1].avg_nll < out[2].avg_nll
+    assert out[3].n_bigrams == 0 and out[3].avg_nll is None
+    assert out[4].n_bigrams == 0 and out[4].ppl is None
+    assert abs(out[1].ppl - round(exp(out[1].avg_nll), 2)) < 0.01
