@@ -584,7 +584,10 @@ GROUP BY l_orderkey
 # regardless of intra-frame ordering of timestamp ties.
 def time_range_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    micros = F.unix_micros(F.col("ts"))
+    # Defensive cast: unix_micros requires TIMESTAMP (ltz); load_table
+    # normalizes TIMESTAMP_NTZ parquet drift already, but keep this query
+    # robust to any caller handing in an NTZ column directly.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
     amount = F.floor(F.col("value") * 1_000_000).cast("long")
     w = (
         Window.partitionBy("user_id")

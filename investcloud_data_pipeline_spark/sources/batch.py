@@ -47,8 +47,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Parquet logical-type drift: some generator runs write
+            # isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ.
+            # The whole registry (and every time function: unix_micros,
+            # window(), watermarks) assumes TIMESTAMP; with the session
+            # pinned to UTC above, this cast is instant-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -89,3 +89,37 @@ class TestSchemaEvolution:
         bad = T.StructType([T.StructField("v", T.StringType())])
         with _pytest.raises(ValueError, match="incompatible evolution"):
             merge_schemas(old, bad)
+
+
+class TestTimestampTypeContract:
+    """events.ts must surface as TIMESTAMP (ltz) regardless of the parquet
+    logical type the generator wrote (INT64 nanos → legacy long read, or
+    isAdjustedToUTC=false → TIMESTAMP_NTZ). Every time function in the
+    registry (unix_micros, window(), watermarks) requires TIMESTAMP, so a
+    drift here breaks queries far from the source — pin it at load."""
+
+    def test_ts_is_timestamp_ltz_across_sf_dirs(self, spark):
+        import os
+
+        from pyspark.sql.types import TimestampType
+
+        from investcloud_data_pipeline_spark.sources.batch import load_table
+
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            d = f"/root/testdata/{sf}"
+            if not os.path.isdir(d):
+                continue
+            df = load_table(spark, d, "events")
+            assert isinstance(df.schema["ts"].dataType, TimestampType), (
+                f"{sf}: events.ts is {df.schema['ts'].dataType}, "
+                "expected TIMESTAMP — load_table normalization regressed"
+            )
+
+    def test_unix_micros_works_on_loaded_events(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from investcloud_data_pipeline_spark.sources.batch import load_table
+
+        df = load_table(spark, sf_dir, "events")
+        row = df.select(F.unix_micros("ts").alias("us")).first()
+        assert row["us"] is not None
