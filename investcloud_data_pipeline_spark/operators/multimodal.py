@@ -48,21 +48,180 @@ def attach_binary_payload(
     )
 
 
-def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Real media decode — STUB. Raises unless a codec library exists.
+def codec_backend() -> str:
+    """Which pixel-decode backend this environment provides.
 
-    The Spark plumbing (Arrow batches through mapInPandas with a typed
-    output schema) is exactly ``fake_decode_dims``; only the per-batch
-    kernel differs.
+    ``"pil"`` when Pillow is importable (all formats it supports);
+    otherwise ``"stdlib-png"`` — the pure-stdlib PNG path below, which
+    needs only ``zlib`` and decodes non-interlaced 8-bit gray/RGB/RGBA
+    PNGs for real. There is no environment with *no* backend.
     """
     try:
         import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env has no codecs
-        raise NotImplementedError(
-            "media codecs unavailable in this environment; use "
-            "fake_decode_dims for the deterministic stand-in"
-        ) from exc
-    raise NotImplementedError("real decode kernel not implemented yet")
+
+        return "pil"
+    except ImportError:
+        return "stdlib-png"
+
+
+def decode_png_pixels(payload: bytes) -> "np.ndarray | None":
+    """REAL PNG pixel decode with the stdlib only (public PNG spec,
+    RFC 2083): signature → IHDR → concatenated IDAT → zlib inflate →
+    per-scanline unfilter (None/Sub/Up/Average/Paeth). Supports the
+    formats our fixtures and most ML-pipeline thumbnails use:
+    non-interlaced, bit depth 8, color type 0 (gray), 2 (RGB), 6
+    (RGBA). Returns an (h, w, channels) uint8 array, or None for
+    anything else (caller routes to quarantine, never raises)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None or depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub — sequential in x, vectorized over channels
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, channels)
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """Pure-stdlib PNG encoder (filter 0 scanlines, one zlib stream):
+    the inverse of :func:`decode_png_pixels` for 8-bit gray/RGB/RGBA.
+    Used by the thumbnail-writeback sink shape and as the test fixture
+    generator — real, decodable-by-anything PNG bytes."""
+    import struct
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_pixels(payload: bytes) -> "np.ndarray | None":
+    """One payload → (h, w, c) uint8 pixels, via the best available
+    backend. PIL handles every format it knows; the stdlib path covers
+    PNG. Anything undecodable returns None (quarantine routing)."""
+    if codec_backend() == "pil":
+        import io
+
+        import PIL.Image
+
+        try:
+            img = PIL.Image.open(io.BytesIO(payload))
+            arr = np.asarray(img.convert(img.mode if img.mode in ("L", "RGB", "RGBA") else "RGB"))
+            return arr[:, :, None] if arr.ndim == 2 else arr
+        except Exception:
+            return None
+    return decode_png_pixels(payload)
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """Real media decode over a binary column: Arrow-batched
+    ``mapInPandas`` kernel producing (id, decoded, width, height,
+    n_channels, mean_intensity). Pixels come from PIL when available,
+    else the pure-stdlib PNG decoder — in both cases actual pixel data,
+    not header metadata. Undecodable payloads survive as decoded=false
+    rows (quarantine-style, never an exception mid-scan).
+
+    Scale: per-batch Python cost is the codec itself; batch sizing via
+    spark.sql.execution.arrow.maxRecordsPerBatch keeps Arrow transfers
+    tens-of-MB sized. Upstream metadata filters (``image_header_meta``)
+    prune non-images before any pixel work."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[content_col]):
+                arr = _decode_pixels(bytes(payload))
+                if arr is None:
+                    rows.append((i, False, None, None, None, None))
+                else:
+                    h, w, c = arr.shape
+                    rows.append((i, True, w, h, c, float(arr.mean())))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "decoded", "width", "height", "n_channels", "mean_intensity"],
+            ).astype({"width": "Int64", "height": "Int64", "n_channels": "Int64"})
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        schema="id long, decoded boolean, width long, height long, "
+        "n_channels long, mean_intensity double",
+    )
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"

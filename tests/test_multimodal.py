@@ -56,9 +56,120 @@ def test_sample_frames_stride(media):
     assert doc2 == list(range(0, n_frames, 7))
 
 
-def test_real_decode_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        decode_media(media)
+class TestRealDecode:
+    """Real pixel decode: PIL when importable, else the pure-stdlib PNG
+    path. Fixtures are real PNGs produced by ``encode_png`` (and
+    hand-filtered streams for the unfilter paths) — actual pixel data
+    round-trips, not header metadata."""
+
+    def test_backend_reported(self):
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            codec_backend,
+        )
+
+        assert codec_backend() in ("pil", "stdlib-png")
+
+    def test_png_pixels_roundtrip_exact(self):
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            decode_png_pixels,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(7)
+        for shape in [(5, 4, 3), (3, 7, 4), (6, 2, 1)]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            out = decode_png_pixels(encode_png(px))
+            assert out is not None and np.array_equal(out, px)
+
+    def test_all_five_unfilter_paths(self):
+        """Hand-filter known pixels with each PNG filter type and assert
+        the decoder inverts them (encode_png only emits filter 0, so
+        this exercises Sub/Up/Average/Paeth explicitly)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            decode_png_pixels,
+        )
+
+        rng = np.random.default_rng(13)
+        h, w, c = 6, 5, 3
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8).astype(int)
+        stride, bpp = w * c, c
+        flat = px.reshape(h, stride)
+
+        def filt(y, ftype):
+            cur = flat[y]
+            prev = flat[y - 1] if y > 0 else np.zeros(stride, int)
+            out = np.zeros(stride, int)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                if ftype == 0:
+                    out[x] = cur[x]
+                elif ftype == 1:
+                    out[x] = (cur[x] - a) & 0xFF
+                elif ftype == 2:
+                    out[x] = (cur[x] - b) & 0xFF
+                elif ftype == 3:
+                    out[x] = (cur[x] - ((a + b) >> 1)) & 0xFF
+                else:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    out[x] = (cur[x] - pred) & 0xFF
+            return bytes([ftype]) + bytes(out.astype(np.uint8))
+
+        raw = b"".join(filt(y, y % 5) for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        out = decode_png_pixels(payload)
+        assert out is not None and np.array_equal(out, px.astype(np.uint8))
+
+    def test_decode_media_over_spark(self, spark):
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            codec_backend,
+            encode_png,
+        )
+
+        grad = np.tile(np.arange(16, dtype=np.uint8)[None, :, None], (8, 1, 3))
+        gray = np.full((4, 4, 1), 200, dtype=np.uint8)
+        rows = [
+            (1, bytearray(encode_png(grad))),
+            (2, bytearray(encode_png(gray))),
+            (3, bytearray(b"\x00garbage-not-an-image")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        got = {r.id: r for r in decode_media(df).collect()}
+        assert (got[1].width, got[1].height, got[1].n_channels) == (16, 8, 3)
+        assert abs(got[1].mean_intensity - float(grad.mean())) < 1e-9
+        assert (got[2].width, got[2].height, got[2].n_channels) == (4, 4, 1)
+        assert got[2].mean_intensity == 200.0
+        assert got[3].decoded is False and got[3].width is None
+        assert got[1].decoded and got[2].decoded
+        # JPEG pixels need PIL; under the stdlib backend they must route
+        # to quarantine (decoded=false), never crash the scan.
+        jpeg = TestImageHeaderParse._jpeg(8, 8)
+        jdf = spark.createDataFrame([(9, bytearray(jpeg))], "doc_id long, content binary")
+        jrow = decode_media(jdf).collect()[0]
+        if codec_backend() == "stdlib-png":
+            assert jrow.decoded is False
 
 
 def test_arrow_histogram_matches_pandas_path(media):
