@@ -278,11 +278,15 @@ def pagerank(
     test) keeps the operator deterministic and oracle-expressible (the
     DuckDB mirror is a recursive CTE with an iteration counter).
 
-    Dangling nodes cannot exist here: with ``undirected`` every node has
-    out-degree ≥ 1; in a directed input, sinks still accumulate rank but
-    leak their own mass (classic simplification; add a dangling-mass
-    redistribution term if exact stochastic normalization matters).
-    Returns (node, rank), rank approximately summing to 1.
+    Dangling nodes (out-degree 0 — only possible with a directed input;
+    ``undirected`` gives every node out-degree ≥ 1) get the standard
+    stochastic-matrix treatment: their rank mass is summed each round
+    and redistributed uniformly (``damping * dangling_mass / n`` added
+    to every node), so ranks sum to 1 to float precision instead of
+    leaking. The dangling sum is a per-round scalar aggregate — same
+    driver-barrier economics as the materialization ``count()``; it is
+    skipped entirely when the dangling set is empty.
+    Returns (node, rank), rank summing to 1 (±float noise).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if undirected:
@@ -299,6 +303,13 @@ def pagerank(
     deg = e.groupBy("a").agg(F.count("*").alias("deg"))
     out = e.join(deg, "a")  # (a, b, deg)
 
+    # Dangling set: nodes with no out-edge. Small by construction in
+    # most graphs; persisted because it is re-joined every round.
+    dangling = nodes.join(
+        deg.select(F.col("a").alias("node")), "node", "left_anti"
+    ).persist()
+    has_dangling = (not undirected) and dangling.limit(1).count() > 0
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     n_edges = e.count()
@@ -313,6 +324,14 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("c").alias("in_sum"))
             )
+            dangling_share = 0.0
+            if has_dangling:
+                dm = (
+                    ranks.join(dangling, "node")
+                    .agg(F.sum("rank").alias("s"))
+                    .collect()[0]["s"]
+                )
+                dangling_share = (dm or 0.0) / n
             new_ranks = (
                 nodes.join(contribs, "node", "left")
                 .select(
@@ -320,7 +339,10 @@ def pagerank(
                     (
                         F.lit(base)
                         + F.lit(damping)
-                        * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        * (
+                            F.coalesce(F.col("in_sum"), F.lit(0.0))
+                            + F.lit(dangling_share)
+                        )
                     ).alias("rank"),
                 )
                 .persist()
@@ -328,6 +350,7 @@ def pagerank(
             new_ranks.count()  # materialize before dropping the parent
             ranks.unpersist()
             ranks = new_ranks
+    dangling.unpersist()
     e.unpersist()
     return ranks
 

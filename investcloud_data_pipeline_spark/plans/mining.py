@@ -458,6 +458,64 @@ SELECT node AS part, round(rank, 6) AS rank FROM pr WHERE iter = 5
 """
 
 
+# Directed PageRank with sinks: supplier → nation → region edges form a
+# DAG whose region nodes have out-degree 0. Exercises the dangling-mass
+# redistribution term (operators/graph.py): each round the sinks' rank
+# is summed and spread uniformly, so total mass stays 1 instead of
+# leaking ~region-share per iteration. Node ids are offset per layer so
+# the three key spaces cannot collide.
+def directed_pagerank_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + 1_000_000).alias("src"),
+        (F.col("s_nationkey") + 1_000).alias("dst"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 1_000).alias("src"),
+        F.col("n_regionkey").alias("dst"),
+    )
+    pr = pagerank(sup.union(nat), n_iter=5, damping=0.85, undirected=False)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+DIRECTED_PAGERANK_SINKS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT s_suppkey + 1000000 AS a, s_nationkey + 1000 AS b FROM supplier
+  UNION
+  SELECT n_nationkey + 1000, n_regionkey FROM nation
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM edges UNION SELECT b FROM edges
+  )
+), deg AS (
+  SELECT a, count(*) AS deg FROM edges GROUP BY a
+), n_total AS (
+  SELECT count(*) AS n FROM nodes
+), pr(iter, node, rank) AS (
+  SELECT 0, node, 1.0 / (SELECT n FROM n_total) FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, nd.node,
+         (1.0 - 0.85) / (SELECT n FROM n_total)
+         + 0.85 * (
+             coalesce((
+               SELECT sum(p2.rank / d.deg)
+               FROM edges e
+               JOIN pr p2 ON p2.node = e.a AND p2.iter = p.iter
+               JOIN deg d ON d.a = e.a
+               WHERE e.b = nd.node
+             ), 0.0)
+             + (SELECT coalesce(sum(p3.rank), 0.0) FROM pr p3
+                WHERE p3.iter = p.iter
+                  AND p3.node NOT IN (SELECT a FROM deg))
+               / (SELECT n FROM n_total)
+           )
+  FROM (SELECT DISTINCT iter FROM pr WHERE iter < 5) p, nodes nd
+)
+SELECT node, round(rank, 6) AS rank FROM pr WHERE iter = 5
+"""
+
+
 # ---------- robust outlier detection (median / MAD) ----------
 #
 # The anomaly-report shape a pipeline runs on metric streams: per-group
@@ -540,4 +598,5 @@ QUERIES = {
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "cms_user_counts": (cms_user_counts, _cms_sql()),
     "copurchase_pagerank": (copurchase_pagerank, COPURCHASE_PAGERANK_SQL),
+    "directed_pagerank_sinks": (directed_pagerank_sinks, DIRECTED_PAGERANK_SINKS_SQL),
 }

@@ -101,3 +101,20 @@ def test_pagerank_star_graph_properties(spark):
     hub, leaves = got[0], [v for k, v in got.items() if k != 0]
     assert all(hub > l for l in leaves)
     assert max(leaves) - min(leaves) < 1e-12
+
+
+def test_pagerank_directed_sinks_conserve_mass(spark):
+    """Directed chain with a sink: 1→2→3, plus 4→3. Without dangling-mass
+    redistribution node 3 leaks its rank every round and the total drifts
+    below 1; with it, ranks sum to 1 to float precision."""
+    from investcloud_data_pipeline_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 3)], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in pagerank(df, n_iter=8, undirected=False).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # sink 3 receives from 2 and 4 → highest rank; sources 1,4 get only
+    # base + uniform dangling share and tie exactly
+    assert got[3] == max(got.values())
+    assert abs(got[1] - got[4]) < 1e-12
