@@ -16,7 +16,11 @@ source API), not row-at-a-time Python objects.
 
 Options (all strings, as Spark delivers them):
   rowsPerPartition (default 1000), numPartitions (8), seed (42),
-  dupFraction (0.1), dupCap (500), dirtyFraction (0.0)
+  dupFraction (0.1), dupCap (500), dirtyFraction (0.0),
+  shardsPerTask (1; batch N logical shards into one Spark task —
+  shard contents stay seed-deterministic and independent of the
+  batching, but each Python task worker amortizes its startup over
+  N Arrow batches instead of 1)
   — streaming only: batchRows (500), maxBatches (1; total bounded waves)
 """
 
@@ -72,8 +76,12 @@ def _shard_batch(
 
 
 class _Shard(InputPartition):
-    def __init__(self, seed: int, rows: int):
-        self.seed = seed
+    """One Spark task's worth of work: one or more seed-deterministic
+    logical shards (``seeds``). Shard content depends only on its seed,
+    so regrouping shards into fewer tasks never changes the data."""
+
+    def __init__(self, seeds: Sequence[int], rows: int):
+        self.seeds = list(seeds)
         self.rows = rows
 
 
@@ -85,14 +93,18 @@ class _ActivityBatchReader(DataSourceReader):
         self.dup = _opt(options, "dupFraction", 0.1)
         self.dup_cap = _opt(options, "dupCap", 500)
         self.dirty = _opt(options, "dirtyFraction", 0.0)
+        self.shards_per_task = max(1, _opt(options, "shardsPerTask", 1))
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [_Shard(self.seed + i, self.rows) for i in range(self.parts)]
+        seeds = [self.seed + i for i in range(self.parts)]
+        k = self.shards_per_task
+        return [_Shard(seeds[i : i + k], self.rows) for i in range(0, len(seeds), k)]
 
     def read(self, partition: _Shard) -> Iterator[pa.RecordBatch]:
-        yield _shard_batch(
-            partition.rows, partition.seed, self.dup, self.dup_cap, self.dirty
-        )
+        for seed in partition.seeds:
+            yield _shard_batch(
+                partition.rows, seed, self.dup, self.dup_cap, self.dirty
+            )
 
 
 class _ActivityStreamReader(DataSourceStreamReader):
@@ -122,15 +134,16 @@ class _ActivityStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         per_shard = max(1, self.batch_rows // self.parts)
         return [
-            _Shard(self.seed + wave * 1_000_003 + i, per_shard)
+            _Shard([self.seed + wave * 1_000_003 + i], per_shard)
             for wave in range(start["wave"], end["wave"])
             for i in range(self.parts)
         ]
 
     def read(self, partition: _Shard) -> Iterator[pa.RecordBatch]:
-        yield _shard_batch(
-            partition.rows, partition.seed, self.dup, self.dup_cap, self.dirty
-        )
+        for seed in partition.seeds:
+            yield _shard_batch(
+                partition.rows, seed, self.dup, self.dup_cap, self.dirty
+            )
 
     def commit(self, end: dict) -> None:
         pass
@@ -163,10 +176,14 @@ def activity_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     structurally by the gate and for stability across rounds by the fixed
     seed."""
     register(spark)
+    # 4 logical shards batched 2-per-task: identical rows to 4 single-
+    # shard tasks (shard content is seed-pure), but half the Python
+    # worker launches — the fixed cost that dominates this query.
     df = (
         spark.read.format("activity_log")
         .option("rowsPerPartition", "1000")
         .option("numPartitions", "4")
+        .option("shardsPerTask", "2")
         .option("seed", "11")
         .load()
     )

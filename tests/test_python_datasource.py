@@ -76,3 +76,27 @@ def test_stream_respects_cap_and_checkpoint(spark, tmp_path):
     # consumed, so a fresh reader instance appends NOTHING (exactly-once)
     run_once()
     assert spark.read.parquet(out).count() == 300
+
+
+def test_shards_per_task_is_data_invariant(spark):
+    """Batching shards into fewer tasks (worker-startup amortization)
+    must never change the produced rows — shard content is seed-pure."""
+    from investcloud_data_pipeline_spark.sources.python_datasource import register
+
+    register(spark)
+
+    def load(shards_per_task):
+        return (
+            spark.read.format("activity_log")
+            .option("rowsPerPartition", "200")
+            .option("numPartitions", "4")
+            .option("shardsPerTask", str(shards_per_task))
+            .option("seed", "11")
+            .load()
+        )
+
+    base = sorted(map(tuple, load(1).collect()))
+    assert sorted(map(tuple, load(2).collect())) == base
+    assert sorted(map(tuple, load(4).collect())) == base
+    # 4 shards / 2 per task → 2 Spark partitions
+    assert load(2).rdd.getNumPartitions() == 2
