@@ -458,7 +458,21 @@ ORDER BY n_rows DESC, user_id ASC LIMIT 10
 
 
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass per-column profiling of the orders table."""
+    """One-pass per-column profiling of the orders table — HLL++ distinct
+    counts (the 100 TB default: exact multi-column distinct is an Expand
+    over every row × column and is the single most expensive part of a
+    profile). Sketch estimates are engine-specific, so this entry is
+    rows-only in the gate — the same convention as ``approx_aggregates``;
+    :func:`profile_orders_exact` is the hash-checked twin."""
+    from ..operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"), approx_distinct=True)
+
+
+def profile_orders_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-distinct profile (oracle variant): same single-scan shape,
+    ``countDistinct`` instead of the sketch — value-hash comparable
+    against DuckDB."""
     from ..operators.profile import profile_table
 
     return profile_table(load_table(spark, sf_dir, "orders"))
@@ -496,5 +510,6 @@ QUERIES = {
     "q1_pricing_summary_sql_api": (q1_pricing_summary_sql_api, Q1_PRICING_SUMMARY_SQL_API_SQL),
     "datetime_functions_orders": (datetime_functions_orders, DATETIME_FUNCTIONS_ORDERS_SQL),
     "null_handling_customer": (null_handling_customer, NULL_HANDLING_CUSTOMER_SQL),
-    "profile_orders": (profile_orders, PROFILE_ORDERS_SQL),
+    "profile_orders": (profile_orders, None),  # rows-only (HLL sketch values)
+    "profile_orders_exact": (profile_orders_exact, PROFILE_ORDERS_SQL),
 }
