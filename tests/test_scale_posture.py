@@ -144,3 +144,103 @@ def test_topk_uses_window_group_limit(spark, sf_dir):
     )
 
     assert "WindowGroupLimit" in _plan(top_customers_per_nation(spark, sf_dir))
+
+
+class TestGoldSkewHardening:
+    """Skew hardening for the gold path on a synthetically skewed
+    user_id (one user owning ~90% of events — the pathological fan-in
+    shape at 100 TB).
+
+    Three layers of defense, each asserted on the executed plan:
+    1. the gold two-key aggregate neutralizes groupBy skew via map-side
+       partial aggregation (the hot key shuffles as one row per map
+       task, not one row per event);
+    2. AQE skew-join splits the hot partition when gold joins skewed
+       facts to a non-broadcastable side (SortMergeJoin(... skew=true));
+    3. the explicit salting fallback stays numerically identical.
+    """
+
+    @staticmethod
+    def _skewed_events(spark, n=60_000, hot_frac=0.9):
+        n_hot = int(n * hot_frac)
+        return (
+            spark.range(n)
+            .select(
+                F.when(F.col("id") < n_hot, F.lit(7))
+                .otherwise(F.col("id") % 1000)
+                .alias("user_id"),
+                (F.col("id") % 5).cast("string").alias("channel"),
+                (F.col("id") % 97).cast("double").alias("value"),
+                # pad rows so the hot shuffle partition crosses the
+                # byte thresholds AQE's skew detector reads
+                F.repeat(F.lit("x"), 64).alias("pad"),
+            )
+        )
+
+    def test_gold_agg_is_partial_before_shuffle(self, spark):
+        df = (
+            self._skewed_events(spark)
+            .groupBy("user_id", "channel")
+            .agg(F.sum("value").alias("value_by_channel"), F.count("*").alias("n_events"))
+        )
+        plan = _plan(df)
+        # partial_sum/partial_count markers appear only in the map-side
+        # HashAggregate — the combine that makes key skew a non-event
+        # for pure aggregation
+        assert "partial_sum" in plan or "partial sum" in plan.lower()
+        first_agg = plan.index("HashAggregate")
+        first_exchange = plan.index("Exchange")
+        assert first_agg > -1 and "partial" in plan[first_agg : first_agg + 400]
+
+    def test_aqe_skew_join_engages_on_hot_user(self, spark):
+        confs = {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            # force a sort-merge join so the skew reader (not broadcast)
+            # is the mechanism under test
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            facts = self._skewed_events(spark, n=200_000)
+            dim = spark.range(1000).select(
+                F.col("id").alias("user_id"),
+                F.concat(F.lit("region_"), (F.col("id") % 7).cast("string")).alias("geo_region"),
+            )
+            joined = facts.join(dim, "user_id").groupBy("geo_region").agg(
+                F.sum("value").alias("total")
+            )
+            # action through the SAME QueryExecution: AQE only finalizes
+            # (isFinalPlan=true, skew reader installed) on the executed
+            # instance — a noop write would plan a fresh copy
+            joined.collect()
+            plan = _plan(joined)
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan[:2000]
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def test_salted_sum_matches_on_skewed_input(self, spark):
+        df = self._skewed_events(spark, n=30_000)
+        plain = {
+            (r.user_id, r.channel): round(r.total, 6)
+            for r in df.groupBy("user_id", "channel").agg(F.sum("value").alias("total")).collect()
+        }
+        salted = {
+            (r.user_id, r.channel): round(r.total, 6)
+            for r in salted_sum(
+                df, ["user_id", "channel"], "value", "total", salt_buckets=16
+            ).collect()
+        }
+        assert salted == plain
