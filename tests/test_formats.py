@@ -36,10 +36,45 @@ def test_format_round_trip(spark, tmp_path, df, fmt):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def _jvm_has(spark, cls):
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(cls)
+        return True
+    except Exception:
+        return False
+
+
 def test_external_connectors_degrade_gracefully(spark):
-    with pytest.raises(NotImplementedError, match="Delta"):
-        read_delta(spark, "/tmp/nowhere")
-    with pytest.raises(NotImplementedError, match="Iceberg"):
-        read_iceberg(spark, "cat.db.t")
-    with pytest.raises(NotImplementedError, match="Kafka"):
-        read_kafka_stream(spark, "localhost:9092", "t")
+    if not _jvm_has(spark, "org.apache.spark.sql.delta.DeltaLog"):
+        with pytest.raises(NotImplementedError, match="Delta"):
+            read_delta(spark, "/tmp/nowhere")
+    if not _jvm_has(spark, "org.apache.iceberg.spark.source.SparkTable"):
+        with pytest.raises(NotImplementedError, match="Iceberg"):
+            read_iceberg(spark, "cat.db.t")
+    if not _jvm_has(spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"):
+        with pytest.raises(NotImplementedError, match="Kafka"):
+            read_kafka_stream(spark, "localhost:9092", "t")
+
+
+def test_delta_roundtrip_or_environment_gate(spark, tmp_path):
+    """Environment-gate assertion for the transactional-format surface:
+    this image ships NO lake-format jars (verified against the JVM
+    classpath, not assumed), so the facade MUST raise its documented
+    error and the repo's own versioned-snapshot protocol
+    (streaming/atomic.py) is the transactional substitute. If a future
+    environment adds delta-spark, this same test flips to a real
+    write/read round-trip parity check instead of silently skipping."""
+    has_delta = _jvm_has(spark, "org.apache.spark.sql.delta.DeltaLog")
+    path = str(tmp_path / "delta_tbl")
+    if has_delta:
+        df = spark.range(100).selectExpr("id", "id % 7 AS k", "cast(id * 1.5 as double) AS v")
+        df.write.format("delta").mode("overwrite").save(path)
+        back = read_delta(spark, path)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    else:
+        # Explicit gate: both the reader class and the DataSource v2
+        # provider must be absent — a half-present classpath would make
+        # the facade's message misleading.
+        assert not _jvm_has(spark, "io.delta.sql.DeltaSparkSessionExtension")
+        with pytest.raises(NotImplementedError, match="Delta Lake jars not on the classpath"):
+            read_delta(spark, path)
