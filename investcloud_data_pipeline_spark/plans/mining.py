@@ -479,6 +479,44 @@ def directed_pagerank_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+# Data-dependent recursive CTE (Spark 4 WITH RECURSIVE executes the
+# UnionLoop natively): BFS frontier expansion over the directed
+# region→nation→supplier DAG from region 0, min hop-distance per
+# reached node. Complements recursive_month_spine_orders (constant
+# recursion): here the recursive member JOINS a derived edge relation —
+# the shape Spark could not express at all before 4.0 and previously
+# required the iterative-DataFrame loops in operators/graph.py. The
+# graph is acyclic, so the loop terminates at the natural fixpoint (an
+# empty frontier) with NO artificial depth guard; per-iteration cost is
+# one join against the two small dimension scans. Node ids are offset
+# per layer (same scheme as directed_pagerank_sinks) so the key spaces
+# cannot collide.
+_RECURSIVE_REACH_TEXT = """
+WITH RECURSIVE edges AS (
+  SELECT n_regionkey AS a, n_nationkey + 1000 AS b FROM nation
+  UNION ALL
+  SELECT s_nationkey + 1000, s_suppkey + 1000000 FROM supplier
+), reach(node, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.b, r.depth + 1
+  FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node, CAST(min(depth) AS INTEGER) AS min_depth
+FROM reach GROUP BY node
+"""
+
+
+def recursive_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_interface import sql
+
+    return sql(spark, sf_dir, _RECURSIVE_REACH_TEXT)
+
+
+# identical text runs on DuckDB — engine-portable ANSI recursion
+RECURSIVE_SUPPLIER_REACH_SQL = _RECURSIVE_REACH_TEXT
+
+
 DIRECTED_PAGERANK_SINKS_SQL = """
 WITH RECURSIVE edges AS (
   SELECT s_suppkey + 1000000 AS a, s_nationkey + 1000 AS b FROM supplier
@@ -599,4 +637,8 @@ QUERIES = {
     "cms_user_counts": (cms_user_counts, _cms_sql()),
     "copurchase_pagerank": (copurchase_pagerank, COPURCHASE_PAGERANK_SQL),
     "directed_pagerank_sinks": (directed_pagerank_sinks, DIRECTED_PAGERANK_SINKS_SQL),
+    "recursive_supplier_reach": (
+        recursive_supplier_reach,
+        RECURSIVE_SUPPLIER_REACH_SQL,
+    ),
 }
