@@ -457,41 +457,6 @@ ORDER BY n_rows DESC, user_id ASC LIMIT 10
 """
 
 
-def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated lateral subquery via the DataFrame ``lateralJoin`` API
-    (Spark 4): for each BUILDING-segment customer, its two highest-value
-    orders. The per-row LIMIT subquery is the shape window-rank top-k
-    cannot express when the inner query is arbitrary (here it could be
-    any correlated pipeline); Catalyst rewrites the correlation to a
-    join + window when it can, so the declarative form stays scale-sane.
-    Deterministic tie-break on (o_totalprice DESC, o_orderkey ASC)."""
-    c = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .alias("c")
-    )
-    o = load_table(spark, sf_dir, "orders").alias("o")
-    return c.lateralJoin(
-        o.where(F.col("o.o_custkey") == F.col("c.c_custkey").outer())
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(2)
-    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-
-
-LATERAL_TOP2_ORDERS_PER_CUSTOMER_SQL = """
-SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
-FROM customer c, LATERAL (
-  SELECT o_orderkey, o_totalprice
-  FROM orders o
-  WHERE o.o_custkey = c.c_custkey
-  ORDER BY o_totalprice DESC, o_orderkey ASC
-  LIMIT 2
-) t
-WHERE c.c_mktsegment = 'BUILDING'
-"""
-
-
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column profiling of the orders table — HLL++ distinct
     counts (the 100 TB default: exact multi-column distinct is an Expand
@@ -545,10 +510,6 @@ QUERIES = {
     "q1_pricing_summary_sql_api": (q1_pricing_summary_sql_api, Q1_PRICING_SUMMARY_SQL_API_SQL),
     "datetime_functions_orders": (datetime_functions_orders, DATETIME_FUNCTIONS_ORDERS_SQL),
     "null_handling_customer": (null_handling_customer, NULL_HANDLING_CUSTOMER_SQL),
-    "lateral_top2_orders_per_customer": (
-        lateral_top2_orders_per_customer,
-        LATERAL_TOP2_ORDERS_PER_CUSTOMER_SQL,
-    ),
     "profile_orders": (profile_orders, None),  # rows-only (HLL sketch values)
     "profile_orders_exact": (profile_orders_exact, PROFILE_ORDERS_SQL),
 }

@@ -250,11 +250,11 @@ def test_lateral_topk_rewrites_to_window_group_limit(spark, sf_dir):
     """The correlated LATERAL per-customer ORDER BY/LIMIT subquery must
     decorrelate to WindowGroupLimit (map-side partial top-k) + a
     broadcast join — never a per-outer-row nested loop."""
-    from investcloud_data_pipeline_spark.plans.temporal import (
-        lateral_top2_orders_per_customer,
+    from investcloud_data_pipeline_spark.plans.relational import (
+        lateral_top_orders_per_customer,
     )
 
-    plan = _plan(lateral_top2_orders_per_customer(spark, sf_dir))
+    plan = _plan(lateral_top_orders_per_customer(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
