@@ -283,9 +283,10 @@ def pagerank(
     stochastic-matrix treatment: their rank mass is summed each round
     and redistributed uniformly (``damping * dangling_mass / n`` added
     to every node), so ranks sum to 1 to float precision instead of
-    leaking. The dangling sum is a per-round scalar aggregate — same
-    driver-barrier economics as the materialization ``count()``; it is
-    skipped entirely when the dangling set is empty.
+    leaking. The dangling sum stays IN the plan as a broadcast 1-row
+    aggregate joined onto the update (no per-round driver collect — the
+    iteration remains a single job); the branch is skipped entirely
+    when the dangling set is empty.
     Returns (node, rank), rank summing to 1 (±float noise).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -324,24 +325,26 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("c").alias("in_sum"))
             )
-            dangling_share = 0.0
+            updated = nodes.join(contribs, "node", "left")
             if has_dangling:
-                dm = (
-                    ranks.join(dangling, "node")
-                    .agg(F.sum("rank").alias("s"))
-                    .collect()[0]["s"]
+                # 1-row aggregate, broadcast onto every node's update —
+                # the redistribution rides the same job instead of a
+                # driver round-trip per iteration
+                dang = ranks.join(dangling, "node").agg(
+                    (F.coalesce(F.sum("rank"), F.lit(0.0)) / n).alias("__dang_share")
                 )
-                dangling_share = (dm or 0.0) / n
+                updated = updated.crossJoin(F.broadcast(dang))
+            else:
+                updated = updated.withColumn("__dang_share", F.lit(0.0))
             new_ranks = (
-                nodes.join(contribs, "node", "left")
-                .select(
+                updated.select(
                     "node",
                     (
                         F.lit(base)
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("in_sum"), F.lit(0.0))
-                            + F.lit(dangling_share)
+                            + F.col("__dang_share")
                         )
                     ).alias("rank"),
                 )
