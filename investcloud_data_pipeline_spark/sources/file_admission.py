@@ -32,13 +32,16 @@ Design (all public Spark concepts):
   the source usable at real scale, unlike a driver-side
   ``SimpleDataSourceStreamReader``.
 * **Restart**: Spark's own offset/commit logs drive replay (it calls
-  ``partitions(start, end)`` with checkpointed offsets). The reader
-  additionally persists the last *committed* boundary in a one-line
-  sidecar (``<path>/_admission_state``) via ``commit()`` so a fresh
-  reader instance resumes budget-planning from the committed position
-  instead of re-listing from the epoch; a stale/missing sidecar can
-  only make ``latestOffset`` momentarily lag the checkpoint, which
-  surfaces as one empty micro-batch, never as duplicate rows.
+  ``partitions(start, end)`` with checkpointed offsets), and
+  ``partitions`` fast-forwards the planner past any checkpointed
+  boundary it sees — the checkpoint is always authoritative. The
+  reader additionally persists the last boundary it is told to commit
+  in a one-line sidecar (``<path>/_admission_state``) as a planning
+  hint (best-effort: the engine does not invoke the Python ``commit()``
+  hook on the single-batch availableNow fallback). A stale/missing
+  sidecar can only make ``latestOffset`` momentarily lag the
+  checkpoint, which surfaces as one empty micro-batch, never as
+  duplicate rows.
 
 Parquet payloads only (the lake landing format here); the admission
 mechanics are format-agnostic.
@@ -200,3 +203,76 @@ class BudgetFilesDataSource(DataSource):
 def register(spark: SparkSession) -> None:
     """Idempotently register ``budget_files`` on this session."""
     spark.dataSource.register(BudgetFilesDataSource)
+
+
+def drain_backlog(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    checkpoint: str,
+    max_bytes_per_trigger: str = "10gb",
+    max_files_per_trigger: int = 0,
+    max_rounds: int = 10_000,
+) -> int:
+    """Bounded-budget backlog catch-up: process every pending file in
+    byte-capped batches, then stop. Returns the number of batches run.
+
+    Spark's Python micro-batch sources do not implement
+    ``Trigger.AvailableNow`` (the engine logs a single-batch fallback),
+    so one ``availableNow`` start drains exactly ONE admitted batch.
+    This helper turns that limitation into the intended semantics by
+    looping single-batch runs against the SAME checkpoint until the
+    committed admission boundary stops advancing — each round is
+    exactly-once (checkpointed offsets + sidecar), so a crash mid-drain
+    resumes where it left off.
+    """
+    register(spark)
+
+    def boundary() -> str:
+        """Committed admission boundary, read from Spark's own
+        checkpoint (offsets/<n> line 3 is this source's offset JSON,
+        for the highest n that also appears in commits/). The reader's
+        sidecar is NOT authoritative here: under the single-batch
+        fallback the engine stops without invoking the Python
+        ``commit()`` hook."""
+        try:
+            commits = [
+                int(n)
+                for n in os.listdir(os.path.join(checkpoint, "commits"))
+                if n.isdigit()
+            ]
+            if not commits:
+                return ""
+            with open(
+                os.path.join(checkpoint, "offsets", str(max(commits)))
+            ) as fh:
+                lines = fh.read().splitlines()
+            return json.loads(lines[2]).get("pos", "")
+        except (OSError, ValueError, IndexError):
+            return ""
+
+    rounds = 0
+    prev = boundary()
+    while rounds < max_rounds:
+        q = (
+            spark.readStream.format("budget_files")
+            .option("path", path)
+            .option("maxBytesPerTrigger", max_bytes_per_trigger)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cur = boundary()
+        if cur == prev:
+            return rounds
+        prev = cur
+        rounds += 1
+    raise RuntimeError(
+        f"drain_backlog did not quiesce in {max_rounds} rounds — "
+        "files may be arriving faster than the budget drains them"
+    )

@@ -179,3 +179,34 @@ class TestEndToEndStream:
         got = spark.read.parquet(out)
         assert got.count() == total + 100
         assert got.select("k").distinct().count() == total + 100
+
+
+def test_drain_backlog_runs_budgeted_rounds_to_completion(spark, tmp_path):
+    """drain_backlog loops single-batch availableNow runs (the Python-
+    source fallback) on one checkpoint until the admission boundary
+    quiesces: full backlog lands exactly once in ceil(files/budget)
+    batches."""
+    from investcloud_data_pipeline_spark.sources.file_admission import (
+        drain_backlog,
+    )
+
+    d = str(tmp_path / "landing")
+    total = 0
+    for i in range(5):
+        _write_wave(d, f"wave{i}.parquet", 200, start=i * 200)
+        total += 200
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    one = os.path.getsize(os.path.join(d, "wave0.parquet"))
+
+    rounds = drain_backlog(
+        spark, d, out, ck, max_bytes_per_trigger=str(int(one * 2.5))
+    )
+    assert rounds == 3  # 2 + 2 + 1 files
+    got = spark.read.parquet(out)
+    assert got.count() == total
+    assert got.select("k").distinct().count() == total
+
+    # nothing new → zero rounds, output unchanged
+    assert drain_backlog(spark, d, out, ck, str(int(one * 2.5))) == 0
+    assert spark.read.parquet(out).count() == total
