@@ -54,9 +54,32 @@ def read_raw_stream(
     raw_dir: str,
     fmt: str = "parquet",
     max_files_per_trigger: int = 10,
+    max_bytes_per_trigger: str | None = None,
 ) -> DataFrame:
     """S1': incremental directory scan with enforced schema (the OSS
-    equivalent of cloudFiles, reference 01:13-29)."""
+    equivalent of cloudFiles, reference 01:13-29).
+
+    ``max_bytes_per_trigger`` switches to the ``budget_files`` source
+    (sources/file_admission.py), which enforces the reference's BOTH
+    caps — ≤N files AND ≤B bytes per trigger (01:17-18) — where the OSS
+    file source can only cap file count. Parquet landing files only."""
+    if max_bytes_per_trigger is not None:
+        if fmt != "parquet":
+            raise ValueError(
+                "byte-budget admission reads parquet landing files; "
+                "got fmt=" + fmt
+            )
+        from ..sources.file_admission import register
+
+        register(spark)
+        return (
+            spark.readStream.format("budget_files")
+            .schema(RAW_SCHEMA)
+            .option("path", raw_dir)
+            .option("maxBytesPerTrigger", max_bytes_per_trigger)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .load()
+        )
     reader = (
         spark.readStream.format(fmt)
         .schema(RAW_SCHEMA)
@@ -96,10 +119,18 @@ def start_bronze(
     fmt: str = "parquet",
     available_now: bool = False,
     trigger_seconds: int = 60,
+    max_bytes_per_trigger: str | None = None,
 ) -> StreamingQuery:
     """One streaming query; each micro-batch is parsed once, split, and
-    appended to the valid and quarantine sinks (K1+K2 fused)."""
-    raw = read_raw_stream(spark, paths.raw, fmt=fmt)
+    appended to the valid and quarantine sinks (K1+K2 fused).
+
+    With ``max_bytes_per_trigger``, admission uses the byte-budgeted
+    source; note the Python-source single-batch fallback under
+    availableNow — drain backlogs by looping availableNow starts on the
+    same checkpoint (each run is one budgeted, idempotent batch)."""
+    raw = read_raw_stream(
+        spark, paths.raw, fmt=fmt, max_bytes_per_trigger=max_bytes_per_trigger
+    )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         bronze_process_batch(paths, batch_df, epoch_id)

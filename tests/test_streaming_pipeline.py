@@ -341,3 +341,42 @@ def test_silver_dedup_on_rocksdb_state_store(spark, tmp_path, ip_regions):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_byte_budget_admission_bronze_e2e(spark, tmp_path, ip_regions):
+    """T5 byte cap: bronze over the budget_files source drains a 6-file
+    backlog in byte-budgeted batches (≈2 files each) by looping
+    availableNow starts (Python-source single-batch fallback) on one
+    checkpoint — full row conservation, exactly once."""
+    import glob
+
+    from investcloud_data_pipeline_spark.streaming.bronze import start_bronze
+
+    paths = PipelinePaths(str(tmp_path))
+    os.makedirs(paths.raw, exist_ok=True)
+    write_activity_files(paths.raw, num_files=6, rows_per_file=40)
+    one = os.path.getsize(sorted(glob.glob(f"{paths.raw}/*.parquet"))[0])
+
+    def bronze_count():
+        try:
+            return spark.read.parquet(paths.bronze).count()
+        except Exception:
+            return 0
+
+    rounds, prev = 0, -1
+    while rounds < 10:
+        q = start_bronze(
+            spark,
+            paths,
+            available_now=True,
+            max_bytes_per_trigger=str(int(one * 2.5)),
+        )
+        q.awaitTermination(120)
+        cur = bronze_count()
+        if cur == prev:
+            break
+        prev = cur
+        rounds += 1
+    # 6 files at ~2 per budgeted batch → 3 data rounds (+1 empty probe)
+    assert rounds == 3
+    assert bronze_count() == 6 * 40
