@@ -4,10 +4,12 @@ Model: media lives in a ``binary`` column (image/audio/video bytes)
 accompanied by a metadata struct (format, byte size, media-specific
 fields). The Spark-side plumbing — schemas, Arrow batch transfer through
 ``mapInPandas``, per-frame explosion, partition sizing — is real and
-tested; the actual codec step is STUBBED (this environment has no
-image/audio libraries) behind ``decode_media``, which raises
-``NotImplementedError`` unless a known library is importable, with
-``fake_decode_dims`` as the deterministic stand-in used by tests/oracles.
+tested, and so is the pixel decode: ``decode_media`` uses PIL when
+importable, else a pure-stdlib PNG decoder (``decode_png_pixels``, with
+``encode_png`` as its tested inverse). NULL/corrupt payloads always
+surface as decoded=false rows, never as executor exceptions.
+``fake_decode_dims`` remains as a deterministic stand-in for oracles
+that need decode-shaped output independent of payload format.
 
 Scale notes: binary payloads dominate row size — the partition knobs that
 matter are rows-per-Arrow-batch (spark.sql.execution.arrow.
@@ -82,8 +84,13 @@ def decode_png_pixels(payload: bytes) -> "np.ndarray | None":
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            # truncated chunk body — corrupt file, quarantine not crash
+            return None
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
+            if length < 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -171,10 +178,14 @@ def encode_png(arr: "np.ndarray") -> bytes:
     )
 
 
-def _decode_pixels(payload: bytes) -> "np.ndarray | None":
+def _decode_pixels(payload: "bytes | None") -> "np.ndarray | None":
     """One payload → (h, w, c) uint8 pixels, via the best available
     backend. PIL handles every format it knows; the stdlib path covers
-    PNG. Anything undecodable returns None (quarantine routing)."""
+    PNG. NULL or undecodable payloads return None (quarantine routing)
+    — BOTH backends are exception-wrapped, so a corrupt file can never
+    crash an executor task mid-scan."""
+    if payload is None:
+        return None
     if codec_backend() == "pil":
         import io
 
@@ -186,7 +197,12 @@ def _decode_pixels(payload: bytes) -> "np.ndarray | None":
             return arr[:, :, None] if arr.ndim == 2 else arr
         except Exception:
             return None
-    return decode_png_pixels(payload)
+    try:
+        return decode_png_pixels(payload)
+    except Exception:
+        # decode_png_pixels validates lengths itself; this is the
+        # belt-and-braces guarantee behind the quarantine contract
+        return None
 
 
 def decode_media(df: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
@@ -206,7 +222,9 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", content_col: str = "cont
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[content_col]):
-                arr = _decode_pixels(bytes(payload))
+                arr = _decode_pixels(
+                    bytes(payload) if payload is not None else None
+                )
                 if arr is None:
                     rows.append((i, False, None, None, None, None))
                 else:
@@ -272,7 +290,10 @@ def image_header_meta(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [parse_image_header(bytes(b)) for b in pdf[content_col]]
+            parsed = [
+                parse_image_header(bytes(b)) if b is not None else None
+                for b in pdf[content_col]
+            ]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],

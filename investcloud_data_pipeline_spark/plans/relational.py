@@ -848,16 +848,24 @@ def distinct_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     own scan. Measured 4.1s -> 1.2s at sf0.1, byte-identical results
     (each branch is exact; the joins are broadcast at 3 rows). At scale
     the three column-pruned scans read less than the fused Expand
-    shuffles. (Sketch path for 100 TB remains approx_aggregates.)"""
+    shuffles. (Sketch path for 100 TB remains approx_aggregates.)
+
+    NULL semantics: each distinct branch filters NULL keys before
+    ``distinct()`` so it matches ``count(DISTINCT col)`` (which skips
+    NULLs) on nullable inputs too — ``distinct().count(*)`` alone would
+    count a NULL key as one extra distinct value. TPC-H keys are
+    non-null, so this is a semantic guard, not a result change there."""
     l = _t(spark, sf_dir, "lineitem")
     parts = (
         l.select("l_returnflag", "l_partkey")
+        .where(F.col("l_partkey").isNotNull())
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_parts"))
     )
     supps = (
         l.select("l_returnflag", "l_suppkey")
+        .where(F.col("l_suppkey").isNotNull())
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_supps"))

@@ -33,15 +33,28 @@ Design (all public Spark concepts):
   ``SimpleDataSourceStreamReader``.
 * **Restart**: Spark's own offset/commit logs drive replay (it calls
   ``partitions(start, end)`` with checkpointed offsets), and
-  ``partitions`` fast-forwards the planner past any checkpointed
-  boundary it sees — the checkpoint is always authoritative. The
-  reader additionally persists the last boundary it is told to commit
-  in a one-line sidecar (``<path>/_admission_state``) as a planning
-  hint (best-effort: the engine does not invoke the Python ``commit()``
-  hook on the single-batch availableNow fallback). A stale/missing
-  sidecar can only make ``latestOffset`` momentarily lag the
-  checkpoint, which surfaces as one empty micro-batch, never as
-  duplicate rows.
+  ``partitions`` fast-forwards the planner past BOTH ends of every
+  offset range the engine shows it (``max(planned, start, end)``) —
+  so ``latestOffset`` is monotone w.r.t. every offset the engine has
+  ever shown the reader, and the uncommitted-batch replay path (where
+  Spark re-runs the logged range before asking for a new offset) can
+  never regress planning. The subtle case is a restart whose LAST
+  batch committed: the engine then asks ``latestOffset`` *before*
+  showing the reader any offset, so the committed boundary must come
+  from the reader's own sidecar (one line, ``{"pos": name}``). The
+  sidecar is therefore (a) written both on ``commit()`` and whenever
+  ``partitions()`` observes a higher boundary — covering the
+  single-batch availableNow fallback, where the engine never invokes
+  the Python ``commit()`` hook — and (b) relocatable via the
+  ``stateLocation`` option. Place it INSIDE the checkpoint directory
+  (``start_bronze`` and ``drain_backlog`` wire this) so it shares the
+  checkpoint's durability domain: a sidecar that survives exactly
+  when the checkpoint survives makes "stale sidecar + live
+  checkpoint" — the one ordering that could re-admit an
+  already-committed range — a non-event. With co-located state the
+  worst a restart costs is one empty micro-batch, never duplicate
+  rows; the legacy in-landing-dir default is kept only for
+  checkpoint-free ad-hoc reads.
 
 Parquet payloads only (the lake landing format here); the admission
 mechanics are format-agnostic.
@@ -85,10 +98,17 @@ class _BudgetFileStreamReader(DataSourceStreamReader):
             raise ValueError("budget_files requires option 'path'")
         self.max_bytes = _parse_bytes(options.get("maxbytespertrigger", "10gb"))
         self.max_files = int(options.get("maxfilespertrigger", "0")) or None
-        self._state_path = os.path.join(self.path, _STATE_FILE)
+        # sidecar outside the landing dir when the caller provides a
+        # stateLocation (landing dirs often have retention policies that
+        # would silently delete a hint file living inside them)
+        self._state_path = options.get(
+            "statelocation", os.path.join(self.path, _STATE_FILE)
+        )
         # Highest boundary this instance has planned or observed. "" sorts
         # before every real file name == "nothing admitted yet".
         self._planned: str = self._read_sidecar()
+        # highest boundary durably written to the sidecar so far
+        self._persisted: str = self._planned
 
     # -- listing ---------------------------------------------------------
     def _list_after(self, boundary: str) -> list[tuple[str, int]]:
@@ -138,10 +158,18 @@ class _BudgetFileStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["pos"], end["pos"]
-        # fast-forward: after a restart Spark replans from its offset
-        # log; trust the checkpoint over our (possibly stale) sidecar
-        if hi > self._planned:
-            self._planned = hi
+        # fast-forward past BOTH ends: after a restart Spark replans
+        # from its offset log, and the checkpointed START offset is as
+        # authoritative as the end — if the sidecar was stale/missing,
+        # latestOffset may have proposed a boundary BEHIND the
+        # committed one (the engine accepts backward offsets: its
+        # comparison is equality, not order). Planning from
+        # max(lo, hi) guarantees latestOffset never re-admits files in
+        # an already-committed range as new work.
+        observed = max(self._planned, lo, hi)
+        self._planned = observed
+        if observed > self._persisted:
+            self._write_sidecar(observed)
         if hi <= lo:
             return []
         return [
@@ -153,13 +181,24 @@ class _BudgetFileStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePart) -> Iterator[pa.RecordBatch]:
         yield from pq.ParquetFile(partition.path).iter_batches()
 
+    def _write_sidecar(self, pos: str) -> None:
+        # durable boundary hint (atomic rename), best-effort: the
+        # checkpoint stays authoritative if this write is lost
+        try:
+            parent = os.path.dirname(self._state_path)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            tmp = self._state_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"pos": pos}, fh)
+            os.replace(tmp, self._state_path)
+            self._persisted = pos
+        except OSError:
+            pass
+
     def commit(self, end: dict) -> None:
-        # durable committed boundary (atomic rename) — restart resumes
-        # budget planning here instead of from the epoch
-        tmp = self._state_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"pos": end["pos"]}, fh)
-        os.replace(tmp, self._state_path)
+        # restart resumes budget planning here instead of from the epoch
+        self._write_sidecar(end["pos"])
 
 
 class BudgetFilesDataSource(DataSource):
@@ -259,6 +298,9 @@ def drain_backlog(
             .option("path", path)
             .option("maxBytesPerTrigger", max_bytes_per_trigger)
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .option(
+                "stateLocation", os.path.join(checkpoint, _STATE_FILE)
+            )
             .load()
             .writeStream.format("parquet")
             .option("path", out_path)

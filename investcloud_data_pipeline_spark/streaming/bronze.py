@@ -55,6 +55,7 @@ def read_raw_stream(
     fmt: str = "parquet",
     max_files_per_trigger: int = 10,
     max_bytes_per_trigger: str | None = None,
+    admission_state_location: str | None = None,
 ) -> DataFrame:
     """S1': incremental directory scan with enforced schema (the OSS
     equivalent of cloudFiles, reference 01:13-29).
@@ -72,14 +73,16 @@ def read_raw_stream(
         from ..sources.file_admission import register
 
         register(spark)
-        return (
+        reader = (
             spark.readStream.format("budget_files")
             .schema(RAW_SCHEMA)
             .option("path", raw_dir)
             .option("maxBytesPerTrigger", max_bytes_per_trigger)
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
-            .load()
         )
+        if admission_state_location is not None:
+            reader = reader.option("stateLocation", admission_state_location)
+        return reader.load()
     reader = (
         spark.readStream.format(fmt)
         .schema(RAW_SCHEMA)
@@ -125,11 +128,23 @@ def start_bronze(
     appended to the valid and quarantine sinks (K1+K2 fused).
 
     With ``max_bytes_per_trigger``, admission uses the byte-budgeted
-    source; note the Python-source single-batch fallback under
-    availableNow — drain backlogs by looping availableNow starts on the
-    same checkpoint (each run is one budgeted, idempotent batch)."""
+    source (its boundary sidecar is kept next to the bronze checkpoint,
+    not in the landing dir); note the Python-source single-batch
+    fallback under availableNow — drain backlogs by looping
+    availableNow starts on the same checkpoint (each run is one
+    budgeted, idempotent batch)."""
+    import os
+
     raw = read_raw_stream(
-        spark, paths.raw, fmt=fmt, max_bytes_per_trigger=max_bytes_per_trigger
+        spark,
+        paths.raw,
+        fmt=fmt,
+        max_bytes_per_trigger=max_bytes_per_trigger,
+        admission_state_location=os.path.join(
+            paths.checkpoint("bronze"), "_admission_state"
+        )
+        if max_bytes_per_trigger is not None
+        else None,
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:

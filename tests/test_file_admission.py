@@ -109,6 +109,62 @@ class TestAdmissionPlanning:
         assert [os.path.basename(p.path) for p in parts] == ["f1.parquet"]
         assert r.latestOffset()["pos"] == "f2.parquet"
 
+    def test_backward_offset_window_fast_forwards_both_ends(self, tmp_path):
+        """ADVICE r4: with a missing sidecar, latestOffset can propose a
+        boundary BEHIND the checkpointed commit; the engine accepts it
+        (offset comparison is equality) and calls
+        partitions(committed, stale). The planner must fast-forward on
+        the START offset too, so the very next latestOffset resumes
+        from the committed boundary instead of re-admitting
+        (stale, committed] as new work."""
+        d = str(tmp_path / "landing")
+        for i in range(4):
+            _write_wave(d, f"f{i}.parquet", 50)
+        r = self._reader(d, max_bytes=1 << 30, max_files=1)
+        # fresh reader, no sidecar: proposes f0 although f2 is committed
+        assert r.latestOffset()["pos"] == "f0.parquet"
+        # engine: start=checkpointed f2, end=stale f0 -> empty batch
+        assert r.partitions({"pos": "f2.parquet"}, {"pos": "f0.parquet"}) == []
+        # planning must now resume from f2, not from f0
+        assert r.latestOffset()["pos"] == "f3.parquet"
+
+    def test_partitions_persists_boundary_without_commit_hook(self, tmp_path):
+        """Under the availableNow single-batch fallback the engine never
+        calls the Python commit() hook; partitions() itself must persist
+        the observed boundary so a fresh reader (next drain round /
+        restart) resumes from it instead of the epoch."""
+        d = str(tmp_path / "landing")
+        for i in range(3):
+            _write_wave(d, f"f{i}.parquet", 50)
+        r1 = self._reader(d, max_bytes=1 << 30, max_files=2)
+        end1 = r1.latestOffset()
+        r1.partitions(r1.initialOffset(), end1)  # no commit() afterwards
+        r2 = self._reader(d, max_bytes=1 << 30, max_files=2)
+        assert r2.latestOffset()["pos"] == "f2.parquet"
+        parts = r2.partitions(end1, {"pos": "f2.parquet"})
+        assert [os.path.basename(p.path) for p in parts] == ["f2.parquet"]
+
+    def test_state_location_outside_landing_dir(self, tmp_path):
+        """stateLocation moves the sidecar out of the watched dir (which
+        may have retention policies); nothing state-like is left in the
+        landing dir and a fresh reader resumes from the external file."""
+        d = str(tmp_path / "landing")
+        state = str(tmp_path / "ck" / "_admission_state")
+        for i in range(2):
+            _write_wave(d, f"f{i}.parquet", 50)
+        opts = {
+            "path": d,
+            "maxbytespertrigger": str(1 << 30),
+            "maxfilespertrigger": "1",
+            "statelocation": state,
+        }
+        r1 = _BudgetFileStreamReader(opts)
+        r1.commit(r1.latestOffset())
+        assert os.path.exists(state)
+        assert not any(n.startswith("_") for n in os.listdir(d))
+        r2 = _BudgetFileStreamReader(opts)
+        assert r2.latestOffset()["pos"] == "f1.parquet"
+
     def test_late_small_name_is_ignored_not_duplicated(self, tmp_path):
         d = str(tmp_path / "landing")
         _write_wave(d, "b.parquet", 50)

@@ -140,6 +140,61 @@ class TestRealDecode:
         out = decode_png_pixels(payload)
         assert out is not None and np.array_equal(out, px.astype(np.uint8))
 
+    def test_truncated_and_null_payloads_route_to_quarantine(self, spark):
+        """ADVICE r4: a truncated IHDR (declared 13 bytes, short data)
+        raised struct.error on the stdlib path, and a NULL content
+        value raised TypeError in the kernel — both crashed the
+        executor task, violating the quarantine contract. All such
+        payloads must come back as decoded=false rows."""
+        import struct
+        import zlib
+
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            decode_png_pixels,
+            encode_png,
+        )
+
+        magic = b"\x89PNG\r\n\x1a\n"
+        # declared 13-byte IHDR, only 4 bytes of data present
+        trunc_ihdr = magic + struct.pack(">I", 13) + b"IHDR" + b"\x00" * 4
+        # chunk body shorter than its declared length (mid-IDAT cut)
+        import numpy as np
+
+        whole = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+        cut = whole[: len(whole) - 24]  # reaches into the IDAT body
+        # declared IDAT length lies about the remaining bytes
+        bad_len = (
+            magic
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+            + struct.pack(">I", 0)
+            + struct.pack(">I", 10_000)
+            + b"IDAT"
+            + zlib.compress(b"\x00" * 10)
+        )
+        for payload in (trunc_ihdr, cut, bad_len, b"", magic):
+            assert decode_png_pixels(payload) is None  # never raises
+
+        rows = [
+            (1, bytearray(trunc_ihdr)),
+            (2, None),  # NULL binary column
+            (3, bytearray(bad_len)),
+            (4, bytearray(encode_png(np.full((2, 2, 1), 7, np.uint8)))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        got = {r.id: r for r in decode_media(df).collect()}
+        assert got[1].decoded is False and got[2].decoded is False
+        assert got[3].decoded is False
+        assert got[4].decoded is True and got[4].mean_intensity == 7.0
+
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            image_header_meta,
+        )
+
+        hmeta = {r.id: r for r in image_header_meta(df).collect()}
+        assert hmeta[2].is_image is False  # NULL payload survives here too
+
     def test_decode_media_over_spark(self, spark):
         import numpy as np
 
