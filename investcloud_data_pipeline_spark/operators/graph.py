@@ -30,33 +30,86 @@ from pyspark.sql import functions as F
 
 
 @contextlib.contextmanager
-def _small_graph_loop_conf(spark, n_edges: int, threshold: int = 5_000_000):
-    """Disable AQE for the iterative refinement loop on SMALL graphs.
+def _small_graph_loop_scope(spark, n_edges: int, threshold: int = 5_000_000):
+    """Run the iterative refinement loop of a SMALL graph under loop-
+    tuned SQLConf — AQE off, narrow static shuffle width — WITHOUT
+    touching the caller's session.
 
     Measured (sf0.1, 256 edges, 2 rounds): AQE's per-stage re-planning
     jobs dominate tiny iterative workloads — 8.2s with AQE vs 4.2s
-    without, identical results. On large graphs (> threshold edges) AQE
-    stays on: skew-join splitting and partition coalescing matter there
-    and the re-planning cost amortizes. The previous setting is restored
-    on exit, including on error; the toggle is session-wide, so
-    concurrently-running queries in the same session would momentarily
-    lose AQE — acceptable for batch pipelines, noted for shared sessions.
+    without, identical results; and without AQE coalescing a small
+    static shuffle width wins (4.2s → 3.7s at 8 vs 32 partitions). On
+    large graphs (> threshold edges) AQE stays on: skew-join splitting
+    and partition coalescing matter there and the re-planning cost
+    amortizes.
+
+    Isolation: the loop executes on a ``spark.newSession()`` clone —
+    same SparkContext, cache manager, and builder-level defaults, but
+    its OWN SQLConf — so concurrent queries on the caller's session
+    never observe the AQE toggle (previously the toggle was
+    session-wide). Yields a scope with ``to_loop(df)`` / ``to_parent
+    (df)`` re-rooting functions and an ``isolated`` flag. Re-rooting
+    SNAPSHOTS the frame with ``localCheckpoint(eager=True)`` — a
+    materialized RDD whose identity survives the session boundary —
+    and republishes it to the other session through a uniquely-named
+    global temp view. A snapshot (not a plain view of the live plan)
+    is essential: cross-session re-analysis of a view rebuilds the
+    logical plan, which no longer canonicalize-matches the shared
+    CacheManager entry, and an iterative result re-read through such a
+    view silently recomputes its ENTIRE per-round lineage (measured:
+    a 50-edge star-contraction result took 92s to collect that way).
+    Snapshots are taken exactly at the two boundaries — loop inputs
+    are already cached/counted by the callers, results are persisted
+    by the loop — so each is one cheap cache read, and everything
+    between the boundaries stays in one session where persist/
+    unpersist plan-matching is reliable. Above the threshold both
+    functions are the identity and the caller's session is used
+    as-is (``isolated`` False; callers keep the identity path's
+    persist contract unchanged).
     """
     if n_edges > threshold:
-        yield
+        yield _LoopScope(lambda df: df, lambda df: df, isolated=False)
         return
-    conf = spark.conf
-    saved_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    saved_sp = conf.get("spark.sql.shuffle.partitions", "32")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    # Without AQE coalescing, pick a small static shuffle width for the
-    # tiny per-round exchanges (measured: 4.2s → 3.7s at 8 vs 32).
-    conf.set("spark.sql.shuffle.partitions", "8")
+    import uuid
+
+    clone = spark.newSession()
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    clone.conf.set("spark.sql.shuffle.partitions", "8")
+    # runtime-set confs do not carry into newSession(); forward the one
+    # that changes scan semantics (nanos timestamps in events.parquet)
     try:
-        yield
+        clone.conf.set(
+            "spark.sql.legacy.parquet.nanosAsLong",
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong"),
+        )
+    except Exception:
+        pass
+    tag = uuid.uuid4().hex[:12]
+    views: list[str] = []
+
+    def _reroot(df: DataFrame, session) -> DataFrame:
+        snap = df.localCheckpoint(eager=True)
+        name = f"__graph_loop_{tag}_{len(views)}"
+        snap.createOrReplaceGlobalTempView(name)
+        views.append(name)
+        return session.table(f"global_temp.{name}")
+
+    try:
+        yield _LoopScope(
+            lambda df: _reroot(df, clone),
+            lambda df: _reroot(df, spark),
+            isolated=True,
+        )
     finally:
-        conf.set("spark.sql.adaptive.enabled", saved_aqe)
-        conf.set("spark.sql.shuffle.partitions", saved_sp)
+        for name in views:
+            spark.catalog.dropGlobalTempView(name)
+
+
+class _LoopScope:
+    def __init__(self, to_loop, to_parent, isolated: bool):
+        self.to_loop = to_loop
+        self.to_parent = to_parent
+        self.isolated = isolated
 
 
 def connected_components(
@@ -78,23 +131,34 @@ def connected_components(
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     sym = sym.distinct().persist()
 
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn(
-            "label", F.col("node")
-        )
-    ).persist()
-
     # Labels only ever DECREASE (min-propagation), so convergence shows
     # up as an unchanged label sum — one scalar aggregate per round
     # instead of a join-and-count against the previous labels.
     n_edges = sym.count()
-    with _small_graph_loop_conf(edges.sparkSession, n_edges):
-        return _propagate_loop(sym, labels, max_iter, checkpoint_every)
+    with _small_graph_loop_scope(edges.sparkSession, n_edges) as scope:
+        sym_l = scope.to_loop(sym)
+        if scope.isolated:
+            sym.unpersist()  # the loop reads the snapshot from here on
+        labels = (
+            sym_l.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .persist()
+        )
+        final = _propagate_loop(sym_l, labels, max_iter, checkpoint_every)
+        out = scope.to_parent(
+            final.select("node", F.col("label").alias("component"))
+        )
+        if scope.isolated:
+            final.unpersist()  # result data lives in the snapshot RDD
+        return out
 
 
 def _propagate_loop(
     sym: DataFrame, labels: DataFrame, max_iter: int, checkpoint_every: int
 ) -> DataFrame:
+    """Min-label propagation rounds; returns the FINAL persisted labels
+    frame (node, label) — the caller renames/re-roots it."""
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for i in range(max_iter):
@@ -132,7 +196,7 @@ def _propagate_loop(
             "max_iter (or switch to large-star/small-star for "
             "high-diameter graphs)"
         )
-    return labels.select("node", F.col("label").alias("component"))
+    return labels
 
 
 def connected_components_star(
@@ -228,7 +292,11 @@ def connected_components_star(
     n_edges = e.count()
     prev_fp: tuple | None = None
     converged = False
-    with _small_graph_loop_conf(edges.sparkSession, n_edges):
+    with _small_graph_loop_scope(edges.sparkSession, n_edges) as scope:
+        parent_e = e
+        e = scope.to_loop(e)
+        if scope.isolated:
+            parent_e.unpersist()  # loop reads the snapshot from here on
         for i in range(max_iter):
             stepped = _small_star(_large_star(e))
             if (i + 1) % checkpoint_every == 0:
@@ -241,6 +309,11 @@ def connected_components_star(
                 converged = True
                 break
             prev_fp = fp
+        if converged:
+            final = e
+            e = scope.to_parent(e)
+            if scope.isolated:
+                final.unpersist()  # result data lives in the snapshot RDD
     if not converged:
         e.unpersist()
         raise RuntimeError(
@@ -250,11 +323,12 @@ def connected_components_star(
         )
     # Star forest: edges are (node > root) → root. Components = every
     # non-root node mapped to its root, plus each root mapped to itself.
-    # `e` stays persisted — the result reads it twice, and unpersisting
-    # here would recompute the ENTIRE iterative lineage (with its
-    # per-iteration double self-reference, that recompute is exponential
-    # in the round count). Same contract as connected_components, whose
-    # final labels frame also stays cached.
+    # The result reads `e` twice, so `e` must stay materialized —
+    # recomputing the iterative lineage (per-iteration double
+    # self-reference) is exponential in the round count. On the
+    # isolated path the to_parent snapshot RDD holds the data; on the
+    # identity path the final persisted frame stays cached, same
+    # contract as connected_components.
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("node")).distinct().withColumn(
         "component", F.col("node")
@@ -314,7 +388,13 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     n_edges = e.count()
-    with _small_graph_loop_conf(edges.sparkSession, n_edges):
+    with _small_graph_loop_scope(edges.sparkSession, n_edges) as scope:
+        # snapshot every per-round input into the loop session (the
+        # `out` snapshot also saves re-joining e⋈deg each round)
+        out = scope.to_loop(out)
+        nodes = scope.to_loop(nodes)
+        ranks = scope.to_loop(ranks)
+        dangling_l = scope.to_loop(dangling) if has_dangling else dangling
         for _ in range(n_iter):
             contribs = (
                 out.join(ranks, out.a == ranks.node)
@@ -330,7 +410,7 @@ def pagerank(
                 # 1-row aggregate, broadcast onto every node's update —
                 # the redistribution rides the same job instead of a
                 # driver round-trip per iteration
-                dang = ranks.join(dangling, "node").agg(
+                dang = ranks.join(dangling_l, "node").agg(
                     (F.coalesce(F.sum("rank"), F.lit(0.0)) / n).alias("__dang_share")
                 )
                 updated = updated.crossJoin(F.broadcast(dang))
@@ -353,6 +433,10 @@ def pagerank(
             new_ranks.count()  # materialize before dropping the parent
             ranks.unpersist()
             ranks = new_ranks
+        final = ranks
+        ranks = scope.to_parent(ranks)
+        if scope.isolated:
+            final.unpersist()  # result data lives in the snapshot RDD
     dangling.unpersist()
     e.unpersist()
     return ranks

@@ -118,3 +118,110 @@ def test_pagerank_directed_sinks_conserve_mass(spark):
     # base + uniform dangling share and tie exactly
     assert got[3] == max(got.values())
     assert abs(got[1] - got[4]) < 1e-12
+
+
+class TestLoopSessionIsolation:
+    """VERDICT r4 #3: the small-graph loop tunes SQLConf (AQE off,
+    narrow shuffles) on a newSession() clone — the caller's session
+    must never observe the toggle, even mid-loop."""
+
+    def test_parent_conf_untouched_inside_scope(self, spark):
+        from investcloud_data_pipeline_spark.operators.graph import (
+            _small_graph_loop_scope,
+        )
+
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        with _small_graph_loop_scope(spark, n_edges=10) as scope:
+            df = spark.range(5)
+            looped = scope.to_loop(df)
+            # the clone-bound snapshot executes with loop conf...
+            assert looped.sparkSession is not spark
+            assert (
+                looped.sparkSession.conf.get("spark.sql.adaptive.enabled")
+                == "false"
+            )
+            assert (
+                looped.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                == "8"
+            )
+            # ...while the parent session, mid-scope, is untouched
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+            assert looped.count() == 5
+            back = scope.to_parent(looped)
+            assert back.sparkSession is spark and back.count() == 5
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    def test_snapshot_survives_parent_unpersist(self, spark):
+        """to_loop snapshots (localCheckpoint RDD), so the loop's data
+        is decoupled from the parent's cache entry — callers free the
+        parent entry immediately after re-rooting."""
+        from investcloud_data_pipeline_spark.operators.graph import (
+            _small_graph_loop_scope,
+        )
+
+        df = spark.range(100).selectExpr("id", "id * 2 as v").persist()
+        df.count()
+        with _small_graph_loop_scope(spark, n_edges=10) as scope:
+            looped = scope.to_loop(df)
+            df.unpersist()
+            assert not df.storageLevel.useMemory
+            assert looped.count() == 100  # snapshot data intact
+
+    def test_result_is_snapshot_not_lineage(self, spark):
+        """Regression: re-reading an iterative result across the
+        session boundary must read a materialized snapshot, not
+        re-analyze (and silently recompute) the per-round lineage —
+        a 50-edge star contraction took 92s to collect that way."""
+        from investcloud_data_pipeline_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(50)], "src long, dst long"
+        )
+        out = connected_components_star(edges)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the only scans in the result plan are the snapshot RDDs — no
+        # joins (i.e., none of the per-round contraction lineage)
+        assert "ExistingRDD" in plan and "Join" not in plan
+        got = {r.node: r.component for r in out.collect()}
+        assert set(got.values()) == {0} and len(got) == 51
+
+    def test_views_cleaned_up_and_large_graphs_identity(self, spark):
+        from investcloud_data_pipeline_spark.operators.graph import (
+            _small_graph_loop_scope,
+        )
+
+        with _small_graph_loop_scope(spark, n_edges=10) as scope:
+            scope.to_loop(spark.range(3))
+        leftovers = [
+            t.name
+            for t in spark.catalog.listTables("global_temp")
+            if t.name.startswith("__graph_loop")
+        ]
+        assert leftovers == []
+        # above threshold: identity re-rooting, caller session as-is
+        with _small_graph_loop_scope(spark, n_edges=10_000_000) as scope:
+            df = spark.range(3)
+            assert not scope.isolated
+            assert scope.to_loop(df) is df and scope.to_parent(df) is df
+
+    def test_end_to_end_loops_leave_parent_session_pristine(self, spark):
+        from investcloud_data_pipeline_spark.operators.graph import pagerank
+
+        before = (
+            spark.conf.get("spark.sql.adaptive.enabled"),
+            spark.conf.get("spark.sql.shuffle.partitions"),
+        )
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+        )
+        got = _cc(spark, [(1, 2), (2, 3), (5, 6)])
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+        ranks = {r.node: r.rank for r in pagerank(edges).collect()}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-6
+        after = (
+            spark.conf.get("spark.sql.adaptive.enabled"),
+            spark.conf.get("spark.sql.shuffle.partitions"),
+        )
+        assert before == after == ("true", before[1])
