@@ -319,24 +319,42 @@ def semantic_dedup_pairs(
     Returns (id1, id2, cluster, cos) with id1 < id2, cos rounded to 6
     exactly like the all-pairs plans.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from ..functions.vectors import dot, l2_norm
-
-    with_vec = df.withColumn(
-        "features", array_to_vector(to_double_array(vec_col))
+    from ..functions.vectors import (
+        assign_cells,
+        dot,
+        l2_norm,
+        seeded_kmeans_centers,
     )
-    # Same fit economics as simsearch.ivf_topk: cells need a spatial
-    # split, not converged clusters.
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=8, featuresCol="features"
-    ).fit(with_vec)
-    assigned = model.transform(with_vec).select(
-        F.col(id_col).alias("id"),
-        to_double_array(vec_col).alias("v"),
-        F.col("prediction").alias("cluster"),
-    ).persist()
+
+    # Fit: driver-side seeded Lloyd when the corpus fits the guard
+    # (milliseconds vs ~4s of Spark ML job-scheduling overhead at
+    # sf0.1); distributed KMeans above it. Assignment is distributed
+    # either way.
+    centers = seeded_kmeans_centers(df, vec_col, k=n_cells, seed=seed)
+    if centers is not None:
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            to_double_array(vec_col).alias("v"),
+        ).withColumn("cluster", assign_cells(centers)(F.col("v")))
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        with_vec = df.withColumn(
+            "features", array_to_vector(to_double_array(vec_col))
+        )
+        # Same fit economics as simsearch.ivf_topk: cells need a
+        # spatial split, not converged clusters.
+        model = KMeans(
+            k=n_cells, seed=seed, maxIter=8, featuresCol="features"
+        ).fit(with_vec)
+        assigned = model.transform(with_vec).select(
+            F.col(id_col).alias("id"),
+            to_double_array(vec_col).alias("v"),
+            F.col("prediction").alias("cluster"),
+        )
+    assigned = assigned.persist()
+    assigned.count()  # materialize once; the self-join reads it twice
     a = assigned.select(
         F.col("id").alias("id1"), F.col("v").alias("v1"), "cluster"
     ).withColumn("n1", l2_norm(F.col("v1")))
