@@ -23,6 +23,7 @@ production design, 00_utils.py:39-40) instead of the per-row Python UDF.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -32,6 +33,8 @@ from ..operators.enrich import geo_enrich
 BRONZE_SINK_SCHEMA = T.StructType(
     list(BRONZE_SCHEMA.fields) + [T.StructField("event_date", T.DateType(), True)]
 )
+
+SILVER_OBSERVATION = "silver_in"
 
 
 def start_silver(
@@ -47,7 +50,19 @@ def start_silver(
         .schema(BRONZE_SINK_SCHEMA)
         .load(paths.bronze)
     )
-    deduped = bronze_stream.withWatermark(
+    # Free per-trigger telemetry on the pre-dedup stream: input rows and
+    # the event-time range, riding the same job (no extra scan). Paired
+    # with the state store's numRowsDroppedByWatermark counter, this
+    # makes the watermark's silent late-row drops observable — see
+    # late_drop_stats() and SURVEY §2.5 (the reference's dedup drops
+    # late rows with no signal at all).
+    observed = bronze_stream.observe(
+        SILVER_OBSERVATION,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.min("timestamp").alias("min_event_time"),
+        F.max("timestamp").alias("max_event_time"),
+    )
+    deduped = observed.withWatermark(
         "timestamp", watermark_delay
     ).dropDuplicatesWithinWatermark(["log_id"])
     enriched = geo_enrich(deduped, ip_regions)
@@ -64,3 +79,38 @@ def start_silver(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def late_drop_stats(progresses) -> dict:
+    """Aggregate the silver stage's late-data observability counters from
+    ``StreamingQuery.recentProgress`` (or any iterable of progress
+    dicts), in the same surfaced-counter style as the bronze DQ
+    metrics.
+
+    ``rows_in`` comes from the ``silver_in`` observation;
+    ``rows_dropped_late`` is the state store's own
+    ``numRowsDroppedByWatermark`` (rows older than the advanced
+    watermark that the dedup operator discarded BEFORE consideration —
+    the drop the reference's pipeline performs silently, SURVEY §2.5);
+    ``rows_deduped`` is what actually entered/updated dedup state.
+    A monitoring hook alerts on ``rows_dropped_late`` exactly like it
+    alerts on quarantine volume.
+    """
+    import json
+
+    out = {"rows_in": 0, "rows_dropped_late": 0, "rows_deduped": 0}
+    for p in progresses:
+        if not isinstance(p, dict):  # StreamingQueryProgress object
+            p = json.loads(p.json)
+        obs = (p.get("observedMetrics") or {}).get(SILVER_OBSERVATION)
+        if obs is not None:
+            if hasattr(obs, "asDict"):  # Row in the progress dict
+                obs = obs.asDict()
+            out["rows_in"] += obs.get("rows_in") or 0
+        for op in p.get("stateOperators") or []:
+            if op.get("operatorName") == "dedupeWithinWatermark":
+                out["rows_dropped_late"] += (
+                    op.get("numRowsDroppedByWatermark") or 0
+                )
+                out["rows_deduped"] += op.get("numRowsUpdated") or 0
+    return out

@@ -123,3 +123,66 @@ def test_streaming_query_listener_lifecycle(spark, tmp_path):
     assert events["started"], "no start event delivered"
     assert events["terminated"], "no termination event delivered"
     assert sum(events["progress"]) == 3  # all input rows observed
+
+
+def test_silver_late_drop_counters(spark, tmp_path):
+    """VERDICT r4 #6: the watermark silently discards late rows in the
+    silver dedup (the reference does this with no signal, SURVEY §2.5).
+    The silver_in observation + the state store's
+    numRowsDroppedByWatermark make the drop observable: a crafted
+    two-run availableNow sequence with one genuinely-late row must
+    surface exactly that row in late_drop_stats()."""
+    import datetime as dt
+    import os
+
+    from investcloud_data_pipeline_spark.config import PipelinePaths
+    from investcloud_data_pipeline_spark.datagen import make_ip_region_frame
+    from investcloud_data_pipeline_spark.streaming.silver import (
+        late_drop_stats,
+        start_silver,
+    )
+
+    ip_regions = spark.createDataFrame(make_ip_region_frame())
+    paths = PipelinePaths(str(tmp_path))
+    os.makedirs(paths.bronze, exist_ok=True)
+
+    def bronze_rows(rows):
+        return spark.createDataFrame(
+            [
+                (lid, "u1", ts, "203.0.113.5", 3.0, ts.date())
+                for lid, ts in rows
+            ],
+            "log_id string, user_id string, timestamp timestamp, "
+            "ip_address string, watch_time double, event_date date",
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def run_and_collect():
+        q = start_silver(spark, paths, ip_regions, available_now=True)
+        q.awaitTermination(120)
+        stats = late_drop_stats(q.recentProgress)
+        q.stop()
+        return stats
+
+    # run 1: two fresh events — watermark advances to max(ts) - 2h = 10:00
+    bronze_rows(
+        [("a", t0), ("b", t0 - dt.timedelta(minutes=5))]
+    ).write.mode("append").parquet(paths.bronze)
+    s1 = run_and_collect()
+    assert s1["rows_in"] == 2 and s1["rows_dropped_late"] == 0
+    assert s1["rows_deduped"] == 2
+
+    # run 2 (same checkpoint): one late row (09:00 < 10:00 watermark) and
+    # one fresh row — exactly the late one must be counted as dropped
+    bronze_rows(
+        [("c", t0 - dt.timedelta(hours=3)), ("d", t0 + dt.timedelta(minutes=30))]
+    ).write.mode("append").parquet(paths.bronze)
+    s2 = run_and_collect()
+    assert s2["rows_in"] == 2
+    assert s2["rows_dropped_late"] == 1
+    assert s2["rows_deduped"] == 1
+
+    # the late row never reached the silver sink; the fresh ones did
+    got = sorted(r.log_id for r in spark.read.parquet(paths.silver).collect())
+    assert got == ["a", "b", "d"]
