@@ -450,22 +450,22 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship training-data query: the full corpus-cleaning funnel in
-    one plan — quality gate ∧ exact-dup canonical ∧ near-dup cluster
-    canonical, each predicate computed over the whole corpus and
-    intersected. Composes quality_score (operators/text.py), exact_dedup
-    (operators/dedup_fuzzy.py) and connected components
-    (operators/graph.py); every stage is individually oracle-checked by
-    its own query, and the composition is oracle-checked here."""
+def clean_corpus(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Corpus-cleaning funnel over an arbitrary documents frame: quality
+    gate ∧ exact-dup canonical ∧ near-dup cluster canonical, each
+    predicate computed over the whole corpus and intersected. ``pairs``
+    is the near-dup pair relation (id1, id2) for the same corpus.
+    Returns the surviving rows with the input's columns. Idempotent by
+    construction: survivors are pairwise non-duplicate component roots
+    whose digest groups were rooted at themselves, so a second pass
+    (with pairs recomputed on the output) keeps every row — pinned by a
+    hypothesis property test."""
     from ..operators.dedup_fuzzy import exact_dedup
     from ..operators.graph import connected_components
     from ..operators.text import quality_score
 
-    d = _docs(spark, sf_dir)
     ok = quality_score(d).filter(F.col("quality_score") >= 0.5).select("doc_id")
     exact_keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
-    pairs = jaccard_pairs_cached(spark, sf_dir)
     comp = connected_components(pairs, src="id1", dst="id2")
     near_dup_losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -474,8 +474,19 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(ok, "doc_id")
         .join(exact_keep, "doc_id")
         .join(near_dup_losers, "doc_id", "left_anti")
-        .select("doc_id", "lang", "source")
     )
+
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data query: the full corpus-cleaning funnel in
+    one plan — see :func:`clean_corpus`. Composes quality_score
+    (operators/text.py), exact_dedup (operators/dedup_fuzzy.py) and
+    connected components (operators/graph.py); every stage is
+    individually oracle-checked by its own query, and the composition
+    is oracle-checked here."""
+    d = _docs(spark, sf_dir)
+    pairs = jaccard_pairs_cached(spark, sf_dir)
+    return clean_corpus(d, pairs).select("doc_id", "lang", "source")
 
 
 CORPUS_CLEAN_PIPELINE_SQL = f"""
