@@ -116,20 +116,30 @@ def expiring_user_sessions(
     )
 
 
-def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:
+def running_user_totals_tws(
+    events_stream: DataFrame, allow_fallback: bool = False
+) -> DataFrame:
     """Same semantics as :func:`running_user_totals`, expressed with
     ``transformWithStateInPandas``. Requires the RocksDB state store
     provider (``spark.sql.streaming.stateStore.providerClass``) — which
     is also the right provider for 100 TB-scale key cardinality: state
     lives off-heap/on-disk with changelog checkpointing instead of a
-    JVM-heap HashMap."""
+    JVM-heap HashMap.
+
+    ``allow_fallback=True`` degrades to :func:`running_user_totals`
+    (the ``applyInPandasWithState`` twin — same output rows per batch,
+    different state wire format) on environments without protobuf; the
+    default raises so deployments notice the missing capability instead
+    of silently checkpointing an incompatible state layout."""
     try:  # the TWS runner speaks protobuf to the JVM — not a Spark dep
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as exc:
+        if allow_fallback:
+            return running_user_totals(events_stream)
         raise NotImplementedError(
             "transformWithStateInPandas requires the 'protobuf' package "
             "(pip install protobuf); use running_user_totals (applyInPandasWithState) "
-            "on environments without it"
+            "on environments without it, or pass allow_fallback=True"
         ) from exc
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

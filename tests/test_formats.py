@@ -78,3 +78,55 @@ def test_delta_roundtrip_or_environment_gate(spark, tmp_path):
         assert not _jvm_has(spark, "io.delta.sql.DeltaSparkSessionExtension")
         with pytest.raises(NotImplementedError, match="Delta Lake jars not on the classpath"):
             read_delta(spark, path)
+
+
+def test_iceberg_roundtrip_or_environment_gate(spark, tmp_path):
+    """Same gate protocol as the Delta test, for Iceberg: this image
+    ships no iceberg-spark-runtime (verified against the JVM classpath),
+    so the facade MUST raise its documented error; with the jar present
+    the test flips to a real hadoop-catalog round-trip."""
+    has_iceberg = _jvm_has(spark, "org.apache.iceberg.spark.source.SparkTable")
+    if has_iceberg:
+        cat = "ice_test"
+        spark.conf.set(
+            f"spark.sql.catalog.{cat}", "org.apache.iceberg.spark.SparkCatalog"
+        )
+        spark.conf.set(f"spark.sql.catalog.{cat}.type", "hadoop")
+        spark.conf.set(
+            f"spark.sql.catalog.{cat}.warehouse", str(tmp_path / "wh")
+        )
+        df = spark.range(50).selectExpr("id", "id % 5 AS k")
+        df.writeTo(f"{cat}.db.t").create()
+        back = read_iceberg(spark, f"{cat}.db.t")
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+    else:
+        # the catalog plugin class must be absent too, or the facade's
+        # "configure spark.sql.catalog..." advice would be misleading
+        assert not _jvm_has(spark, "org.apache.iceberg.spark.SparkCatalog")
+        with pytest.raises(
+            NotImplementedError, match="Iceberg runtime not on the classpath"
+        ):
+            read_iceberg(spark, "cat.db.t")
+
+
+def test_kafka_stream_or_environment_gate(spark):
+    """Same gate protocol for the Kafka source: without
+    spark-sql-kafka the facade raises its documented error; with the
+    jar present it must return an unstarted STREAMING frame with the
+    Kafka source's fixed schema (no broker needed until .start())."""
+    has_kafka = _jvm_has(
+        spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    )
+    if has_kafka:
+        stream = read_kafka_stream(spark, "localhost:9092", "t")
+        assert stream.isStreaming
+        assert {"key", "value", "topic", "partition", "offset"} <= set(
+            stream.columns
+        )
+    else:
+        with pytest.raises(
+            NotImplementedError, match="Kafka connector not on the classpath"
+        ):
+            read_kafka_stream(spark, "localhost:9092", "t")
