@@ -30,6 +30,25 @@ from investcloud_data_pipeline_spark.sources.python_datasource import (
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Queries with NO oracle_sql() entry, each with the reason SQL cannot
+# express it — the driver records a weaker rows-only check for these;
+# tests/test_entry_contract.py asserts this list is exhaustive and
+# minimal (every queries() name is either oracled or justified here).
+ROWS_ONLY = {
+    "ann_brp_lsh_topk": "random-hyperplane LSH buckets (seeded RNG, not SQL)",
+    "ann_ivf_topk": "k-means cell assignment (iterative fit, not SQL)",
+    "ann_vectorized_topk": "numpy blocked-matmul summation order",
+    "approx_aggregates": "HLL++/KLL sketch estimates are engine-specific",
+    "corpus_stratified_sample": "per-stratum Bernoulli sampling is engine-specific",
+    "dedup_embedding_cosine_fast": "numpy blocked-matmul summation order",
+    "dedup_semantic_pairs": "k-means clustering (iterative fit, not SQL)",
+    "dedup_simhash_candidates": "64-bit simhash bit voting (not portable SQL)",
+    "multimodal_byte_histogram": "binary payload histogram (no binary tables in DuckDB views)",
+    "profile_orders": "HLL++ approx distincts are engine-specific (exact twin: profile_orders_exact)",
+    "pydatasource_activity_profile": "generator-source input has no DuckDB-visible table",
+}
+
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full Gold pipeline (validity filter → dedup →

@@ -34,3 +34,18 @@ def test_all_queries_run_at_sf0001(spark, sf_dir):
         if name not in MAY_BE_EMPTY:
             assert n > 0, f"{name} returned no rows"
         assert len(df.columns) > 0, name
+
+
+def test_rows_only_allowlist_is_exhaustive_and_minimal():
+    """VERDICT r5 #1: every queries() name must either have an oracle or
+    appear on the explicit, justified rows-only allowlist — and the
+    allowlist must not carry stale names (oracled or removed queries)."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    rows_only = set(qs) - set(oracles)
+    allow = set(entrymod.ROWS_ONLY)
+    assert rows_only == allow, (
+        f"unjustified rows-only: {sorted(rows_only - allow)}; "
+        f"stale allowlist entries: {sorted(allow - rows_only)}"
+    )
+    for name, reason in entrymod.ROWS_ONLY.items():
+        assert reason.strip(), f"empty justification for {name}"

@@ -6,6 +6,12 @@ column names, and order-insensitive values (exact match after sorting;
 near-miss diagnostics for floats).
 
 Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
+       python tools/check_oracle.py --json LEDGER.json [sf_dir] [filter...]
+
+``--json`` additionally writes a machine-readable ledger: one entry per
+registry query with mode (oracle | rows-only), status, row count and
+wall time — the committed audit artifact for "every queries() entry is
+green", not just the driver's sample.
 """
 
 from __future__ import annotations
@@ -38,8 +44,13 @@ def main() -> int:
     from investcloud_data_pipeline_spark.session import get_spark
     from investcloud_data_pipeline_spark.sources.batch import TESTDATA_TABLES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filter = args[1:]
 
     spark = get_spark("check_oracle")
     con = duckdb.connect()
@@ -50,6 +61,7 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    ledger: dict[str, dict] = {}
     for name, fn in qs.items():
         if name_filter and not any(f in name for f in name_filter):
             continue
@@ -60,11 +72,17 @@ def main() -> int:
             srows = normalize([tuple(r) for r in sdf.collect()])
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
+            ledger[name] = {"mode": "oracle" if name in oracles else "rows-only",
+                            "status": "FAIL", "err": f"spark error: {exc}"[:500],
+                            "secs": round(time.time() - t0, 1)}
             failures += 1
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows-only ({len(srows)} rows, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            ledger[name] = {"mode": "rows-only", "status": "PASS",
+                            "rows": len(srows),
+                            "secs": round(time.time() - t0, 1)}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -73,6 +91,9 @@ def main() -> int:
             orows = normalize(rel.fetchall())
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
+            ledger[name] = {"mode": "oracle", "status": "FAIL",
+                            "err": f"duckdb error: {exc}"[:500],
+                            "secs": round(time.time() - t0, 1)}
             failures += 1
             continue
         problems = []
@@ -115,10 +136,31 @@ def main() -> int:
                             f"first diff:\n  spark : {example[0]}\n  oracle: {example[1]}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            ledger[name] = {"mode": "oracle", "status": "FAIL",
+                            "err": "; ".join(problems)[:500],
+                            "secs": round(time.time() - t0, 1)}
             failures += 1
         else:
             print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            ledger[name] = {"mode": "oracle", "status": "PASS",
+                            "rows": len(srows),
+                            "secs": round(time.time() - t0, 1)}
     print(f"\n{'ALL PASS' if not failures else f'{failures} FAILURES'}")
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(ledger),
+            "n_oracle": sum(1 for v in ledger.values() if v["mode"] == "oracle"),
+            "n_rows_only": sum(1 for v in ledger.values() if v["mode"] == "rows-only"),
+            "n_fail": failures,
+            "queries": dict(sorted(ledger.items())),
+        }
+        with open(json_out, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=False)
+            fh.write("\n")
+        print(f"ledger written: {json_out}")
     return 1 if failures else 0
 
 
