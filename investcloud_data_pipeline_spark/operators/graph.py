@@ -385,15 +385,16 @@ def pagerank(
     ).persist()
     has_dangling = (not undirected) and dangling.limit(1).count() > 0
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     n_edges = e.count()
     with _small_graph_loop_scope(edges.sparkSession, n_edges) as scope:
         # snapshot every per-round input into the loop session (the
-        # `out` snapshot also saves re-joining e⋈deg each round)
+        # `out` snapshot also saves re-joining e⋈deg each round); the
+        # initial uniform ranks derive from the nodes snapshot — no
+        # separate snapshot needed
         out = scope.to_loop(out)
         nodes = scope.to_loop(nodes)
-        ranks = scope.to_loop(ranks)
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         dangling_l = scope.to_loop(dangling) if has_dangling else dangling
         for _ in range(n_iter):
             contribs = (
