@@ -396,6 +396,18 @@ def pagerank(
         nodes = scope.to_loop(nodes)
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         dangling_l = scope.to_loop(dangling) if has_dangling else dangling
+        # Without a dangling branch, `ranks` feeds each iteration exactly
+        # once, so the n_iter updates compose into one LINEAR plan — run
+        # the whole chain as a single job at the boundary snapshot,
+        # eliminating n_iter persist+count driver round-trips (neutral
+        # at sf0.1 where the upstream pair-join dominates; the saved
+        # barriers grow with scheduler latency). The dangling branch
+        # reads `ranks` twice per round (contribs + mass aggregate),
+        # which would double the plan per iteration, so it keeps
+        # per-round materialization; likewise the identity (large-graph)
+        # path, where an unmaterialized chain would re-execute per
+        # downstream action.
+        lazy_chain = scope.isolated and not has_dangling
         for _ in range(n_iter):
             contribs = (
                 out.join(ranks, out.a == ranks.node)
@@ -417,26 +429,27 @@ def pagerank(
                 updated = updated.crossJoin(F.broadcast(dang))
             else:
                 updated = updated.withColumn("__dang_share", F.lit(0.0))
-            new_ranks = (
-                updated.select(
-                    "node",
-                    (
-                        F.lit(base)
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("in_sum"), F.lit(0.0))
-                            + F.col("__dang_share")
-                        )
-                    ).alias("rank"),
-                )
-                .persist()
+            new_ranks = updated.select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.col("__dang_share")
+                    )
+                ).alias("rank"),
             )
-            new_ranks.count()  # materialize before dropping the parent
-            ranks.unpersist()
-            ranks = new_ranks
-        final = ranks
+            if lazy_chain:
+                ranks = new_ranks
+            else:
+                new_ranks = new_ranks.persist()
+                new_ranks.count()  # materialize before dropping the parent
+                ranks.unpersist()
+                ranks = new_ranks
+        final = None if lazy_chain else ranks
         ranks = scope.to_parent(ranks)
-        if scope.isolated:
+        if scope.isolated and final is not None:
             final.unpersist()  # result data lives in the snapshot RDD
     dangling.unpersist()
     e.unpersist()
