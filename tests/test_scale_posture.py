@@ -258,3 +258,28 @@ def test_lateral_topk_rewrites_to_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round5_plan_shapes(spark, sf_dir):
+    """Round-5 paths keep their scale posture: SemDeDup's cluster
+    assignment is an Arrow-batched pandas UDF (never row-at-a-time
+    BatchEvalPython), its self-join co-partitions both sides on the
+    cluster id with the assignment computed once (cached single
+    exchange, not two assignment scans); the NULL-guarded distinct
+    branches still push their IsNotNull filters into the parquet scan."""
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        semantic_dedup_pairs,
+    )
+    from investcloud_data_pipeline_spark.plans import relational as R
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = _plan(semantic_dedup_pairs(emb))
+    assert "ArrowEvalPython" in sem or "InMemoryTableScan" in sem
+    assert "BatchEvalPython" not in sem  # no pickled row-at-a-time UDF
+    # both self-join sides read the one materialized assignment
+    assert sem.count("InMemoryTableScan") == 2
+
+    dp = _plan(R.distinct_and_percentiles(spark, sf_dir))
+    assert "BatchEvalPython" not in dp
+    assert dp.count("PushedFilters: [IsNotNull") >= 2  # both key branches
