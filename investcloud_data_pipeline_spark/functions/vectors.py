@@ -116,18 +116,22 @@ def seeded_kmeans_centers(
         dtype=np.float64,
     )
     rng = np.random.default_rng(seed)
-    # k-means++ seeding: spread initial centers by D² sampling
-    centers = mat[rng.integers(n)][None, :]
+    # k-means++ seeding by D² sampling, maintained INCREMENTALLY: track
+    # the running min-distance and update it against only the newest
+    # center (an n×k×d broadcast temp would be gigabytes right at the
+    # collect guard boundary; this keeps peak extra memory at n×d).
+    first = mat[rng.integers(n)]
+    centers = [first]
+    d2 = ((mat - first) ** 2).sum(1)
     for _ in range(1, k):
-        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(-1).min(1)
         total = d2.sum()
         if total <= 0.0:  # degenerate corpus: all points identical
-            centers = np.vstack([centers, mat[rng.integers(n)][None, :]])
-            continue
-        centers = np.vstack(
-            [centers, mat[rng.choice(n, p=d2 / total)][None, :]]
-        )
-    c = centers
+            nxt = mat[rng.integers(n)]
+        else:
+            nxt = mat[rng.choice(n, p=d2 / total)]
+        centers.append(nxt)
+        d2 = np.minimum(d2, ((mat - nxt) ** 2).sum(1))
+    c = np.array(centers)
     x_sq = (mat * mat).sum(1)[:, None]
     for _ in range(n_iter):
         d = x_sq + (c * c).sum(1)[None, :] - 2.0 * (mat @ c.T)
