@@ -3,10 +3,12 @@
 The reference's UDF surface is a single scalar dict-UDF (SURVEY §2.12);
 this completes the trio — scalar (replaced by broadcast join), grouped
 pandas kernels (simhash/multimodal), and a table function: one input row
-expanding to N output rows with its own schema. UDTFs run row-at-a-time
-in Python, so they are for LOW-VOLUME expansion steps (config fan-out,
-small-dimension explosion); high-volume expansion belongs to JVM-side
-``explode`` (see multimodal.sample_frames) or ``mapInPandas``.
+expanding to N output rows with its own schema. The chunker opts into
+Spark 4's Arrow-optimized UDTF evaluation (``useArrow=True`` — batched
+columnar transfer instead of row-at-a-time pickling), keeping the whole
+registry free of BatchEvalPython nodes; even so, high-volume expansion
+belongs to JVM-side ``explode`` (see multimodal.sample_frames) or
+``mapInPandas``.
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="chunk_idx int, chunk string, n_tokens int")
+@udtf(returnType="chunk_idx int, chunk string, n_tokens int", useArrow=True)
 class ChunkText:
     """Split a document into fixed-size token chunks with overlap — the
     canonical pre-embedding chunker of an LLM data pipeline."""
