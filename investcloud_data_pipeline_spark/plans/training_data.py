@@ -216,6 +216,11 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import normalize_text
 
     d = _docs(spark, sf_dir)
+    # NOTE: the inlined split() here is deliberate — naming the token
+    # array in its own projection measured 1.7× SLOWER (the generator
+    # then carries the materialized array column through a Project
+    # barrier), unlike the scalar-reused-in-lambda cases
+    # (embedding_normalize/quantize) where the named column wins 4×.
     toks = F.split(normalize_text("text"), " ")
     chunked = (
         d.select(
@@ -639,11 +644,21 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     arr = to_double_array("embedding")
-    norm = F.sqrt(dot(arr, arr))
-    return e.select(
+    # Two-step projection: referencing the norm expression inside the
+    # per-element transform lambda would re-inline (and re-evaluate)
+    # the full dot-product aggregate for EVERY array element — 64× the
+    # work, measured ~4× slower. A named intermediate column evaluates
+    # it once per row (CollapseProject keeps non-cheap expressions in
+    # their own projection).
+    with_norm = e.select(
+        "vec_id", arr.alias("a"), F.sqrt(dot(arr, arr)).alias("nrm")
+    )
+    return with_norm.select(
         "vec_id",
-        F.round(norm, 6).alias("l2"),
-        F.transform(arr, lambda x: F.round(x / norm, 6)).alias("unit_vec"),
+        F.round("nrm", 6).alias("l2"),
+        F.transform(
+            "a", lambda x: F.round(x / F.col("nrm"), 6)
+        ).alias("unit_vec"),
     )
 
 
@@ -666,12 +681,20 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     arr = to_double_array("embedding")
-    max_abs = F.array_max(F.transform(arr, F.abs))
-    scale = F.lit(127.0) / max_abs
-    return e.select(
+    # two-step projection: same re-inlining hazard as
+    # embedding_normalize — the scale referenced inside the lambda
+    # would re-evaluate its array_max per element (O(d²) per row)
+    with_scale = e.select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
-        F.transform(arr, lambda x: F.round(x * scale).cast("int")).alias("q8"),
+        arr.alias("a"),
+        (F.lit(127.0) / F.array_max(F.transform(arr, F.abs))).alias("scale"),
+    )
+    return with_scale.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.transform(
+            "a", lambda x: F.round(x * F.col("scale")).cast("int")
+        ).alias("q8"),
     )
 
 
