@@ -496,8 +496,52 @@ PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
 )
 
 
+def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user value: each event's value is decayed by
+    half-life 7 days relative to the corpus' newest event, then summed
+    per user — the standard closed-form "exponential decay without
+    state" feature (weight = 0.5^(age_days/7)); no recursive/stateful
+    computation needed, so it runs as one scan + one grouped sum.
+
+    The global anchor (max ts) stays IN the plan as a broadcast 1-row
+    aggregate (the sanctioned scalar-fold pattern — no driver
+    round-trip); the only shuffle keys on user_id. round(6) absorbs
+    double reassociation noise across engines."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    anchor = e.agg(F.max("ts").alias("anchor"))
+    # microsecond precision on both sides: the driver tables carry
+    # sub-second timestamps, and unix_timestamp() truncates to seconds
+    age_days = (
+        F.unix_micros("anchor") - F.unix_micros("ts")
+    ) / F.lit(86400.0e6)
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            (F.col("value") * F.pow(F.lit(0.5), age_days / 7.0)).alias("w"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("w"), 6).alias("decayed_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+TIME_DECAYED_USER_VALUE_SQL = """
+WITH anchor AS (SELECT max(ts) AS anchor FROM events)
+SELECT user_id,
+       round(sum(value * power(0.5,
+         ((epoch_us(anchor) - epoch_us(ts)) / 86400.0e6) / 7.0)), 6) AS decayed_value,
+       count(*) AS n_events
+FROM events, anchor
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "asof_purchase_last_click": (asof_purchase_last_click, ASOF_PURCHASE_LAST_CLICK_SQL),
+    "time_decayed_user_value": (time_decayed_user_value, TIME_DECAYED_USER_VALUE_SQL),
     "interval_attribution": (interval_attribution, INTERVAL_ATTRIBUTION_SQL),
     "gap_fill_hourly_values": (gap_fill_hourly_values, GAP_FILL_HOURLY_VALUES_SQL),
     "range_join_nearby_events": (range_join_nearby_events, RANGE_JOIN_NEARBY_EVENTS_SQL),

@@ -1146,8 +1146,178 @@ FROM totals
 """
 
 
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction before ANN/clustering: fit PCA on the
+    corpus embeddings via the distributed sufficient-statistics plan
+    (operators/pca.py — per-partition Gram-matrix fold, tree reduce,
+    driver eigensolve) and project every vector onto the top-8 axes.
+    Rows-only oracle: the eigendecomposition is not SQL-expressible;
+    the algebraic invariants (orthonormal basis, variance ordering,
+    parity with a single-node numpy PCA) are pinned by pytest."""
+    from ..operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=8)
+    proj = pca_project(emb, model, "embedding", out_col="pc")
+    return proj.select(
+        "vec_id",
+        "label",
+        F.round(F.col("pc")[0], 6).alias("pc1"),
+        F.round(F.col("pc")[1], 6).alias("pc2"),
+    )
+
+
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sample: the k=20 documents per source
+    with the smallest md5(doc_id).
+
+    Hash-ordered sampling is the scale-correct alternative to rand()
+    for corpus curation: re-runs, task retries and incremental
+    recomputation all select the SAME sample (rand() redraws per task
+    attempt, so a retried partition silently changes the corpus), and
+    adding documents only ever swaps in/out at the hash boundary. The
+    per-group top-k compiles to WindowGroupLimit: each map task keeps
+    only k rows per group before the exchange, so the shuffle carries
+    O(groups x k) rows, not the corpus."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(
+        key.asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            key.alias("sample_key"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", "sample_key")
+    )
+
+
+CORPUS_HASH_SAMPLE_SQL = """
+SELECT doc_id, source, sample_key
+FROM (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 20
+"""
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked canonical selection: within each near-dup cluster
+    keep the HIGHEST-quality document, not the min-id one — the choice
+    production curation actually wants (min-id keeps an arbitrary
+    member; quality-argmax keeps the best copy of the duplicated
+    content). Composes the component labeling (operators/graph.py) with
+    quality_score (operators/text.py): docs in no candidate pair are
+    singleton clusters and survive unchanged; within a cluster the
+    argmax is deterministic via (quality desc, doc_id asc) tie-break.
+
+    Scale shape: the component relation only contains docs that appear
+    in some pair (a small fraction of the corpus), so the label join is
+    broadcast-able; the per-cluster argmax is one WindowGroupLimit
+    shuffle keyed on component."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    pairs = jaccard_pairs_cached(spark, sf_dir)
+    comp = connected_components(pairs, src="id1", dst="id2").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    q = TX.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "quality_score"
+    )
+    labeled = q.join(F.broadcast(comp), "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality_score",
+        )
+    )
+
+
+DEDUP_KEEP_BEST_QUALITY_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2
+  FROM common
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
+),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+qt AS (
+  SELECT doc_id, text,
+         CASE WHEN {NORM_SQL} = '' THEN []
+              ELSE string_split({NORM_SQL}, ' ') END AS t
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * (CASE WHEN len(t) BETWEEN 10 AND 5000 THEN 1.0
+                           WHEN len(t) > 0 THEN 0.5 ELSE 0.0 END)
+             + 0.3 * (CASE WHEN len(t) > 0
+                           THEN len(list_distinct(t)) / len(t) ELSE 0.0 END)
+             + 0.3 * (CASE WHEN length(text) > 0
+                           THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / length(text)
+                           ELSE 0.0 END), 6) AS quality_score
+  FROM qt
+),
+labeled AS (
+  SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component,
+         q.quality_score
+  FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id
+)
+SELECT component, doc_id AS kept_doc_id, quality_score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY component ORDER BY quality_score DESC, doc_id
+  ) AS rn
+  FROM labeled
+)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_DOCUMENTS_SQL),
+    "corpus_hash_sample": (corpus_hash_sample, CORPUS_HASH_SAMPLE_SQL),
+    "embedding_pca_project": (embedding_pca_project, None),  # rows-only (eigh)
+    "dedup_keep_best_quality": (dedup_keep_best_quality, DEDUP_KEEP_BEST_QUALITY_SQL),
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SEQUENCES_SQL),
     "corpus_decontaminate": (corpus_decontaminate, CORPUS_DECONTAMINATE_SQL),
     "text_repetition_stats": (text_repetition_stats, TEXT_REPETITION_STATS_SQL),

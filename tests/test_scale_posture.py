@@ -283,3 +283,97 @@ def test_round5_plan_shapes(spark, sf_dir):
     dp = _plan(R.distinct_and_percentiles(spark, sf_dir))
     assert "BatchEvalPython" not in dp
     assert dp.count("PushedFilters: [IsNotNull") >= 2  # both key branches
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
+    """The 100 TB lever for selective fact⋈fact joins: Spark's runtime
+    bloom filter builds a compact filter from the dim-filtered side and
+    semi-prunes the probe side's shuffle input. At local SF the
+    application-side scan is far below the 10 GB activation threshold,
+    so injection is (correctly) absent by default; lowering the
+    thresholds simulates the at-scale sizing decision and pins that our
+    join shape stays ELIGIBLE — a refactor that broke eligibility (e.g.
+    a non-equi key or a Python-opaque filter) would stop injecting and
+    fail here."""
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    baseline = {r["o_orderpriority"]: r["n"] for r in j.collect()}
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "1GB",
+        )
+        j2 = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        opt = j2._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt
+        assert "might_contain" in opt
+        # semantics unchanged by the pruning filter
+        assert {r["o_orderpriority"]: r["n"] for r in j2.collect()} == baseline
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_new_query_plan_shapes(spark, sf_dir):
+    """Round-5 additions keep their intended shapes: hash sampling and
+    quality-canonical selection compile to WindowGroupLimit (per-group
+    top-k pushed below the shuffle), the decayed aggregate folds its
+    global anchor as a broadcast 1-row aggregate (no driver round-trip)
+    with exactly one keyed shuffle, and the PCA projection is an
+    Arrow-batched UDF, never pickled row-at-a-time Python."""
+    from investcloud_data_pipeline_spark.plans import temporal as T
+    from investcloud_data_pipeline_spark.plans import training_data as TD
+
+    hs = _plan(TD.corpus_hash_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in hs
+
+    td = T.time_decayed_user_value(spark, sf_dir)
+    tdp = _plan(td)
+    assert "BroadcastNestedLoopJoin" in tdp  # 1-row anchor fold
+    assert "CartesianProduct" not in tdp
+
+    from investcloud_data_pipeline_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=4)
+    pp = _plan(pca_project(emb, model, "embedding"))
+    assert "ArrowEvalPython" in pp
+    assert "BatchEvalPython" not in pp
