@@ -75,3 +75,44 @@ def redact_pii(
     if not keep_original:
         out = out.drop(text_col)
     return out
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple: every
+    equivalence class (distinct combination of ``quasi_cols``) with its
+    size and a violation flag (size < k means those rows are
+    re-identifiable by linking on the quasi identifiers — the standard
+    release gate before a dataset leaves the curated zone).
+
+    Scale shape: one map-side-combinable grouped count keyed on the
+    quasi tuple — the same economics as any grouped agg; the output is
+    one row per equivalence class, tiny relative to the input. Rows in
+    violating classes are the candidates for suppression or
+    generalization (coarsening a quasi column until every class
+    reaches k)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("class_size"))
+        .withColumn("is_violation", F.col("class_size") < k)
+    )
+
+
+def suppression_summary(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """One-row summary of the k-anonymity audit: number of equivalence
+    classes, violating classes, and the fraction of ROWS that would
+    need suppression to reach k-anonymity (the metric release reviews
+    actually quote)."""
+    classes = k_anonymity(df, quasi_cols, k)
+    return classes.agg(
+        F.count("*").alias("n_classes"),
+        F.sum(F.col("is_violation").cast("long")).alias("n_violating"),
+        F.round(
+            F.sum(F.when(F.col("is_violation"), F.col("class_size")).otherwise(F.lit(0)))
+            / F.sum("class_size"),
+            6,
+        ).alias("suppression_rate"),
+    )

@@ -398,8 +398,33 @@ SELECT "check", n_violations, n_violations = 0 AS passed FROM row_checks
 """
 
 
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/pii.py) of the customer table under
+    the quasi-identifier tuple (nation, market segment): every
+    equivalence class with its size and a <k flag, plus the audit
+    demonstrates the release-gate governance check a training-data
+    pipeline runs before data leaves the curated zone."""
+    from ..operators.pii import k_anonymity
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    return k_anonymity(c, ["nationkey", "mktsegment"], k=5)
+
+
+PRIVACY_K_ANONYMITY_SQL = """
+SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+       count(*) AS class_size,
+       count(*) < 5 AS is_violation
+FROM customer
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pii_redact_documents": (pii_redact_documents, PII_REDACT_DOCUMENTS_SQL),
+    "privacy_k_anonymity": (privacy_k_anonymity, PRIVACY_K_ANONYMITY_SQL),
     "url_domain_stats": (url_domain_stats, URL_DOMAIN_STATS_SQL),
     "er_fuzzy_part_pairs": (er_fuzzy_part_pairs, ER_FUZZY_PART_PAIRS_SQL),
     "cdc_apply_customer": (cdc_apply_customer, CDC_APPLY_CUSTOMER_SQL),

@@ -108,6 +108,75 @@ HAVING count(*) >= 3
 """
 
 
+# ---------- Apriori level-3: frequent triples ----------
+#
+# Classic frequent-itemset mining one level up: 3-itemsets are counted
+# by extending only the FREQUENT pairs (Apriori pruning — an infrequent
+# pair can never be inside a frequent triple), so the candidate space
+# is the frequent-pair relation × per-order items, not the cubic
+# all-triples expansion. At 100 TB this pruning is the difference
+# between a tractable join and an explosion: |frequent pairs| is tiny
+# after the support threshold, and the extension join co-partitions on
+# l_orderkey like the pair build.
+
+def copurchase_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    # candidate pairs WITH the order id retained (support filter after
+    # the triple count, not before: pair support ≥ triple support, so
+    # filtering pairs at the same threshold first is exact Apriori)
+    freq_pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part1"),
+            F.col("b.l_partkey").alias("part2"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+        .select("part1", "part2")
+    )
+    pair_orders = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            "l_orderkey",
+            F.col("a.l_partkey").alias("part1"),
+            F.col("b.l_partkey").alias("part2"),
+        )
+        .join(freq_pairs, ["part1", "part2"])  # Apriori prune
+    )
+    c = op.alias("c")
+    return (
+        pair_orders.join(c, "l_orderkey")
+        .filter(F.col("c.l_partkey") > F.col("part2"))
+        .groupBy("part1", "part2", F.col("c.l_partkey").alias("part3"))
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+COPURCHASE_PART_TRIPLES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+po AS (
+  SELECT a.l_orderkey, a.l_partkey AS part1, b.l_partkey AS part2
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+freq AS (
+  SELECT part1, part2 FROM po GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT po.part1, po.part2, c.l_partkey AS part3, count(*) AS n_orders
+FROM po
+JOIN freq USING (part1, part2)
+JOIN op c ON c.l_orderkey = po.l_orderkey AND c.l_partkey > po.part2
+GROUP BY 1, 2, 3
+HAVING count(*) >= 2
+"""
+
+
 # ---------- triangle statistics on the near-dup pair graph ----------
 #
 # Near-dup candidate pairs form a graph whose triangle density says how
@@ -632,6 +701,7 @@ QUERIES = {
     "event_value_outliers": (event_value_outliers, EVENT_VALUE_OUTLIERS_SQL),
     "copurchase_part_pairs": (copurchase_part_pairs, COPURCHASE_PART_PAIRS_SQL),
     "dedup_triangle_stats": (dedup_triangle_stats, _triangle_sql()),
+    "copurchase_part_triples": (copurchase_part_triples, COPURCHASE_PART_TRIPLES_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "cms_user_counts": (cms_user_counts, _cms_sql()),

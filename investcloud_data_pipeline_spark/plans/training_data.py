@@ -1167,6 +1167,41 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words (hashingTF): tokens hash into a fixed
+    D=256 bucket space (2-hex-char md5 prefix — the repo's portable
+    bucket scheme, identical string math in Spark and DuckDB), counted
+    per (doc, bucket). The sparse long format (doc_id, bucket, n) is
+    the join-ready shape for distributed featurization: no vocabulary
+    build, no global dictionary broadcast — the classic fixed-memory
+    trade (collisions fold features together) that makes bag-of-words
+    viable at corpus scale.
+
+    Plan shape: explode → one map-side-combinable grouped count keyed
+    on (doc_id, bucket). No joins, no driver state."""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", F.substring(F.md5("tok"), 1, 2).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+TEXT_FEATURE_HASHING_SQL = f"""
+WITH d AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+  FROM d WHERE norm <> ''
+)
+SELECT doc_id, substr(md5(tok), 1, 2) AS bucket, count(*) AS n
+FROM tok
+GROUP BY 1, 2
+"""
+
+
 def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sample: the k=20 documents per source
     with the smallest md5(doc_id).
@@ -1317,6 +1352,7 @@ QUERIES = {
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_DOCUMENTS_SQL),
     "corpus_hash_sample": (corpus_hash_sample, CORPUS_HASH_SAMPLE_SQL),
     "embedding_pca_project": (embedding_pca_project, None),  # rows-only (eigh)
+    "text_feature_hashing": (text_feature_hashing, TEXT_FEATURE_HASHING_SQL),
     "dedup_keep_best_quality": (dedup_keep_best_quality, DEDUP_KEEP_BEST_QUALITY_SQL),
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SEQUENCES_SQL),
     "corpus_decontaminate": (corpus_decontaminate, CORPUS_DECONTAMINATE_SQL),

@@ -204,3 +204,38 @@ class TestExpectations:
              E.unique("id")],
         )
         assert all(r.passed for r in report.collect())
+
+
+class TestKAnonymity:
+    def _df(self, spark):
+        rows = (
+            [("US", "A")] * 5      # exactly k → not a violation
+            + [("US", "B")] * 2    # < k → violation
+            + [("DE", "A")] * 7    # > k → fine
+        )
+        return spark.createDataFrame(rows, "country string, seg string")
+
+    def test_classes_and_violations(self, spark):
+        from investcloud_data_pipeline_spark.operators.pii import k_anonymity
+
+        out = {
+            (r["country"], r["seg"]): (r["class_size"], r["is_violation"])
+            for r in k_anonymity(self._df(spark), ["country", "seg"], k=5).collect()
+        }
+        assert out == {
+            ("US", "A"): (5, False),
+            ("US", "B"): (2, True),
+            ("DE", "A"): (7, False),
+        }
+
+    def test_suppression_summary(self, spark):
+        from investcloud_data_pipeline_spark.operators.pii import (
+            suppression_summary,
+        )
+
+        row = suppression_summary(
+            self._df(spark), ["country", "seg"], k=5
+        ).collect()[0]
+        assert row["n_classes"] == 3
+        assert row["n_violating"] == 1
+        assert row["suppression_rate"] == round(2 / 14, 6)
