@@ -141,6 +141,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Document pairs whose shingle OVERLAP COEFFICIENT
+    |A∩B| / min(|A|, |B|) ≥ threshold — the containment test Jaccard
+    misses: a short document quoted verbatim inside a much longer one
+    has high containment but low Jaccard (the union is dominated by the
+    long side), so quote/subset leakage survives a Jaccard-only dedup.
+
+    Same inverted-index physical plan as :func:`ngram_jaccard_pairs`
+    (xxhash64 shingle keys, shared repartition barrier, no cartesian):
+    only the final scalar differs, so the 100 TB posture is identical —
+    in production both scores are emitted from ONE pair relation.
+    """
+    sh = shingle_relation(df, text_col, id_col, n).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    cont = F.col("n_common") / F.least("n1", "n2")
+    return (
+        common.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id1", "id2", "n_common", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

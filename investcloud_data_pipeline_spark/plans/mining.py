@@ -696,8 +696,193 @@ ORDER BY m.event_type
 """
 
 
+# ---------- RFM customer segmentation ----------
+#
+# The classic CRM cut: per customer Recency (days since last order,
+# against the corpus' newest order date), Frequency (order count),
+# Monetary (total spend), each bucketed into quartiles. Physical shape:
+# one grouped agg on o_custkey (the only fact-sized shuffle), the
+# global anchor folded as a broadcast 1-row aggregate (no driver
+# round-trip), then three ntile windows over the CUSTOMER-sized
+# aggregate — KB-to-MB regardless of fact size, so the windows are
+# free at 100 TB. Every ntile orders by (metric, custkey): a total
+# order, so quartile boundaries are deterministic and engine-portable.
+# The global ntile is a SinglePartition window over the CUSTOMER
+# aggregate — fine to ~10^8 rows; past that swap exact ntile for
+# broadcast percentile thresholds (approx_percentile on the aggregate,
+# then a comparison-only projection: no global sort, same 4 buckets up
+# to estimation error at the boundaries).
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias(
+            "monetary"
+        ),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("anchor"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff("anchor", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    # Recency: smaller = better → rank 4 (best) gets the most recent.
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("custkey"))
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("custkey"))
+    m_w = Window.orderBy(F.col("monetary").asc(), F.col("custkey"))
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("long").alias("r_score"),
+        F.ntile(4).over(f_w).cast("long").alias("f_score"),
+        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+    )
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         count(*) AS frequency,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS monetary
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT max(last_order) AS anchor FROM per_cust),
+scored AS (
+  SELECT custkey,
+         CAST(date_diff('day', last_order, anchor) AS BIGINT) AS recency_days,
+         frequency, monetary
+  FROM per_cust CROSS JOIN anchor
+)
+SELECT custkey, recency_days, frequency, monetary,
+       ntile(4) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+       ntile(4) OVER (ORDER BY frequency ASC, custkey) AS f_score,
+       ntile(4) OVER (ORDER BY monetary ASC, custkey) AS m_score
+FROM scored
+"""
+
+
+# ---------- association rules (confidence / lift) ----------
+#
+# Directed rules a→b on top of the co-purchase pair counts: confidence
+# = P(b|a) = supp(ab)/supp(a); lift = confidence / P(b). Joins the
+# (tiny) per-item support relation twice onto the pair relation —
+# both AQE-broadcast locally, shuffle-hash at catalog scale. The
+# distinct (order, part) projection feeds FOUR consumers (basket
+# count, item supports, both self-join sides); without a persist each
+# consumer re-scans the fact table — at 100 TB that is 4 extra full
+# scans, so the projection is cached once (the same write-once
+# economics as the jaccard pair relation; Spark's CacheManager dedups
+# the entry across repeated calls by canonicalized plan).
+
+def copurchase_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct().persist()
+    n_baskets = op.agg(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    item = op.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("supp")
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count("*").alias("pair_supp"))
+        .filter(F.col("pair_supp") >= 3)
+    )
+    sa = item.select(F.col("item").alias("antecedent"), F.col("supp").alias("supp_a"))
+    sb = item.select(F.col("item").alias("consequent"), F.col("supp").alias("supp_b"))
+    conf = F.col("pair_supp") / F.col("supp_a")
+    lift = conf * F.col("n_baskets") / F.col("supp_b")
+    return (
+        pairs.join(sa, "antecedent")
+        .join(sb, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_supp",
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+
+
+COPURCHASE_RULES_LIFT_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM op),
+item AS (SELECT l_partkey AS item, count(*) AS supp FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+         count(*) AS pair_supp
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT antecedent, consequent, pair_supp,
+       round(pair_supp / sa.supp, 6) AS confidence,
+       round(pair_supp / sa.supp * n_baskets / sb.supp, 6) AS lift
+FROM pairs
+JOIN item sa ON antecedent = sa.item
+JOIN item sb ON consequent = sb.item
+CROSS JOIN n
+"""
+
+
+# ---------- per-group linear regression ----------
+#
+# Built-in OLS aggregates (regr_slope / regr_intercept / regr_r2):
+# per event_type, regress value on hour-of-day to surface intraday
+# trends. One grouped aggregate — the regression moments (Σx, Σy,
+# Σxy, Σx², n) combine map-side like any algebraic agg, so the
+# shuffle carries 5 doubles per group regardless of fact size. The
+# closed-form moment math is identical in Spark and DuckDB; round(6)
+# absorbs summation-order noise.
+
+def regression_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+            F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+        )
+    )
+
+
+REGRESSION_VALUE_BY_HOUR_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+       round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6) AS intercept,
+       round(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 6) AS r2
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "yoy_nation_revenue": (yoy_nation_revenue, YOY_NATION_REVENUE_SQL),
+    "customer_rfm_segments": (customer_rfm_segments, CUSTOMER_RFM_SEGMENTS_SQL),
+    "copurchase_rules_lift": (copurchase_rules_lift, COPURCHASE_RULES_LIFT_SQL),
+    "regression_value_by_hour": (
+        regression_value_by_hour,
+        REGRESSION_VALUE_BY_HOUR_SQL,
+    ),
     "event_value_outliers": (event_value_outliers, EVENT_VALUE_OUTLIERS_SQL),
     "copurchase_part_pairs": (copurchase_part_pairs, COPURCHASE_PART_PAIRS_SQL),
     "dedup_triangle_stats": (dedup_triangle_stats, _triangle_sql()),

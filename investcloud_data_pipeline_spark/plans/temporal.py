@@ -539,8 +539,59 @@ GROUP BY user_id
 """
 
 
+# ---------- OHLC time-series resampling ----------
+#
+# The market-data bar shape: per (event_type, hour) emit
+# open/high/low/close/volume. Open/close are min_by/max_by with a
+# TOTAL order key — (ts, event_id) encoded as one zero-padded sortable
+# string so ties at the same microsecond still pick one deterministic
+# row on every engine (DuckDB's arg_min takes a scalar key, so the
+# Spark side uses the identical string rather than a struct). One
+# grouped aggregate, no window: min_by/max_by combine map-side like
+# min/max, so the shuffle carries one row per (type, hour) bar — the
+# resample output stays KB-sized however large the tick stream is.
+
+def event_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d|%012d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bar_hour"),
+            F.col("value"),
+            key.alias("k"),
+        )
+        .groupBy("event_type", "bar_hour")
+        .agg(
+            F.min_by("value", F.col("k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("k")).alias("close"),
+            F.count("*").alias("volume"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+EVENT_OHLC_HOURLY_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS bar_hour,
+       arg_min(value, printf('%020d|%012d', epoch_us(ts), event_id)) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id)) AS close,
+       count(*) AS volume,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "asof_purchase_last_click": (asof_purchase_last_click, ASOF_PURCHASE_LAST_CLICK_SQL),
+    "event_ohlc_hourly": (event_ohlc_hourly, EVENT_OHLC_HOURLY_SQL),
     "time_decayed_user_value": (time_decayed_user_value, TIME_DECAYED_USER_VALUE_SQL),
     "interval_attribution": (interval_attribution, INTERVAL_ATTRIBUTION_SQL),
     "gap_fill_hourly_values": (gap_fill_hourly_values, GAP_FILL_HOURLY_VALUES_SQL),

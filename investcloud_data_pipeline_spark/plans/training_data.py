@@ -96,6 +96,33 @@ JOIN sizes s2 ON id2 = s2.doc_id
 WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
 """
 
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/subset leakage detection: shingle overlap coefficient
+    |A∩B|/min(|A|,|B|) ≥ 0.9 (operators/dedup_fuzzy.py::
+    ngram_containment_pairs). Catches short docs embedded verbatim in
+    long ones, which Jaccard-threshold dedup structurally misses."""
+    return DF.ngram_containment_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.9
+    )
+
+
+DEDUP_NGRAM_CONTAINMENT_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, n_common,
+       round(n_common / least(s1.n_sh, s2.n_sh), 6) AS containment
+FROM common
+JOIN sizes s1 ON id1 = s1.doc_id
+JOIN sizes s2 ON id2 = s2.doc_id
+WHERE round(n_common / least(s1.n_sh, s2.n_sh), 6) >= 0.9
+"""
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: Jaccard candidate pairs → distributed
     connected components (operators/graph.py) → (doc_id, component).
@@ -1247,6 +1274,63 @@ WHERE rn <= 20
 """
 
 
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (algorithm
+    A-ES, Efraimidis & Spirakis 2006): per source stratum keep the k=15
+    docs with the smallest exponential key -ln(u)/w, where w = n_chars
+    (longer docs proportionally likelier) and u is a hash-uniform drawn
+    from md5(doc_id) — NOT rand(), for the same retry-stability reasons
+    as corpus_hash_sample: task retries, re-runs, and incremental
+    recomputes all draw the identical sample, and the selection is
+    reproducible from the data alone.
+
+    Scale shape: the per-stratum top-k compiles to WindowGroupLimit
+    (map-side k-row pruning before the exchange), so the shuffle
+    carries O(strata × k) rows regardless of corpus size — the same
+    posture as the unweighted hash sample."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    # md5 first 8 hex chars → uniform in (0,1): (x + 0.5) / 2^32 keeps
+    # the draw strictly inside the open interval so ln() never sees 0.
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w_col = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = -F.log(u) / w_col
+    win = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(key, 6).alias("sample_key"),
+            F.row_number().over(win).alias("rn"),
+        )
+        .filter(F.col("rn") <= 15)
+        .select("doc_id", "source", "n_chars", "sample_key")
+    )
+
+
+CORPUS_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+             / 4294967296.0)
+         / CAST(greatest(n_chars, 1) AS DOUBLE) AS k
+  FROM documents
+)
+SELECT doc_id, source, n_chars, round(k, 6) AS sample_key
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+  FROM keyed
+)
+WHERE rn <= 15
+"""
+
+
 def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked canonical selection: within each near-dup cluster
     keep the HIGHEST-quality document, not the min-id one — the choice
@@ -1359,6 +1443,11 @@ QUERIES = {
     "text_repetition_stats": (text_repetition_stats, TEXT_REPETITION_STATS_SQL),
     "corpus_source_mix": (corpus_source_mix, CORPUS_SOURCE_MIX_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_ngram_containment": (
+        dedup_ngram_containment,
+        DEDUP_NGRAM_CONTAINMENT_SQL,
+    ),
+    "corpus_weighted_sample": (corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
     "text_bpe_token_count": (text_bpe_token_count, TEXT_BPE_TOKEN_COUNT_SQL),

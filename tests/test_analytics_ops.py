@@ -1,0 +1,225 @@
+"""Unit tests for the round-5 analytics additions: RFM segmentation,
+association-rule lift, per-group OLS regression, OHLC resampling,
+containment dedup, and weighted sampling — crafted inputs with
+hand-computed expected values."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+    ngram_containment_pairs,
+)
+from investcloud_data_pipeline_spark.plans.mining import (
+    copurchase_rules_lift,
+    customer_rfm_segments,
+    regression_value_by_hour,
+)
+from investcloud_data_pipeline_spark.plans.temporal import event_ohlc_hourly
+from investcloud_data_pipeline_spark.plans.training_data import (
+    corpus_weighted_sample,
+)
+
+
+def test_containment_catches_quote_inside_long_doc(spark):
+    quote = "the five boxing wizards jump quickly over the frozen lake"
+    long_doc = (
+        "in a completely unrelated preamble about weather patterns "
+        + quote
+        + " followed by a long discussion of agricultural policy and "
+        "irrigation schedules in the northern provinces"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "nothing in common here at all")],
+        "doc_id long, text string",
+    )
+    rows = ngram_containment_pairs(df, threshold=0.9).collect()
+    # Every shingle of the quote appears in the long doc -> containment 1.0;
+    # Jaccard for the same pair is far below any dedup threshold.
+    assert [(r.id1, r.id2, r.containment) for r in rows] == [(1, 2, 1.0)]
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        ngram_jaccard_pairs,
+    )
+    jac = ngram_jaccard_pairs(df, threshold=0.0).collect()
+    j12 = [r.jaccard for r in jac if (r.id1, r.id2) == (1, 2)]
+    assert j12 and j12[0] < 0.5  # jaccard-only dedup would miss this pair
+
+
+def test_containment_symmetric_sizes_use_smaller_side(spark):
+    # identical docs: containment exactly 1.0 regardless of direction
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    rows = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert [(r.id1, r.id2, r.containment) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_weighted_sample_deterministic_and_bounded(spark, sf_dir):
+    a = corpus_weighted_sample(spark, sf_dir).collect()
+    b = corpus_weighted_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # retry-stable
+    per_source: dict[str, int] = {}
+    for r in a:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert per_source and all(n <= 15 for n in per_source.values())
+
+
+def test_weighted_sample_prefers_heavier_docs(spark):
+    # One source, extreme weight spread: the heavy docs should dominate
+    # the k=15 sample (P[tiny doc beats huge doc] ~ w_small/w_total).
+    rows = [(i, "x", "s", 1_000_000 if i < 20 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    df.createOrReplaceTempView("documents")
+    # call the df-level math directly via the plan on a temp dir is not
+    # possible (plan reads parquet), so restate the A-ES key here — this
+    # pins the formula's bias direction, not the plan wiring (the plan
+    # wiring is pinned by the oracle).
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    top = df.select("doc_id", key.alias("k")).orderBy("k").limit(15).collect()
+    heavy = sum(1 for r in top if r.doc_id < 20)
+    assert heavy >= 14  # heavy docs ~10^6 more likely per draw
+
+
+def test_rfm_quartiles_deterministic_semantics(spark, sf_dir):
+    out = customer_rfm_segments(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    for c in ("r_score", "f_score", "m_score"):
+        vals = {getattr(r, c) for r in rows}
+        assert vals <= {1, 2, 3, 4}
+    # r_score=4 must hold the most recent customers: every r4 recency
+    # <= every r1 recency
+    r4 = [r.recency_days for r in rows if r.r_score == 4]
+    r1 = [r.recency_days for r in rows if r.r_score == 1]
+    assert max(r4) <= min(r1)
+    # m_score=4 holds the biggest spenders
+    m4 = min(r.monetary for r in rows if r.m_score == 4)
+    m1 = max(r.monetary for r in rows if r.m_score == 1)
+    assert m4 >= m1
+
+
+def test_rules_lift_hand_computed(spark, tmp_path):
+    # 4 baskets: {A,B}, {A,B}, {A,C}, {B}
+    lines = [
+        (1, 101), (1, 102),
+        (2, 101), (2, 102),
+        (3, 101), (3, 103),
+        (4, 102),
+    ]
+    df = spark.createDataFrame(lines, "l_orderkey long, l_partkey long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    # satisfy load_table's fixed schema surface by writing only lineitem
+    out = {
+        (r.antecedent, r.consequent): (r.pair_supp, r.confidence, r.lift)
+        for r in copurchase_rules_lift_on(spark, str(tmp_path)).collect()
+    }
+    # A->B: supp(AB)=2, supp(A)=3, supp(B)=3, N=4
+    assert out[(101, 102)] == (2, round(2 / 3, 6), round(2 / 3 * 4 / 3, 6))
+    assert out[(102, 101)] == (2, round(2 / 3, 6), round(2 / 3 * 4 / 3, 6))
+    # A->C infrequent (pair_supp 1 < 3? threshold filters it)
+    assert (101, 103) not in out
+
+
+def copurchase_rules_lift_on(spark, sf_dir):
+    """The rules plan restated with min-support 2 (the production
+    literal is 3, too strict for a 4-basket fixture; re-filtering after
+    the fact cannot recover dropped rows, so the fixture rebinds the
+    literal on the same plan shape)."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = op.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    item = op.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("supp")
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count("*").alias("pair_supp"))
+        .filter(F.col("pair_supp") >= 2)
+    )
+    sa = item.select(F.col("item").alias("antecedent"), F.col("supp").alias("supp_a"))
+    sb = item.select(F.col("item").alias("consequent"), F.col("supp").alias("supp_b"))
+    conf = F.col("pair_supp") / F.col("supp_a")
+    lift = conf * F.col("n_baskets") / F.col("supp_b")
+    return (
+        pairs.join(sa, "antecedent")
+        .join(sb, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_supp",
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+
+
+def test_regression_recovers_exact_line(spark):
+    # y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i // 24), i % 24, 0, 0), 2.0 * (i % 24) + 1.0)
+        for i in range(96)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    x = F.hour("ts").cast("double")
+    out = df.agg(
+        F.round(F.regr_slope("value", x), 6).alias("slope"),
+        F.round(F.regr_intercept("value", x), 6).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    ).collect()[0]
+    assert (out.slope, out.intercept, out.r2) == (2.0, 1.0, 1.0)
+
+
+def test_regression_registry_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    out = {r.event_type: r for r in regression_value_by_hour(spark, sf_dir).collect()}
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.hour("ts").cast("double").alias("x"), "value"
+    )
+    pdf = e.toPandas()
+    for et, g in pdf.groupby("event_type"):
+        slope, intercept = np.polyfit(g.x.to_numpy(), g.value.to_numpy(), 1)
+        assert math.isclose(out[et].slope, slope, abs_tol=1e-4)
+        assert math.isclose(out[et].intercept, intercept, abs_tol=1e-4)
+
+
+def test_ohlc_deterministic_open_close_on_ties(spark, tmp_path):
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # same microsecond: event_id breaks the tie -> open=1.0 (id 1)
+        (1, t0, "u", "tick", 1.0, None),
+        (2, t0, "u", "tick", 9.0, None),
+        (3, t0 + dt.timedelta(minutes=30), "u", "tick", 5.0, None),
+        # last microsecond of the hour -> close
+        (4, t0 + dt.timedelta(minutes=59, seconds=59), "u", "tick", 7.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = event_ohlc_hourly(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    bar = out[0]
+    assert (bar.open, bar.high, bar.low, bar.close, bar.volume) == (
+        1.0,
+        9.0,
+        1.0,
+        7.0,
+        4,
+    )
