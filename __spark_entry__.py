@@ -45,6 +45,7 @@ ROWS_ONLY = {
     "dedup_simhash_candidates": "64-bit simhash bit voting (not portable SQL)",
     "embedding_pca_project": "eigendecomposition of the covariance (not SQL)",
     "multimodal_byte_histogram": "binary payload histogram (no binary tables in DuckDB views)",
+    "multimodal_phash_dedup": "PNG codec round-trip + dHash bit voting (not SQL)",
     "profile_orders": "HLL++ approx distincts are engine-specific (exact twin: profile_orders_exact)",
     "pydatasource_activity_profile": "generator-source input has no DuckDB-visible table",
 }

@@ -417,3 +417,143 @@ def sample_frames(
             )
         ).alias("frame_idx"),
     )
+
+
+# ---------- perceptual-hash image dedup ----------
+
+def dhash64(arr: "np.ndarray") -> int:
+    """64-bit difference hash of an image: grayscale → 8×9 block-mean
+    grid → sign of each horizontal gradient, packed row-major into 64
+    bits. Uniform brightness/contrast shifts preserve gradient signs,
+    and the block means absorb small pixel noise and resampling — the
+    standard cheap perceptual key for image near-dup detection.
+
+    Pure numpy (no imaging library): the grid comes from
+    ``np.add.reduceat`` block sums over index boundaries, with small
+    images integer-upscaled first so every cell is non-empty.
+    """
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)  # channel-mean grayscale
+    h, w = a.shape
+    if h < 8:
+        a = np.repeat(a, -(-8 // h), axis=0)
+        h = a.shape[0]
+    if w < 9:
+        a = np.repeat(a, -(-9 // w), axis=1)
+        w = a.shape[1]
+    rb = (np.arange(8) * h) // 8
+    cb = (np.arange(9) * w) // 9
+    cells = np.add.reduceat(np.add.reduceat(a, rb, axis=0), cb, axis=1)
+    rc = np.diff(np.append(rb, h)).astype(np.float64)
+    cc = np.diff(np.append(cb, w)).astype(np.float64)
+    grid = cells / (rc[:, None] * cc[None, :])  # 8×9 block means
+    bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def perceptual_hashes(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, decoded, phash) via the real pixel decode: Arrow-batched
+    ``mapInPandas``, one :func:`dhash64` per decodable payload.
+    Undecodable/NULL payloads keep the quarantine contract
+    (decoded=false, phash NULL) — never an executor exception."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dec, hashes = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[content_col]):
+                arr = _decode_pixels(
+                    bytes(payload) if payload is not None else None
+                )
+                ids.append(i)
+                if arr is None:
+                    dec.append(False)
+                    hashes.append(None)
+                else:
+                    dec.append(True)
+                    # shift into signed-64 range for Spark LongType
+                    hashes.append(dhash64(arr) - (1 << 63))
+            yield pd.DataFrame(
+                {"id": ids, "decoded": dec, "phash": hashes}
+            ).astype({"phash": "Int64"})
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel, schema="id long, decoded boolean, phash long"
+    )
+
+
+def phash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs: perceptual hashes blocked on 16-bit bands
+    (the SimHash banding scheme — pigeonhole guarantees every pair
+    within hamming ≤ 3 shares a band; above 3 recall is probabilistic),
+    then verified JVM-side with ``bit_count(xor) ≤ max_hamming``.
+
+    Scale: the only shuffle keys on (band_idx, band value) — no
+    all-pairs comparison ever happens; the signed-range shift in
+    :func:`perceptual_hashes` flips the same top bit on both operands,
+    so XOR-popcount hamming is unaffected.
+    """
+    hashed = perceptual_hashes(df, id_col, content_col).filter("decoded")
+    chunks = hashed.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("band_idx"),
+                    F.shiftrightunsigned(F.col("phash"), c * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("band"),
+                )
+                for c in range(4)
+            ])
+        ).alias("bk"),
+    ).select("id", "phash", "bk.band_idx", "bk.band")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def attach_png_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-PNG media table from the documents corpus:
+    each doc's utf-8 bytes are tiled into a 16×16 grayscale image and
+    encoded with :func:`encode_png` — actual compressed PNG payloads
+    (decodable by any reader), so downstream decode/phash queries
+    exercise both codecs end-to-end rather than a fake byte blob."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                raw = str(text or "").encode("utf-8")[:256]
+                px = np.frombuffer(raw.ljust(256, b"\x00"), dtype=np.uint8)
+                ids.append(i)
+                blobs.append(encode_png(px.reshape(16, 16)))
+            yield pd.DataFrame({id_col: ids, "content": blobs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, content binary"
+    )

@@ -1011,6 +1011,17 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.byte_histogram_features(media)
 
 
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidate pairs over REAL PNG payloads: the corpus
+    is rendered to deterministic 16×16 grayscale PNGs (encode_png), the
+    pixels are decoded back (PIL or stdlib inflate+unfilter), and
+    dHash64 perceptual keys are banded 4×16-bit for the hamming-≤3
+    candidate join — the image twin of SimHash blocking. Rows-only:
+    PNG codecs + bit-level hashing aren't SQL-expressible."""
+    media = MM.attach_png_payload(_docs(spark, sf_dir))
+    return MM.phash_candidate_pairs(media)
+
+
 def text_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF chunker (64-token chunks, 8-token overlap) applied per
     document via LATERAL join — oracle re-states the chunk arithmetic in
@@ -1461,6 +1472,7 @@ QUERIES = {
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIGNATURES_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash_candidates": (dedup_simhash_candidates, None),  # rows-only
+    "multimodal_phash_dedup": (multimodal_phash_dedup, None),  # rows-only
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "embedding_normalize": (embedding_normalize, EMBEDDING_NORMALIZE_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),

@@ -296,3 +296,78 @@ class TestImageHeaderParse:
             2: ("jpeg", 320, 200, True),
             3: (None, None, None, False),
         }
+
+
+class TestPerceptualHash:
+    """dHash64 + banded candidate join: perceptual invariances on
+    crafted images, quarantine routing, and the Spark candidate op."""
+
+    def _imgs(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        base = (
+            np.linspace(0, 255, 64 * 64).reshape(64, 64)
+            + rng.normal(0, 8, (64, 64))
+        ).clip(0, 255).astype(np.uint8)
+        bright = np.clip(base.astype(int) + 3, 0, 255).astype(np.uint8)
+        far = rng.integers(0, 255, (64, 64)).astype(np.uint8)
+        return base, bright, far
+
+    def test_dhash_invariances(self):
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            decode_png_pixels,
+            dhash64,
+            encode_png,
+        )
+
+        base, bright, far = self._imgs()
+        ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        assert ham(dhash64(base), dhash64(bright)) == 0  # brightness shift
+        noisy = base.copy()
+        noisy[::13, ::17] = np.clip(noisy[::13, ::17].astype(int) + 4, 0, 255)
+        assert ham(dhash64(base), dhash64(noisy)) <= 3  # sparse noise
+        assert ham(dhash64(base), dhash64(far)) > 10  # unrelated image
+        # PNG round-trip is lossless -> identical hash
+        assert dhash64(decode_png_pixels(encode_png(base))) == dhash64(base)
+        # degenerate tiny image upscales instead of crashing
+        assert isinstance(dhash64(np.array([[1, 2], [3, 4]], np.uint8)), int)
+
+    def test_candidate_pairs_and_quarantine(self, spark):
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            encode_png,
+            perceptual_hashes,
+            phash_candidate_pairs,
+        )
+
+        base, bright, far = self._imgs()
+        rows = [
+            (1, bytearray(encode_png(base))),
+            (2, bytearray(encode_png(bright))),
+            (3, bytearray(encode_png(far))),
+            (4, bytearray(b"not a png")),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        pairs = phash_candidate_pairs(df).collect()
+        assert [(r.id1, r.id2, r.hamming) for r in pairs] == [(1, 2, 0)]
+        hashed = {r.id: r for r in perceptual_hashes(df).collect()}
+        assert not hashed[4].decoded and hashed[4].phash is None
+        assert not hashed[5].decoded
+        assert all(hashed[i].decoded for i in (1, 2, 3))
+
+    def test_attach_png_payload_is_real_decodable_png(self, spark):
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            attach_png_payload,
+            decode_png_pixels,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "")], "doc_id long, text string"
+        )
+        out = {r.doc_id: bytes(r.content) for r in attach_png_payload(df).collect()}
+        for payload in out.values():
+            arr = decode_png_pixels(payload)
+            assert arr is not None and arr.shape == (16, 16, 1)

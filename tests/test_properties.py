@@ -309,3 +309,31 @@ def test_clean_corpus_is_idempotent(corpus):
     assert once_rows == twice_rows
     kept = {r[0] for r in once_rows}
     assert 100 not in kept and 101 not in kept  # exact dups lose to id 0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=corpus_strategy, thr=st.sampled_from([0.3, 0.5, 0.8]))
+def test_containment_dominates_jaccard(corpus, thr):
+    """Overlap coefficient ≥ Jaccard always (min(|A|,|B|) ≤ |A∪B|), so
+    at any shared threshold the containment pair set must be a superset
+    of the Jaccard pair set — the law that makes containment the
+    stricter leakage net. Also: every exact-duplicate pair has
+    containment exactly 1.0."""
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = _docs_df(corpus, dup_of={100: 0})
+    cont = {
+        (r.id1, r.id2): r.containment
+        for r in ngram_containment_pairs(df, threshold=thr).collect()
+    }
+    jac = {
+        (r.id1, r.id2)
+        for r in ngram_jaccard_pairs(df, threshold=thr).collect()
+    }
+    assert jac <= set(cont)
+    if any(t for t in corpus[0]):  # doc 0 tokenizable → dup pair exists
+        assert cont.get((0, 100)) == 1.0

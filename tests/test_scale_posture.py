@@ -377,3 +377,31 @@ def test_new_query_plan_shapes(spark, sf_dir):
     pp = _plan(pca_project(emb, model, "embedding"))
     assert "ArrowEvalPython" in pp
     assert "BatchEvalPython" not in pp
+
+
+def test_round5_second_batch_plan_shapes(spark, sf_dir):
+    """The later round-5 additions keep their intended shapes: weighted
+    sampling compiles to WindowGroupLimit (map-side per-stratum top-k
+    before the exchange, like the hash sample), the association-rule
+    basket projection is read from ONE cached relation (every consumer
+    an InMemoryTableScan — without it the fact table is scanned four
+    times), RFM folds its date anchor as a broadcast 1-row aggregate,
+    and the OHLC bars are a single hash aggregate (no window)."""
+    from investcloud_data_pipeline_spark.plans import mining as MN
+    from investcloud_data_pipeline_spark.plans import temporal as T
+    from investcloud_data_pipeline_spark.plans import training_data as TD
+
+    ws = _plan(TD.corpus_weighted_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in ws
+
+    rl = MN.copurchase_rules_lift(spark, sf_dir)
+    rl.write.format("noop").mode("overwrite").save()  # populate the cache
+    rlp = _plan(rl)
+    assert "InMemoryTableScan" in rlp
+
+    rfm = _plan(MN.customer_rfm_segments(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in rfm  # 1-row anchor fold
+    assert "CartesianProduct" not in rfm
+
+    ohlc = _plan(T.event_ohlc_hourly(spark, sf_dir))
+    assert "Window" not in ohlc  # pure agg: min_by/max_by, no sort-window
