@@ -210,6 +210,37 @@ def minhash_signatures(
     )
 
 
+def minhash_band_relation(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_key) LSH band relation: each doc's MinHash
+    signature split into ``bands`` concatenated band keys. The shared
+    upstream of batch candidate generation AND the streaming near-dup
+    gate (the committed band relation IS the cross-batch dedup state)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = [
+        F.concat_ws(
+            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band_idx", "bk.band_key")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -227,23 +258,7 @@ def minhash_lsh_candidates(
     buckets. Verification (exact jaccard on candidates only) composes
     downstream; at 100 TB this is the standard shingle→minhash→band plan.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_cols = [
-        F.concat_ws(
-            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_key"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("id", "bk.band_idx", "bk.band_key")
+    banded = minhash_band_relation(df, text_col, id_col, n, num_hashes, bands)
     a, b2 = banded.alias("a"), banded.alias("b")
     return (
         a.join(

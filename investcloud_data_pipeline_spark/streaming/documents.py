@@ -60,3 +60,116 @@ def start_document_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_neardup_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    sig_dir: str,
+    checkpoint_dir: str,
+    min_tokens: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming NEAR-dup corpus gate: first-committed-wins MinHash-LSH
+    suppression across micro-batches.
+
+    Upgrades the exact-digest ingest above to fuzzy dedup: per batch, a
+    doc is suppressed iff it shares an LSH band with (a) any
+    previously-committed doc, or (b) any smaller-id doc in the same
+    batch. Rule (b) is deliberately conservative (the smaller doc might
+    itself be suppressed by the store) — a one-pass deterministic gate
+    with no per-batch connected-components; at LSH thresholds near-dup
+    relations are clique-like, so the over-suppression window is the
+    rare A→B→C chain whose ends share no band.
+
+    State IS the committed band relation (``sig_dir`` parquet:
+    id, band_idx, band_key) — the same relation batch LSH banding uses
+    (operators/dedup_fuzzy.py::minhash_band_relation), so the streaming
+    gate and the batch job share one artifact. Both sinks (survivor
+    docs + their bands) are epoch-marked for exactly-once across
+    restarts, like the bronze two-sink split. Scale: the store probe is
+    an equi-join on (band_idx, band_key) — broadcast the (small) batch
+    side against the store scan; signature state grows with the CORPUS
+    (not the stream), exactly like the batch artifact it mirrors.
+    Exact duplicates are subsumed: identical text ⇒ identical
+    signature ⇒ every band agrees.
+    """
+    import os
+
+    from ..operators.dedup_fuzzy import minhash_band_relation
+    from .bronze import mark_sink_epoch, sink_epoch_committed
+
+    bands_schema = "id long, band_idx int, band_key string"
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        docs_done = sink_epoch_committed(out_dir, epoch_id)
+        sigs_done = sink_epoch_committed(sig_dir, epoch_id)
+        if docs_done and sigs_done:
+            return
+        gated = batch_df.filter(
+            F.size(tokens("text")) >= F.lit(min_tokens)
+        ).persist()
+        new_bands = minhash_band_relation(
+            gated, num_hashes=num_hashes, bands=bands
+        ).persist()
+        try:
+            if any(
+                f.endswith(".parquet")
+                for f in (os.listdir(sig_dir) if os.path.isdir(sig_dir) else [])
+            ):
+                stored = batch_df.sparkSession.read.schema(bands_schema).parquet(
+                    sig_dir
+                )
+            else:
+                stored = batch_df.sparkSession.createDataFrame([], bands_schema)
+            vs_store = (
+                new_bands.alias("n")
+                .join(
+                    stored.alias("s"),
+                    (F.col("n.band_idx") == F.col("s.band_idx"))
+                    & (F.col("n.band_key") == F.col("s.band_key")),
+                    "left_semi",
+                )
+                .select("id")
+            )
+            a, b = new_bands.alias("a"), new_bands.alias("b")
+            vs_batch = (
+                b.join(
+                    a,
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.id") < F.col("b.id")),
+                    "left_semi",
+                )
+                .select(F.col("b.id").alias("id"))
+            )
+            suppressed = vs_store.union(vs_batch).distinct()
+            survivors = gated.join(
+                suppressed, gated["doc_id"] == suppressed["id"], "left_anti"
+            ).persist()
+            if not docs_done:
+                survivors.write.mode("append").parquet(out_dir)
+                mark_sink_epoch(out_dir, epoch_id)
+            if not sigs_done:
+                surv_bands = new_bands.join(
+                    survivors.select(F.col("doc_id").alias("id")), "id", "left_semi"
+                )
+                surv_bands.write.mode("append").parquet(sig_dir)
+                mark_sink_epoch(sig_dir, epoch_id)
+            survivors.unpersist()
+        finally:
+            new_bands.unpersist()
+            gated.unpersist()
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(src_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("neardup_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

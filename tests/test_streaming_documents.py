@@ -57,3 +57,62 @@ def test_document_ingest_dedup_and_quality_gate(spark, tmp_path):
     digests = [r.digest for r in rows]
     assert len(digests) == len(set(digests))
     assert all(r.n_tokens >= 3 for r in rows)
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the old wooden fence near the garden gate"
+)
+# the same 1-word-edit pair the batch LSH recall test pins (band
+# agreement at J≈0.7 is probabilistic; this pair is a known collider)
+NEAR = BASE.replace("lazy dog", "sleepy dog")
+FAR = "completely different content about database engines and query planning"
+FAR2 = "another unrelated body of text describing mountain weather patterns today"
+
+
+def test_neardup_ingest_suppresses_across_and_within_batches(spark, tmp_path):
+    from investcloud_data_pipeline_spark.streaming.documents import (
+        start_neardup_ingest,
+    )
+
+    src, out, sig, ck = (str(tmp_path / d) for d in ("src", "out", "sig", "ck"))
+
+    def drain():
+        q = start_neardup_ingest(spark, src, out, sig, ck)
+        q.awaitTermination(180)
+
+    _write(
+        src,
+        "b1.parquet",
+        [
+            (1, BASE, "en", "s1"),
+            (2, FAR, "en", "s1"),
+            (7, NEAR, "en", "s1"),  # within-batch near-dup of 1 → suppressed
+        ],
+    )
+    drain()
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+
+    _write(
+        src,
+        "b2.parquet",
+        [
+            (3, NEAR, "en", "s2"),   # cross-batch near-dup of committed 1
+            (4, BASE, "en", "s2"),   # cross-batch exact dup (subsumed)
+            (5, FAR2, "en", "s2"),   # genuinely new → kept
+        ],
+    )
+    drain()
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 5]
+
+    # signature state holds bands only for survivors
+    sig_ids = {r.id for r in spark.read.parquet(sig).collect()}
+    assert sig_ids == {1, 2, 5}
+
+    # replay with the same checkpoint: no new input → no change (and a
+    # re-run of a committed epoch would be skipped by the markers)
+    drain()
+    again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert again == kept
