@@ -1011,6 +1011,60 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.byte_histogram_features(media)
 
 
+def text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step 1 at corpus scale: the 50 most
+    frequent adjacent character pairs inside words, weighted by word
+    frequency — exactly the statistic the first BPE merge selects
+    (subsequent rounds re-run it over the merged symbol stream).
+
+    Physical shape: tokenize → word-frequency aggregate (the corpus
+    compresses to its vocabulary here — the pair expansion runs over
+    |vocab| rows, NOT corpus tokens), then a JVM-side HOF expansion
+    (transform over substring — no Python), pair aggregate, and a
+    deterministic top-k (row_number over (count desc, pair asc) — ties
+    at the boundary can't flap). At 100 TB the vocab agg is the only
+    fact-sized shuffle; everything after is KB-to-MB."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(tokens("text")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("n"))
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("n").alias("n_occurrences"))
+    w_rank = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 50)
+        .select("pair", "n_occurrences", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+TEXT_BPE_FIRST_MERGES_SQL = f"""
+WITH words AS (
+  SELECT unnest(string_split({NORM_SQL}, ' ')) AS w FROM documents
+),
+wc AS (SELECT w, count(*) AS n FROM words WHERE len(w) >= 2 GROUP BY 1),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, n
+  FROM wc, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+),
+agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences FROM pairs GROUP BY 1)
+SELECT pair, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS BIGINT) AS rank
+FROM agg
+QUALIFY rank <= 50
+"""
+
+
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup candidate pairs over REAL PNG payloads: the corpus
     is rendered to deterministic 16×16 grayscale PNGs (encode_png), the
@@ -1473,6 +1527,7 @@ QUERIES = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash_candidates": (dedup_simhash_candidates, None),  # rows-only
     "multimodal_phash_dedup": (multimodal_phash_dedup, None),  # rows-only
+    "text_bpe_first_merges": (text_bpe_first_merges, TEXT_BPE_FIRST_MERGES_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "embedding_normalize": (embedding_normalize, EMBEDDING_NORMALIZE_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),

@@ -223,3 +223,24 @@ def test_ohlc_deterministic_open_close_on_ties(spark, tmp_path):
         7.0,
         4,
     )
+
+
+def test_bpe_first_merges_hand_counted(spark, tmp_path):
+    import pandas as pd
+
+    # corpus: "abab abab cd" -> word counts {abab:2, cd:1}
+    # pairs: abab -> ab(×2... positions: ab, ba, ab) weighted 2
+    #   => ab: 2*2=4, ba: 1*2=2, cd: 1
+    pd.DataFrame(
+        [(1, "abab ABAB cd", "en", "s", 12)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        text_bpe_first_merges,
+    )
+
+    out = {
+        r.pair: (r.n_occurrences, r.rank)
+        for r in text_bpe_first_merges(spark, str(tmp_path)).collect()
+    }
+    assert out == {"ab": (4, 1), "ba": (2, 2), "cd": (1, 3)}
