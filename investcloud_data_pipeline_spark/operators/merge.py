@@ -105,3 +105,66 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop(ts_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Table diff between two snapshot versions: per key, whether the
+    row was inserted, deleted, updated (with the list of changed
+    columns) or unchanged — the ``table_changes``/CDF shape recovered
+    from plain snapshots, so time-travel versions (streaming/cdc.py::
+    read_version) can be compared without a change log.
+
+    One full-outer join on the keys (null-safe, so NULL key components
+    diff like values); every column comparison is a JVM expression.
+    Scale: shuffle on the key both sides — co-partitioned if the
+    snapshots share a layout; at 100 TB prefer diffing partition-pruned
+    slices (the join is embarrassingly partitionable by key range).
+    """
+    attrs = [c for c in new.columns if c not in key_cols]
+    o = old.withColumn("_in_old", F.lit(True)).alias("o")
+    n = new.withColumn("_in_new", F.lit(True)).alias("n")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    changed = F.array_compact(
+        F.array(*[
+            F.when(
+                ~F.col(f"o.{a}").eqNullSafe(F.col(f"n.{a}")), F.lit(a)
+            )
+            for a in attrs
+        ])
+    ) if attrs else F.array().cast("array<string>")
+    change_type = (
+        F.when(F.col("o._in_old").isNull(), F.lit("insert"))
+        .when(F.col("n._in_new").isNull(), F.lit("delete"))
+        .when(F.size("changed_cols") > 0, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    # changed_cols is an update-only notion: inserts/deletes have no
+    # counterpart row to compare, so they carry an empty list (the CDF
+    # convention), not "every column changed against NULLs".
+    changed = F.when(
+        F.col("o._in_old").isNull() | F.col("n._in_new").isNull(),
+        F.array().cast("array<string>"),
+    ).otherwise(changed)
+    out = (
+        joined.withColumn("changed_cols", changed)
+        .select(
+            *[
+                F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                for k in key_cols
+            ],
+            change_type.alias("change_type"),
+            "changed_cols",
+        )
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out

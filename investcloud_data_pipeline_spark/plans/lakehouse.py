@@ -422,8 +422,158 @@ GROUP BY 1, 2
 """
 
 
+# ---------- point-in-time join against SCD2 history ----------
+#
+# The lakehouse temporal-join workhorse: attach to each fact row the
+# dimension version that was valid AT the fact's timestamp (here: the
+# customer's order-priority version in effect on each lineitem's ship
+# date). Physical plan is the scalable as-of shape — NO fact×history
+# interval join: version rows and fact rows are unioned, one window per
+# key carries the latest version forward (last ignorenulls), and fact
+# rows read it. One shuffle on the key; the window's sort interleaves
+# versions BEFORE facts at equal timestamps (half-open [from, to)
+# semantics) and orders tied versions by the SCD2 attribute order, so
+# zero-length versions (superseded same-day) are never picked — exactly
+# the rows the oracle's interval predicate excludes.
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hist = scd2_priority_history(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    fact = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_custkey", "l_shipdate"
+    )
+    v = hist.select(
+        "o_custkey",
+        F.col("valid_from").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderpriority").alias("ver_priority"),
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+    )
+    e = fact.select(
+        "o_custkey",
+        F.col("l_shipdate").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("string").alias("ver_priority"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(
+            F.col("t").asc(),
+            F.col("is_event").asc(),
+            F.col("ver_priority").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        v.unionByName(e)
+        .withColumn(
+            "priority_at_ship", F.last("ver_priority", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_event") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("o_custkey").alias("custkey"),
+            F.col("t").alias("l_shipdate"),
+            "priority_at_ship",
+        )
+    )
+
+
+SCD2_POINT_IN_TIME_JOIN_SQL = """
+WITH v AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         row_number() OVER w AS rn,
+         lag(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderpriority ASC)
+), keep AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate
+  FROM v WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+), hist AS (
+  SELECT o_custkey, o_orderpriority,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderpriority ASC) AS valid_to
+  FROM keep
+), fact AS (
+  SELECT l_orderkey, l_linenumber, o_custkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT f.l_orderkey, f.l_linenumber, f.o_custkey AS custkey, f.l_shipdate,
+       h.o_orderpriority AS priority_at_ship
+FROM fact f
+LEFT JOIN hist h
+  ON f.o_custkey = h.o_custkey
+ AND h.valid_from <= f.l_shipdate
+ AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
+"""
+
+
+# ---------- snapshot diff (table_changes on plain snapshots) ----------
+#
+# CDF-shape diff between two table versions without a change log: one
+# null-safe full-outer join on the key, JVM column compares, change
+# classification + the changed-column list. The registry pair diffs
+# the customer table against a deterministic "next version" (one
+# segment's balances adjusted, every 97th key deleted) so the oracle
+# value-checks all three classification paths; the insert path and the
+# CDC-store composition (diff(version N-1, N) == the CDC batch) are
+# pinned by unit tests.
+
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    new = (
+        c.filter(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") + 10.0
+            ).otherwise(F.col("c_acctbal")),
+        )
+    )
+    return MG.snapshot_diff(c, new, key_cols=["c_custkey"])
+
+
+SNAPSHOT_DIFF_CUSTOMERS_SQL = """
+WITH new AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 10.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 97 <> 0
+)
+SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN n.c_custkey IS NULL THEN 'delete'
+            WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       CASE WHEN o.c_custkey IS NULL OR n.c_custkey IS NULL THEN []
+            WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN ['c_acctbal']
+            ELSE [] END AS changed_cols
+FROM customer o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+WHERE NOT (o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+           AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal)
+"""
+
+
 QUERIES = {
     "pii_redact_documents": (pii_redact_documents, PII_REDACT_DOCUMENTS_SQL),
+    "snapshot_diff_customers": (
+        snapshot_diff_customers,
+        SNAPSHOT_DIFF_CUSTOMERS_SQL,
+    ),
+    "scd2_point_in_time_join": (
+        scd2_point_in_time_join,
+        SCD2_POINT_IN_TIME_JOIN_SQL,
+    ),
     "privacy_k_anonymity": (privacy_k_anonymity, PRIVACY_K_ANONYMITY_SQL),
     "url_domain_stats": (url_domain_stats, URL_DOMAIN_STATS_SQL),
     "er_fuzzy_part_pairs": (er_fuzzy_part_pairs, ER_FUZZY_PART_PAIRS_SQL),

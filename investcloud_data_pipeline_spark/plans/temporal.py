@@ -539,6 +539,72 @@ GROUP BY user_id
 """
 
 
+# ---------- linear multi-touch attribution ----------
+#
+# Revenue credit assignment: each purchase's amount is split EQUALLY
+# across the clicks in its trailing 15-minute window (linear
+# attribution — the fair-share counterpart of the last-touch as-of
+# join above). Built on the same interval pair relation as
+# interval_attribution; the per-purchase click count is a window over
+# the pair relation partitioned by purchase id (already shuffled on
+# it), then one aggregate per click. Purchases with NO clicks in
+# window simply contribute nothing (inner interval join).
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"), F.col("value").alias("amount"),
+    )
+    pairs = purchases.join(
+        clicks,
+        (purchases["user_id"] == clicks["user_id"])
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 15 MINUTES")
+        ),
+    ).select(
+        purchases["user_id"].alias("user_id"),
+        "purchase_id",
+        "amount",
+        "click_id",
+    )
+    w = Window.partitionBy("purchase_id")
+    return (
+        pairs.withColumn("n_clicks", F.count("*").over(w))
+        .groupBy("user_id", "click_id")
+        .agg(
+            F.round(F.sum(F.col("amount") / F.col("n_clicks")), 6).alias(
+                "attributed_value"
+            ),
+            F.count("*").alias("n_purchases"),
+        )
+    )
+
+
+ATTRIBUTION_LINEAR_SQL = """
+WITH pairs AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.value AS amount,
+         c.event_id AS click_id,
+         count(*) OVER (PARTITION BY p.event_id) AS n_clicks
+  FROM events p JOIN events c
+    ON p.user_id = c.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
+  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+)
+SELECT user_id, click_id,
+       round(sum(amount / n_clicks), 6) AS attributed_value,
+       count(*) AS n_purchases
+FROM pairs
+GROUP BY 1, 2
+"""
+
+
 # ---------- OHLC time-series resampling ----------
 #
 # The market-data bar shape: per (event_type, hour) emit
@@ -592,6 +658,7 @@ GROUP BY 1, 2
 QUERIES = {
     "asof_purchase_last_click": (asof_purchase_last_click, ASOF_PURCHASE_LAST_CLICK_SQL),
     "event_ohlc_hourly": (event_ohlc_hourly, EVENT_OHLC_HOURLY_SQL),
+    "attribution_linear": (attribution_linear, ATTRIBUTION_LINEAR_SQL),
     "time_decayed_user_value": (time_decayed_user_value, TIME_DECAYED_USER_VALUE_SQL),
     "interval_attribution": (interval_attribution, INTERVAL_ATTRIBUTION_SQL),
     "gap_fill_hourly_values": (gap_fill_hourly_values, GAP_FILL_HOURLY_VALUES_SQL),

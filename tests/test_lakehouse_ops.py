@@ -239,3 +239,117 @@ class TestKAnonymity:
         assert row["n_classes"] == 3
         assert row["n_violating"] == 1
         assert row["suppression_rate"] == round(2 / 14, 6)
+
+
+class TestScd2PointInTime:
+    """The PIT union+window plan must implement half-open [from, to)
+    interval semantics exactly — including never picking a zero-length
+    version (two priority changes on the same day) and NULL before the
+    first version."""
+
+    def test_pit_semantics_crafted(self, spark, tmp_path):
+        import datetime as dt
+
+        d = lambda y, m, day: dt.datetime(y, m, day)  # noqa: E731
+        orders = spark.createDataFrame(
+            [
+                # cust 1: LOW from Jan1; same-day supersession on Feb1
+                # (HIGH then URGENT sort after HIGH -> URGENT wins Feb1+)
+                (100, 1, "O", 10.0, d(2000, 1, 1), "3-LOW"),
+                (101, 1, "O", 10.0, d(2000, 2, 1), "1-HIGH"),
+                (102, 1, "O", 10.0, d(2000, 2, 1), "2-URGENT"),
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        lineitem = spark.createDataFrame(
+            [
+                # ship before any version -> NULL
+                (100, 1, 1.0, d(1999, 12, 30)),
+                # inside LOW's interval
+                (100, 2, 1.0, d(2000, 1, 15)),
+                # ON the supersession day: HIGH's interval is empty
+                # [Feb1, Feb1) -> URGENT applies
+                (101, 1, 1.0, d(2000, 2, 1)),
+                # after -> URGENT (open interval)
+                (102, 1, 1.0, d(2000, 3, 1)),
+            ],
+            "l_orderkey long, l_linenumber int, l_quantity double, "
+            "l_shipdate timestamp",
+        )
+        orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        lineitem.write.mode("overwrite").parquet(
+            str(tmp_path / "lineitem.parquet")
+        )
+
+        from investcloud_data_pipeline_spark.plans.lakehouse import (
+            scd2_point_in_time_join,
+        )
+
+        out = {
+            (r.l_orderkey, r.l_linenumber): r.priority_at_ship
+            for r in scd2_point_in_time_join(spark, str(tmp_path)).collect()
+        }
+        assert out == {
+            (100, 1): None,
+            (100, 2): "3-LOW",
+            (101, 1): "2-URGENT",
+            (102, 1): "2-URGENT",
+        }
+
+
+class TestSnapshotDiff:
+    def test_all_change_classes_and_null_keys(self, spark):
+        from investcloud_data_pipeline_spark.operators.merge import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (None, "n", 1.0)],
+            "k long, name string, bal double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0), (None, "n", 2.0)],
+            "k long, name string, bal double",
+        )
+        out = {
+            r.k: (r.change_type, sorted(r.changed_cols))
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        }
+        # k=1 unchanged -> absent; NULL keys diff like values (null-safe)
+        assert out == {
+            2: ("update", ["name"]),
+            3: ("delete", []),
+            4: ("insert", []),
+            None: ("update", ["bal"]),
+        }
+        withu = snapshot_diff(old, new, ["k"], include_unchanged=True)
+        assert {r.k: r.change_type for r in withu.collect()}[1] == "unchanged"
+
+    def test_diff_recovers_cdc_batch(self, spark):
+        """diff(base, apply_cdc(base, changes)) classifies exactly the
+        keys the CDC batch touched — the change feed recovered from
+        snapshots alone."""
+        from investcloud_data_pipeline_spark.operators.merge import (
+            apply_cdc,
+            snapshot_diff,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, name string, bal double",
+        )
+        changes = spark.createDataFrame(
+            [
+                ("U", 1, 1, "a", 99.0),   # update k=1
+                ("D", 2, 2, None, None),  # delete k=2
+                ("U", 3, 9, "z", 50.0),   # insert k=9
+            ],
+            "op string, seq long, k long, name string, bal double",
+        )
+        new = apply_cdc(base, changes, key_cols=["k"], seq_col="seq")
+        out = {
+            r.k: r.change_type
+            for r in snapshot_diff(base, new, ["k"]).collect()
+        }
+        assert out == {1: "update", 2: "delete", 9: "insert"}
