@@ -355,6 +355,51 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def sql_udf_disc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined SQL functions (CREATE FUNCTION ... RETURN expr) —
+    the declarative UDF surface: the body inlines into the plan as a
+    Catalyst expression, so unlike Python UDFs there is NO executor
+    round-trip and whole-stage codegen stays intact. Verified by the
+    oracle computing the inlined expression directly."""
+    from ..sql_interface import sql
+
+    # bodies follow the repo's decimal discipline: cast INPUTS to
+    # DECIMAL, multiply exactly — bit-stable under any aggregation order
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(38, 4) RETURN CAST(p AS DECIMAL(18,2)) "
+        "* (CAST(1 AS DECIMAL(18,2)) - CAST(d AS DECIMAL(18,2)))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tax_charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DECIMAL(38, 6) RETURN CAST(p AS DECIMAL(18,2)) "
+        "* (CAST(1 AS DECIMAL(18,2)) - CAST(d AS DECIMAL(18,2))) "
+        "* (CAST(1 AS DECIMAL(18,2)) + CAST(t AS DECIMAL(18,2)))"
+    )
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag,
+               CAST(sum(disc_price(l_extendedprice, l_discount)) AS DOUBLE) AS disc_revenue,
+               CAST(sum(tax_charge(l_extendedprice, l_discount, l_tax)) AS DOUBLE) AS charged_revenue,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    )
+
+
+SQL_UDF_DISC_REVENUE_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS disc_revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS charged_revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def datetime_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time function surface: extract fields, truncation, date
     arithmetic, epoch — aggregated so the result is compact."""
@@ -670,6 +715,7 @@ QUERIES = {
     "salted_user_totals": (salted_user_totals, SALTED_USER_TOTALS_SQL),
     "skew_hot_users": (skew_hot_users, SKEW_HOT_USERS_SQL),
     "q1_pricing_summary_sql_api": (q1_pricing_summary_sql_api, Q1_PRICING_SUMMARY_SQL_API_SQL),
+    "sql_udf_disc_revenue": (sql_udf_disc_revenue, SQL_UDF_DISC_REVENUE_SQL),
     "datetime_functions_orders": (datetime_functions_orders, DATETIME_FUNCTIONS_ORDERS_SQL),
     "null_handling_customer": (null_handling_customer, NULL_HANDLING_CUSTOMER_SQL),
     "profile_orders": (profile_orders, None),  # rows-only (HLL sketch values)

@@ -93,3 +93,32 @@ def test_sql_scalar_and_table_function_surface(spark):
         "SELECT 21 AS half, half * 2 AS full_val"
     ).collect()[0]
     assert (row.half, row.full_val) == (21, 42)
+
+
+class TestSqlFunctions:
+    """Declarative SQL UDFs (CREATE FUNCTION ... RETURN): scalar bodies
+    inline into the Catalyst plan (no Python eval node), and SQL table
+    functions expand like built-in TVFs."""
+
+    def test_scalar_sql_udf_inlines_into_codegen(self, spark):
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION add_vat(p DOUBLE) "
+            "RETURNS DOUBLE RETURN p * 1.2"
+        )
+        df = spark.range(5).selectExpr("add_vat(CAST(id AS DOUBLE)) AS v")
+        got = [r.v for r in df.collect()]
+        assert all(abs(g - e) < 1e-9 for g, e in zip(got, [0.0, 1.2, 2.4, 3.6, 4.8]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_sql_table_function_lateral(self, spark):
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION int_grid(n INT) "
+            "RETURNS TABLE(i INT) RETURN SELECT explode(sequence(1, n))"
+        )
+        out = spark.sql(
+            "SELECT t.id, g.i FROM (SELECT id FROM range(2, 4)) t, "
+            "LATERAL int_grid(CAST(t.id AS INT)) g"
+        ).collect()
+        got = {(r.id, r.i) for r in out}
+        assert got == {(2, 1), (2, 2), (3, 1), (3, 2), (3, 3)}
