@@ -116,3 +116,39 @@ def test_neardup_ingest_suppresses_across_and_within_batches(spark, tmp_path):
     drain()
     again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert again == kept
+
+
+def test_neardup_ingest_partial_failure_between_sinks(spark, tmp_path):
+    """Crash window between the two sinks: docs committed, bands not.
+    The replayed epoch must skip the docs append (marker present) and
+    complete only the bands append — no duplicate survivor rows."""
+    from investcloud_data_pipeline_spark.streaming.bronze import (
+        mark_sink_epoch,
+        sink_epoch_committed,
+    )
+    from investcloud_data_pipeline_spark.streaming.documents import (
+        start_neardup_ingest,
+    )
+
+    src, out, sig, ck = (str(tmp_path / d) for d in ("src", "out", "sig", "ck"))
+    _write(src, "b1.parquet", [(1, BASE, "en", "s1"), (2, FAR, "en", "s1")])
+
+    q = start_neardup_ingest(spark, src, out, sig, ck)
+    q.awaitTermination(180)
+    assert sink_epoch_committed(out, 0) and sink_epoch_committed(sig, 0)
+
+    # Simulate the crash for the NEXT epoch: pre-mark the docs sink for
+    # epoch 1 as if the run died after the docs append but before the
+    # bands append; the replay must write bands ONLY.
+    _write(src, "b2.parquet", [(5, FAR2, "en", "s2")])
+    mark_sink_epoch(out, 1)
+    n_docs_before = spark.read.parquet(out).count()
+
+    q = start_neardup_ingest(spark, src, out, sig, ck)
+    q.awaitTermination(180)
+
+    docs = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert spark.read.parquet(out).count() == n_docs_before  # no re-append
+    assert docs == [1, 2]  # doc 5's append was (simulated-)crashed away
+    # but its bands DID commit on replay — the sig sink made progress
+    assert sink_epoch_committed(sig, 1)
