@@ -1497,7 +1497,65 @@ WHERE rn = 1
 """
 
 
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring spans (ExactSubstr-style, Lee
+    et al. 2022): per doc, the merged maximal spans of 8-token windows
+    whose content occurs in >= 2 documents, and the token fraction they
+    cover. Catches boilerplate / licence blocks / syndicated passages
+    that whole-doc exact dedup and near-dup LSH both miss."""
+    return DF.repeated_span_stats(_docs(spark, sf_dir), k=8)
+
+
+DEDUP_REPEATED_SPANS_SQL = f"""
+WITH docs AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM docs WHERE norm <> ''),
+win AS (
+  SELECT doc_id, len(t) AS n_tokens, i AS pos,
+         md5(array_to_string(t[i:i+7], ' ')) AS gh
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        FROM toks WHERE len(t) >= 8)
+),
+dup AS (
+  SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM win)
+  GROUP BY gh HAVING count(*) >= 2
+),
+flagged AS (SELECT doc_id, n_tokens, pos FROM win JOIN dup USING (gh)),
+marked AS (
+  SELECT doc_id, n_tokens, pos,
+         max(pos + 7) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_end
+  FROM flagged
+),
+grouped AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, n_tokens, grp,
+         min(pos) AS span_start, max(pos) + 7 AS span_end
+  FROM grouped GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, n_tokens, count(*) AS n_dup_spans,
+         sum(span_end - span_start + 1) AS dup_tokens
+  FROM spans GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CASE WHEN p.n_tokens IS NULL OR p.n_tokens = 0 THEN 0.0
+                  ELSE p.dup_tokens / p.n_tokens END, 6) AS dup_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
+    "dedup_repeated_spans": (dedup_repeated_spans, DEDUP_REPEATED_SPANS_SQL),
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_DOCUMENTS_SQL),
     "corpus_hash_sample": (corpus_hash_sample, CORPUS_HASH_SAMPLE_SQL),
     "embedding_pca_project": (embedding_pca_project, None),  # rows-only (eigh)

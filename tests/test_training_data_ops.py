@@ -470,3 +470,57 @@ def test_bigram_lm_score_ranks_and_edge_cases(spark):
     assert out[3].n_bigrams == 0 and out[3].avg_nll is None
     assert out[4].n_bigrams == 0 and out[4].ppl is None
     assert abs(out[1].ppl - round(exp(out[1].avg_nll), 2)) < 0.01
+
+
+def test_repeated_span_stats_merges_overlaps_and_zeroes_unique(spark):
+    """Two docs share a 10-token passage (two overlapping 8-token
+    windows -> ONE merged 10-token span each); a third doc shares
+    nothing and must report zeros; a fourth is too short to window."""
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        repeated_span_stats,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique1 one two {passage} tail1 endx"),
+            (2, f"{passage} other words entirely here now"),
+            (3, "completely different content with no repeats at all "
+                "just singular prose running along freely"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_span_stats(docs, k=8).collect()}
+    assert len(out) == 4
+    # doc1: passage occupies positions 4..13 of 15 tokens -> one span, 10 toks
+    assert out[1].n_dup_spans == 1 and out[1].dup_tokens == 10
+    assert abs(out[1].dup_fraction - round(10 / 15, 6)) < 1e-9
+    # doc2: passage at positions 1..10 of 15 tokens
+    assert out[2].n_dup_spans == 1 and out[2].dup_tokens == 10
+    # doc3 and doc4: no duplicated windows
+    assert out[3].n_dup_spans == 0 and out[3].dup_tokens == 0
+    assert out[3].dup_fraction == 0.0
+    assert out[4].n_dup_spans == 0 and out[4].dup_fraction == 0.0
+
+
+def test_repeated_span_stats_disjoint_spans_counted_separately(spark):
+    """Two separated shared passages in one doc -> two merged spans,
+    not one (the island break happens at the gap)."""
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        repeated_span_stats,
+    )
+
+    p1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    p2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    gap = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {gap} {p2}"),
+            (2, f"{p1} mid middle center {p2}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_span_stats(docs, k=8).collect()}
+    assert out[1].n_dup_spans == 2 and out[1].dup_tokens == 16
+    assert out[2].n_dup_spans == 2 and out[2].dup_tokens == 16
