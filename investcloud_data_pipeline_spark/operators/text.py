@@ -9,7 +9,7 @@ so the DuckDB oracles are literally the same computation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, tokens
@@ -284,4 +284,76 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
             & (top_word_frac <= 0.2)
             & (dup_bigram_frac <= 0.4)
         ).alias("keep"),
+    )
+
+
+def dsir_importance_weights(df: DataFrame, target_filter: Column,
+                            n_buckets: int = 256,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023), the hashed n-gram variant: score every document by how much
+    more likely its tokens are under a TARGET-domain unigram model than
+    under the raw-corpus model, in a fixed hashed feature space so no
+    vocabulary is ever built or broadcast.
+
+    ``target_filter`` marks the in-domain rows (e.g. a trusted source);
+    both models are bucket-count distributions with add-1/2 smoothing,
+    and the per-doc weight is the MEAN token log-ratio
+    ``ln p_target(bucket(tok)) - ln p_raw(bucket(tok))``. ``keep`` is
+    weight > 0 (more target-like than corpus-like) — a local predicate,
+    no global ranking, so selection stays embarrassingly parallel.
+
+    Plan shape at scale: one explode; TWO tiny aggregations (<=
+    n_buckets rows each — the whole "model" is a few KB and joins back
+    via broadcast); one map-side-combinable per-doc avg. The classic
+    DSIR trade: hashing collisions blur the model slightly but the
+    pipeline needs zero driver state and one pass.
+
+    Buckets are 2-hex-char md5 prefixes (n_buckets=256) — the repo's
+    portable bucket scheme, identical string math in the DuckDB oracle.
+    """
+    if n_buckets != 256:
+        raise ValueError("portable md5-prefix scheme supports n_buckets=256")
+    inst = df.select(
+        F.col(id_col).alias("id"),
+        target_filter.alias("is_target"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select(
+        "id", "is_target", F.substring(F.md5("tok"), 1, 2).alias("bucket")
+    )
+    counts = inst.groupBy("bucket").agg(
+        F.count("*").alias("r_cnt"),
+        F.count_if("is_target").alias("t_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    model = (
+        counts.crossJoin(F.broadcast(totals))  # 1-row aggregate fold
+        .select(
+            "bucket",
+            (
+                F.log((F.col("t_cnt") + 0.5) / (F.col("t_tot") + 0.5 * n_buckets))
+                - F.log((F.col("r_cnt") + 0.5) / (F.col("r_tot") + 0.5 * n_buckets))
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        inst.join(F.broadcast(model), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("log_ratio").alias("w"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(F.coalesce("w", F.lit(0.0)), 6).alias("avg_log_ratio"),
+            (F.coalesce("w", F.lit(0.0)) > 0).alias("keep"),
+        )
     )

@@ -1554,7 +1554,50 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed-unigram variant): score docs by
+    mean token log-ratio between a target-domain bucket model (docs
+    from source 'src0') and the raw-corpus model; keep = more
+    target-like than corpus-like. The whole model is <= 256 rows and
+    broadcasts — zero driver state, one corpus pass."""
+    return TX.dsir_importance_weights(
+        _docs(spark, sf_dir), target_filter=F.col("source") == "src0"
+    )
+
+
+CORPUS_DSIR_WEIGHTS_SQL = f"""
+WITH d AS (SELECT doc_id, source, {NORM_SQL} AS norm FROM documents),
+inst AS (
+  SELECT doc_id, source = 'src0' AS is_target,
+         substr(md5(unnest(string_split(norm, ' '))), 1, 2) AS bucket
+  FROM d WHERE norm <> ''
+),
+counts AS (
+  SELECT bucket, count(*) AS r_cnt,
+         count(*) FILTER (is_target) AS t_cnt
+  FROM inst GROUP BY 1
+),
+totals AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM counts),
+model AS (
+  SELECT bucket,
+         ln((t_cnt + 0.5) / (t_tot + 128.0))
+           - ln((r_cnt + 0.5) / (r_tot + 128.0)) AS log_ratio
+  FROM counts CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens, avg(log_ratio) AS w
+  FROM inst JOIN model USING (bucket) GROUP BY 1
+)
+SELECT d2.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(s.w, 0.0), 6) AS avg_log_ratio,
+       coalesce(s.w, 0.0) > 0 AS keep
+FROM documents d2 LEFT JOIN scored s USING (doc_id)
+"""
+
+
 QUERIES = {
+    "corpus_dsir_weights": (corpus_dsir_weights, CORPUS_DSIR_WEIGHTS_SQL),
     "dedup_repeated_spans": (dedup_repeated_spans, DEDUP_REPEATED_SPANS_SQL),
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_DOCUMENTS_SQL),
     "corpus_hash_sample": (corpus_hash_sample, CORPUS_HASH_SAMPLE_SQL),

@@ -524,3 +524,43 @@ def test_repeated_span_stats_disjoint_spans_counted_separately(spark):
     out = {r.doc_id: r for r in repeated_span_stats(docs, k=8).collect()}
     assert out[1].n_dup_spans == 2 and out[1].dup_tokens == 16
     assert out[2].n_dup_spans == 2 and out[2].dup_tokens == 16
+
+
+def test_dsir_weights_rank_target_vocab_higher(spark):
+    """Docs written in the target domain's vocabulary must score above
+    docs in off-domain vocabulary; empty docs report zeros/keep=False."""
+    from investcloud_data_pipeline_spark.operators.text import (
+        dsir_importance_weights,
+    )
+
+    # texts long enough that real counts dominate the add-1/2 smoothing
+    # mass (0.5 * 256 per distribution)
+    target_text = " ".join(
+        ["finance ledger bond yield equity dividend"] * 40
+    )
+    offdom_text = " ".join(["zebra giraffe rhino hippo elephant lion"] * 40)
+    docs = spark.createDataFrame(
+        [
+            (1, target_text, "trusted"),
+            (2, target_text + " finance bond", "trusted"),
+            (3, "bond yield dividend ledger", "web"),   # target-like, untrusted
+            (4, offdom_text, "web"),
+            (5, "", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_importance_weights(
+            docs, F.col("source") == "trusted"
+        ).collect()
+    }
+    assert len(out) == 5
+    # target-vocab doc from the raw pool scores positive (keep), the
+    # off-domain doc negative (drop)
+    assert out[3].keep and out[3].avg_log_ratio > 0
+    assert not out[4].keep and out[4].avg_log_ratio < 0
+    assert out[3].avg_log_ratio > out[4].avg_log_ratio
+    # empty doc: zeros, not NULLs; not kept
+    assert out[5].n_tokens == 0 and out[5].avg_log_ratio == 0.0
+    assert not out[5].keep
