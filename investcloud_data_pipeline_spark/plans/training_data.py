@@ -1596,7 +1596,35 @@ FROM documents d2 LEFT JOIN scored s USING (doc_id)
 """
 
 
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-shard export manifest: per-shard doc count,
+    byte count, id-sum and an order-insensitive content checksum
+    (md5 over lexicographically-sorted per-doc digests) — the
+    integrity record a dataloader checks before trusting a shard."""
+    from ..operators.export import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), n_shards=16)
+
+
+CORPUS_SHARD_MANIFEST_SQL = """
+WITH d AS (
+  SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 16
+           AS shard,
+         doc_id, length(text) AS n_bytes,
+         md5(CAST(doc_id AS VARCHAR) || chr(1) || text) AS digest
+  FROM documents
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       md5(string_agg(digest, '' ORDER BY digest)) AS content_md5
+FROM d GROUP BY 1
+"""
+
+
 QUERIES = {
+    "corpus_shard_manifest": (corpus_shard_manifest, CORPUS_SHARD_MANIFEST_SQL),
     "corpus_dsir_weights": (corpus_dsir_weights, CORPUS_DSIR_WEIGHTS_SQL),
     "dedup_repeated_spans": (dedup_repeated_spans, DEDUP_REPEATED_SPANS_SQL),
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_DOCUMENTS_SQL),
