@@ -9,6 +9,7 @@ so the DuckDB oracles are literally the same computation.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -357,3 +358,74 @@ def dsir_importance_weights(df: DataFrame, target_filter: Column,
             (F.coalesce("w", F.lit(0.0)) > 0).alias("keep"),
         )
     )
+
+
+# Mojibake artifacts of UTF-8 text decoded as cp1252: the 3-byte
+# punctuation range E2 80 xx surfaces as "\u00e2\u20ac" + cp1252(xx)
+# (right quote, left double quote, dashes, ellipsis); 2-byte accented
+# Latin C3 xx surfaces as "\u00c3" + a char in U+00A0..00BF. Escapes
+# keep this source file ASCII; the compiled classes are literal-char
+# sets, portable between Java regex (Spark executors) and RE2-style
+# engines (oracle side).
+MOJIBAKE_RE = (
+    "(\u00e2\u20ac[\u2122\u0153\u02dc\u201c\u201d\u00a6])"
+    "|(\u00c3[\u00a0-\u00bf])"
+)
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+REPLACEMENT_CHAR = "\ufffd"
+
+
+def unicode_cleanup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_bad_ratio: float = 0.01) -> DataFrame:
+    """Encoding-health screen + canonicalization for a text corpus:
+    count control characters, U+FFFD replacement characters (a decoder
+    already gave up once upstream), and classic UTF-8-as-Latin-1
+    mojibake sequences; emit a cleaned text (control chars stripped,
+    whitespace collapsed, Unicode NFC-composed) and a keep flag gating
+    on the bad-character ratio.
+
+    Counting and stripping are JVM-side regex (whole-stage codegen);
+    only NFC composition drops to Python — Catalyst has no Unicode
+    normalizer — as an Arrow-batched pandas UDF (one normalize call
+    per element of the Arrow batch, never a row-at-a-time UDF). Pure
+    per-element math: no shuffle, no state, linear in corpus bytes.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_control = F.regexp_count(t, F.lit(CONTROL_RE))
+    n_replacement = F.regexp_count(t, F.lit(REPLACEMENT_CHAR))
+    n_mojibake = F.regexp_count(t, F.lit(MOJIBAKE_RE))
+    stripped = F.trim(
+        F.regexp_replace(F.regexp_replace(t, CONTROL_RE, " "), "\\s+", " ")
+    )
+    bad = n_control + n_replacement + n_mojibake
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_control.cast("long").alias("n_control"),
+        n_replacement.cast("long").alias("n_replacement"),
+        n_mojibake.cast("long").alias("n_mojibake"),
+        _nfc(stripped).alias("text_clean"),
+        F.when(n_chars == 0, F.lit(False))
+        .otherwise(bad / n_chars <= max_bad_ratio)
+        .alias("keep"),
+    )
+
+
+def _nfc(col: Column) -> Column:
+    """Arrow-batched NFC composition (defined lazily so importing this
+    module never needs a live SparkSession for UDF registration)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def nfc_kernel(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None else None
+        )
+
+    return nfc_kernel(col)

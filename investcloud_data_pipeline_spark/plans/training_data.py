@@ -1623,7 +1623,46 @@ FROM d GROUP BY 1
 """
 
 
+def text_unicode_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health screen: control-char / U+FFFD / mojibake counts,
+    cleaned NFC text, and a keep flag on the bad-character ratio. JVM
+    regex for everything except NFC composition (Arrow-batched pandas
+    UDF; the oracle's twin is DuckDB's nfc_normalize)."""
+    return TX.unicode_cleanup(_docs(spark, sf_dir))
+
+
+def _unicode_cleanup_sql() -> str:
+    from ..operators.text import CONTROL_RE, MOJIBAKE_RE, REPLACEMENT_CHAR
+
+    clean = (
+        "trim(regexp_replace(regexp_replace(text, "
+        f"'{CONTROL_RE}', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '{CONTROL_RE}')) AS BIGINT)
+         AS n_control,
+       CAST(len(regexp_extract_all(text, '{REPLACEMENT_CHAR}')) AS BIGINT)
+         AS n_replacement,
+       CAST(len(regexp_extract_all(text, '{MOJIBAKE_RE}')) AS BIGINT)
+         AS n_mojibake,
+       nfc_normalize({clean}) AS text_clean,
+       CASE WHEN length(text) = 0 THEN false
+            ELSE (len(regexp_extract_all(text, '{CONTROL_RE}'))
+                  + len(regexp_extract_all(text, '{REPLACEMENT_CHAR}'))
+                  + len(regexp_extract_all(text, '{MOJIBAKE_RE}')))
+                 / length(text) <= 0.01
+       END AS keep
+FROM documents
+"""
+
+
+TEXT_UNICODE_CLEANUP_SQL = _unicode_cleanup_sql()
+
+
 QUERIES = {
+    "text_unicode_cleanup": (text_unicode_cleanup, TEXT_UNICODE_CLEANUP_SQL),
     "corpus_shard_manifest": (corpus_shard_manifest, CORPUS_SHARD_MANIFEST_SQL),
     "corpus_dsir_weights": (corpus_dsir_weights, CORPUS_DSIR_WEIGHTS_SQL),
     "dedup_repeated_spans": (dedup_repeated_spans, DEDUP_REPEATED_SPANS_SQL),

@@ -564,3 +564,29 @@ def test_dsir_weights_rank_target_vocab_higher(spark):
     # empty doc: zeros, not NULLs; not kept
     assert out[5].n_tokens == 0 and out[5].avg_log_ratio == 0.0
     assert not out[5].keep
+
+
+def test_unicode_cleanup_detects_and_normalizes(spark):
+    """Crafted encoding defects: control chars stripped + counted,
+    U+FFFD counted, cp1252 mojibake counted, NFD input composed to NFC,
+    and the keep gate trips on a high bad-char ratio."""
+    from investcloud_data_pipeline_spark.operators.text import unicode_cleanup
+
+    mojibake = "caf\u00c3\u00a9 said \u00e2\u20ac\u2122hello\u00e2\u20ac\u2122"
+    ctrl = "ab\x01cd\x02  ef"
+    nfd = "cafe\u0301 latte"          # e + combining acute (NFD)
+    bad = "\ufffd" * 8 + "ok"          # 8/10 bad -> drop
+    docs = spark.createDataFrame(
+        [(1, mojibake), (2, ctrl), (3, nfd), (4, bad), (5, ""), (6, "clean text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unicode_cleanup(docs).collect()}
+
+    assert out[1].n_mojibake == 3 and out[1].keep is False
+    assert out[2].n_control == 2
+    assert out[2].text_clean == "ab cd ef"      # strip + collapse
+    assert out[3].n_control == out[3].n_mojibake == 0
+    assert out[3].text_clean == "caf\u00e9 latte"  # NFC-composed
+    assert out[4].n_replacement == 8 and out[4].keep is False
+    assert out[5].n_chars == 0 and out[5].keep is False
+    assert out[6].keep is True and out[6].text_clean == "clean text"
