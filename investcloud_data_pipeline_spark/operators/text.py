@@ -429,3 +429,58 @@ def _nfc(col: Column) -> Column:
         )
 
     return nfc_kernel(col)
+
+
+# Markup-stripping patterns. Java regex and RE2-style engines agree on
+# these constructs: non-greedy spans, case-insensitive groups via
+# (?i:...), character classes. script/style/comment contents are
+# dropped wholesale (code/CSS is not prose); other tags are replaced
+# by a space so adjacent words don't fuse; entities decode after tags
+# so "&lt;b&gt;" stays text, not markup.
+HTML_DROP_RE = (
+    "(?i:<script[^>]*>.*?</script>)"
+    "|(?i:<style[^>]*>.*?</style>)"
+    "|<!--.*?-->"
+)
+HTML_TAG_RE = "</?[a-zA-Z][^>]*>"
+HTML_ENTITIES = {
+    "&nbsp;": " ", "&amp;": "&", "&lt;": "<", "&gt;": ">",
+    "&quot;": "\"", "&#39;": "'", "&apos;": "'",
+}
+
+
+def html_strip(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Boilerplate-lite markup removal for web-scraped corpora: drop
+    script/style/comment blocks, strip remaining tags, decode the
+    common named entities, collapse whitespace. Pure JVM regex chain —
+    a codegen'd map-only pass that fuses into the scan; no Python, no
+    shuffle. Emits the cleaned text plus the markup-density signal
+    (chars removed / chars in) used to gate pages that are mostly
+    chrome rather than prose.
+
+    Deliberately regex-scoped (tags, blocks, entities) rather than a
+    full HTML5 parser: malformed-nesting recovery needs a real parser
+    (lxml/trafilatura behind mapInPandas) — the signals and plan shape
+    here are the production ones, and the regex subset is what the
+    portable oracle can restate.
+    """
+    t = F.col(text_col)
+    # (?s) so block contents spanning newlines are dropped
+    no_blocks = F.regexp_replace(t, "(?s)" + HTML_DROP_RE, " ")
+    no_tags = F.regexp_replace(no_blocks, HTML_TAG_RE, " ")
+    decoded = no_tags
+    for ent, rep in HTML_ENTITIES.items():
+        decoded = F.replace(decoded, F.lit(ent), F.lit(rep))
+    clean = F.trim(F.regexp_replace(decoded, "\\s+", " "))
+    n_in = F.length(t)
+    n_out = F.length(clean)
+    return df.select(
+        F.col(id_col),
+        clean.alias("text_clean"),
+        n_in.cast("long").alias("n_chars_in"),
+        n_out.cast("long").alias("n_chars_out"),
+        F.round(
+            F.when(n_in > 0, (n_in - n_out) / n_in).otherwise(F.lit(0.0)), 6
+        ).alias("markup_density"),
+    )

@@ -1661,7 +1661,41 @@ FROM documents
 TEXT_UNICODE_CLEANUP_SQL = _unicode_cleanup_sql()
 
 
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal for web-scraped corpora: drop script/style/
+    comment blocks, strip tags, decode common entities, collapse
+    whitespace; emit cleaned text + markup-density gate signal."""
+    return TX.html_strip(_docs(spark, sf_dir))
+
+
+def _html_strip_sql() -> str:
+    from ..operators.text import HTML_DROP_RE, HTML_ENTITIES, HTML_TAG_RE
+
+    decoded = (
+        "regexp_replace(regexp_replace(text, "
+        f"'{HTML_DROP_RE}', ' ', 'gs'), '{HTML_TAG_RE}', ' ', 'g')"
+    )
+    for ent, rep in HTML_ENTITIES.items():
+        rep_sql = rep.replace("'", "''")
+        decoded = f"replace({decoded}, '{ent}', '{rep_sql}')"
+    clean = f"trim(regexp_replace({decoded}, '\\s+', ' ', 'g'))"
+    return f"""
+SELECT doc_id,
+       {clean} AS text_clean,
+       CAST(length(text) AS BIGINT) AS n_chars_in,
+       CAST(length({clean}) AS BIGINT) AS n_chars_out,
+       round(CASE WHEN length(text) > 0
+                  THEN (length(text) - length({clean})) / length(text)
+                  ELSE 0.0 END, 6) AS markup_density
+FROM documents
+"""
+
+
+TEXT_HTML_STRIP_SQL = _html_strip_sql()
+
+
 QUERIES = {
+    "text_html_strip": (text_html_strip, TEXT_HTML_STRIP_SQL),
     "text_unicode_cleanup": (text_unicode_cleanup, TEXT_UNICODE_CLEANUP_SQL),
     "corpus_shard_manifest": (corpus_shard_manifest, CORPUS_SHARD_MANIFEST_SQL),
     "corpus_dsir_weights": (corpus_dsir_weights, CORPUS_DSIR_WEIGHTS_SQL),

@@ -590,3 +590,60 @@ def test_unicode_cleanup_detects_and_normalizes(spark):
     assert out[4].n_replacement == 8 and out[4].keep is False
     assert out[5].n_chars == 0 and out[5].keep is False
     assert out[6].keep is True and out[6].text_clean == "clean text"
+
+
+def test_html_strip_blocks_tags_entities(spark):
+    from investcloud_data_pipeline_spark.operators.text import html_strip
+
+    page = (
+        "<html><head><style>p { color: red }</style>"
+        "<script type='x'>var a = 1 < 2;\nalert(a)</script></head>"
+        "<body><!-- nav\nstuff --><h1>Title</h1>"
+        "<p class=\"x\">Tom &amp; Jerry &lt;3 &nbsp;cheese</p></body></html>"
+    )
+    docs = spark.createDataFrame(
+        [(1, page), (2, "no markup at all"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in html_strip(docs).collect()}
+    assert out[1].text_clean == "Title Tom & Jerry <3 cheese"
+    assert out[1].markup_density > 0.5
+    assert out[2].text_clean == "no markup at all"
+    assert out[2].markup_density == 0.0
+    assert out[3].text_clean == "" and out[3].markup_density == 0.0
+
+
+def test_html_strip_oracle_agrees_on_crafted_markup(spark):
+    """The DuckDB oracle and the Spark operator must agree on input
+    that actually exercises every branch (the parquet corpus has no
+    markup, so the ledger pass alone would be vacuous here)."""
+    import duckdb
+    import pandas as pdlib
+
+    from investcloud_data_pipeline_spark.operators.text import html_strip
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        TEXT_HTML_STRIP_SQL,
+    )
+
+    rows = [
+        (1, "<b>bold</b> and <i>italic</i> text"),
+        (2, "<script>while (true) {}</script>visible"),
+        (3, "a &lt;tag&gt; literal &amp;&amp; more"),
+        (4, "<style>body{}</style><!-- c1 --><!-- c2 -->plain"),
+        (5, "multi\nline <p>\npara\n</p> done"),
+    ]
+    con = duckdb.connect()
+    con.register(
+        "documents", pdlib.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    oracle = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(TEXT_HTML_STRIP_SQL).fetchall()
+    }
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_chars_in, r.n_chars_out,
+                   r.markup_density)
+        for r in html_strip(docs).collect()
+    }
+    assert got == oracle
