@@ -484,3 +484,100 @@ def html_strip(df: DataFrame, text_col: str = "text",
             F.when(n_in > 0, (n_in - n_out) / n_in).otherwise(F.lit(0.0)), 6
         ).alias("markup_density"),
     )
+
+
+def bpe_encode_words(vocab: DataFrame, merges: list[tuple[str, str]],
+                     word_col: str = "w") -> DataFrame:
+    """Apply a ranked BPE merge table to a vocabulary relation:
+    (word) -> (word, pieces array, n_pieces).
+
+    Classic greedy BPE: start from characters, repeatedly merge the
+    adjacent pair with the LOWEST merge rank until no listed pair
+    remains. The merge table is a model artifact (50-50k rows) shipped
+    to executors via the UDF closure — the same broadcast economics as
+    k-means centroids.
+
+    Deliberately applied to the VOCABULARY, not the corpus: Zipf means
+    |vocab| << corpus tokens, so the Python kernel (Arrow-batched; the
+    loop is per unique word) touches each distinct word once and the
+    corpus-sized work stays JVM-side as a join + aggregate in the
+    caller. A per-batch memo makes repeated words within a batch free.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @pandas_udf(ArrayType(StringType()))
+    def encode_kernel(words: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            while len(syms) > 1:
+                best_rank, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms = (
+                    syms[:best_i]
+                    + [syms[best_i] + syms[best_i + 1]]
+                    + syms[best_i + 2:]
+                )
+            memo[word] = syms
+            return syms
+
+        return words.map(lambda w: enc(w) if w is not None else None)
+
+    return vocab.select(
+        F.col(word_col).alias("w"),
+        encode_kernel(F.col(word_col)).alias("pieces"),
+    ).withColumn("n_pieces", F.size("pieces").cast("long"))
+
+
+def bpe_encode_stats(df: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document BPE encoding statistics under a given merge table:
+    token count, piece count, pieces-per-token (the token-budget
+    number a training pipeline actually bills by).
+
+    Plan: explode tokens -> distinct vocab -> Python encode over vocab
+    only -> join piece counts back on the word -> per-doc sum. Both
+    corpus-sized shuffles key on the word / doc id; the vocab relation
+    is the only Python input."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w")
+    )
+    vocab = toks.select("w").distinct()
+    encoded = bpe_encode_words(vocab, merges).select("w", "n_pieces")
+    per_doc = (
+        toks.join(encoded, "w")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) > 0,
+                    F.col("n_pieces") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("pieces_per_token"),
+        )
+    )

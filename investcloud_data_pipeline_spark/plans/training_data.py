@@ -1694,7 +1694,25 @@ FROM documents
 TEXT_HTML_STRIP_SQL = _html_strip_sql()
 
 
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training step 2: apply the 50 corpus-induced
+    merges (text_bpe_first_merges) to encode every document; report
+    token/piece counts and pieces-per-token. The merge table is a
+    50-row model artifact (driver collect is a model fit, like
+    centroids); encoding runs over the VOCAB only, corpus-sized work
+    stays JVM-side (explode + join + agg). Rows-only: greedy iterative
+    merging isn't SQL-expressible — pinned instead by a pure-Python
+    reference equivalence test."""
+    merges_df = text_bpe_first_merges(spark, sf_dir)
+    merges = [
+        (r.pair[0], r.pair[1])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    return TX.bpe_encode_stats(_docs(spark, sf_dir), merges)
+
+
 QUERIES = {
+    "text_bpe_encode": (text_bpe_encode, None),  # rows-only (iterative)
     "text_html_strip": (text_html_strip, TEXT_HTML_STRIP_SQL),
     "text_unicode_cleanup": (text_unicode_cleanup, TEXT_UNICODE_CLEANUP_SQL),
     "corpus_shard_manifest": (corpus_shard_manifest, CORPUS_SHARD_MANIFEST_SQL),

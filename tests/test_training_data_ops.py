@@ -647,3 +647,51 @@ def test_html_strip_oracle_agrees_on_crafted_markup(spark):
         for r in html_strip(docs).collect()
     }
     assert got == oracle
+
+
+def _bpe_reference(word, merges):
+    ranks = {m: i for i, m in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        cands = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+            if (a, b) in ranks
+        ]
+        if not cands:
+            break
+        _, i = min(cands)
+        syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2:]
+    return syms
+
+
+def test_bpe_encode_words_matches_reference(spark):
+    from investcloud_data_pipeline_spark.operators.text import bpe_encode_words
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("n", "e"), ("ne", "w")]
+    words = ["low", "lower", "newest", "wider", "lo", "x", "lowlow"]
+    vocab = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: list(r.pieces) for r in bpe_encode_words(vocab, merges).collect()}
+    for w in words:
+        assert got[w] == _bpe_reference(w, merges), w
+    # spot the interesting ones explicitly
+    assert got["low"] == ["low"]
+    assert got["lower"] == ["low", "er"]
+    assert got["newest"] == ["new", "e", "s", "t"]
+
+
+def test_bpe_encode_stats_invariants(spark, sf_dir):
+    """n_tokens <= n_pieces <= total chars; empty docs report zeros;
+    pieces_per_token in [1, max word length]."""
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        text_bpe_encode,
+    )
+
+    out = text_bpe_encode(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        if r.n_tokens == 0:
+            assert r.n_pieces == 0 and r.pieces_per_token == 0.0
+        else:
+            assert r.n_pieces >= r.n_tokens
+            assert 1.0 <= r.pieces_per_token
