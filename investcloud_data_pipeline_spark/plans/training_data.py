@@ -1711,7 +1711,82 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_encode_stats(_docs(spark, sf_dir), merges)
 
 
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus card: the one-screen summary a data curator
+    reads before mixing — volume (docs/tokens), mean heuristic quality,
+    exact-duplicate rate, and dominant-language share. Composes the
+    production operators (quality_score, content digest) rather than
+    re-deriving their math, so the report can never drift from the
+    gates it summarizes.
+
+    Plan: quality relation reuses the map-only scoring pass; dup rate
+    is one digest aggregate joined back on the digest; everything lands
+    in a single per-source aggregate. At scale: two uniform-key
+    shuffles (digest, source) — no driver state."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    q = TX.quality_score(d).select("doc_id", "n_tokens", "quality_score")
+    dup = (
+        d.select("doc_id", DF.content_digest("text").alias("digest"))
+        .withColumn(
+            "n_copies", F.count("*").over(Window.partitionBy("digest"))
+        )
+        .select("doc_id", (F.col("n_copies") > 1).alias("is_dup"))
+    )
+    return (
+        d.select("doc_id", "source", "lang")
+        .join(q, "doc_id")
+        .join(dup, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.round(F.avg(F.col("is_dup").cast("double")), 6).alias("dup_rate"),
+            F.round(
+                F.count_if(F.col("lang") == "en") / F.count("*"), 6
+            ).alias("en_share"),
+        )
+    )
+
+
+CORPUS_QUALITY_REPORT_SQL = f"""
+WITH docs AS (SELECT doc_id, source, lang, text, {NORM_SQL} AS norm FROM documents),
+toks AS (
+  SELECT doc_id, source, lang, text,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS t,
+         md5(norm) AS digest
+  FROM docs
+),
+m AS (
+  SELECT doc_id, source, lang, digest,
+         len(t) AS n_tokens,
+         0.4 * (CASE WHEN len(t) BETWEEN 10 AND 5000 THEN 1.0
+                     WHEN len(t) > 0 THEN 0.5 ELSE 0.0 END)
+         + 0.3 * (CASE WHEN len(t) > 0 THEN len(list_distinct(t)) / len(t) ELSE 0.0 END)
+         + 0.3 * (CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / length(text)
+                       ELSE 0.0 END) AS q
+  FROM toks
+),
+dd AS (
+  SELECT doc_id, source, lang, n_tokens, q,
+         count(*) OVER (PARTITION BY digest) > 1 AS is_dup
+  FROM m
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(round(q, 6)), 6) AS avg_quality,
+       round(avg(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 6) AS dup_rate,
+       round(count(*) FILTER (lang = 'en') / count(*), 6) AS en_share
+FROM dd GROUP BY 1
+"""
+
+
 QUERIES = {
+    "corpus_quality_report": (corpus_quality_report, CORPUS_QUALITY_REPORT_SQL),
     "text_bpe_encode": (text_bpe_encode, None),  # rows-only (iterative)
     "text_html_strip": (text_html_strip, TEXT_HTML_STRIP_SQL),
     "text_unicode_cleanup": (text_unicode_cleanup, TEXT_UNICODE_CLEANUP_SQL),
