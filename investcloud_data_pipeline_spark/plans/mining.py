@@ -875,7 +875,59 @@ GROUP BY 1
 """
 
 
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the co-purchase part graph
+    (5 synchronous rounds, deterministic min-label tie-break). Where
+    PageRank ranks parts globally, LP SEGMENTS the graph into baskets
+    that co-occur — the community ids feed assortment/mixing decisions.
+    Oracle unrolls the identical 5 rounds as generated SQL."""
+    from ..operators.graph import label_propagation
+
+    edges = copurchase_part_pairs(spark, sf_dir).select(
+        F.col("part1").alias("src"), F.col("part2").alias("dst")
+    )
+    lp = label_propagation(edges, n_iter=5)
+    return lp.select(F.col("node").alias("part"), F.col("label").alias("community"))
+
+
+def _lp_unrolled_sql(n_iter: int = 5) -> str:
+    head = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+edges AS (
+  SELECT part1 AS a, part2 AS b FROM pairs
+  UNION SELECT part2, part1 FROM pairs
+),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges)"""
+    layers = []
+    for i in range(1, n_iter + 1):
+        layers.append(f"""
+c{i} AS (
+  SELECT e.b AS node, l.label, count(*) AS cnt
+  FROM edges e JOIN l{i-1} l ON e.a = l.node
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i}) WHERE rn = 1
+)""")
+    return (head + "," + ",".join(layers)
+            + f"\nSELECT node AS part, label AS community FROM l{n_iter}")
+
+
+COPURCHASE_COMMUNITIES_SQL = _lp_unrolled_sql(5)
+
+
 QUERIES = {
+    "copurchase_communities": (copurchase_communities, COPURCHASE_COMMUNITIES_SQL),
     "yoy_nation_revenue": (yoy_nation_revenue, YOY_NATION_REVENUE_SQL),
     "customer_rfm_segments": (customer_rfm_segments, CUSTOMER_RFM_SEGMENTS_SQL),
     "copurchase_rules_lift": (copurchase_rules_lift, COPURCHASE_RULES_LIFT_SQL),

@@ -225,3 +225,30 @@ class TestLoopSessionIsolation:
             spark.conf.get("spark.sql.shuffle.partitions"),
         )
         assert before == after == ("true", before[1])
+
+
+def test_label_propagation_separates_disconnected_cliques(spark):
+    from investcloud_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    out = {r.node: r.label for r in label_propagation(edges, n_iter=5).collect()}
+    # each triangle converges to its minimum node id; no cross-talk
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_fixed_rounds_deterministic(spark):
+    """Same graph, two runs, identical labels (synchronous update +
+    min-label tie-break leaves no ordering freedom)."""
+    from investcloud_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(1, 8) for j in range(i + 1, 8)
+         if (i + j) % 3 != 0],
+        "src long, dst long",
+    )
+    a = sorted(label_propagation(edges, n_iter=4).collect())
+    b = sorted(label_propagation(edges.repartition(7), n_iter=4).collect())
+    assert a == b
