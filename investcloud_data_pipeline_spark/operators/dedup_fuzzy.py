@@ -589,18 +589,18 @@ def repeated_span_stats(df: DataFrame, k: int = 8,
     licence blocks / syndicated passages that whole-doc and near-dup
     passes both miss.
 
-    Plan shape (all JVM-side — sequence/transform/explode, two grouped
-    aggregations, one join, one bounded window):
+    Plan shape (all JVM-side — sequence/transform/explode, one digest
+    window, one bounded per-doc window):
       1. tokenize once behind the ``tokenized`` barrier;
-      2. explode k-gram windows with their start position, keyed by
-         md5 digest (portable join key; swap for xxhash64 to halve key
-         bytes when oracle parity is not needed);
-      3. digests seen in >= 2 distinct docs via distinct + grouped
-         count — both shuffles key on the uniform digest, map-side
-         combinable, no skew (a digest hot across many docs collapses
-         to one row per doc before the count);
-      4. semi-join windows against the duplicated-digest set;
-      5. classic gaps-and-islands interval merge per doc (window is
+      2. ONE projection explodes (pos, xxhash64-of-k-token-slice)
+         structs — 8-byte digests, no join-back, no string gram build
+         (a 64-bit digest collides at ~1e-9 even for 10^5 windows;
+         widen to two seeded xxhash64 columns past ~10^9 windows);
+      3. "seen in >= 2 docs" as a single window over the digest:
+         min(id) != max(id) over (partition by gh) — one shuffle on
+         the uniform digest, no sort (whole-partition frame), replaces
+         the naive distinct + grouped-count + semi-join (3 shuffles);
+      4. classic gaps-and-islands interval merge per doc (window is
          bounded by the doc's own span count, never corpus-wide).
 
     At 100 TB the window relation is ~n_tokens rows; everything before
@@ -609,34 +609,31 @@ def repeated_span_stats(df: DataFrame, k: int = 8,
     """
     tok = tokenized(df, text_col, id_col)
     n_tok = F.size("toks")
-    win = (
-        tok.select(
-            "id",
-            n_tok.alias("n_tokens"),
-            F.explode(
-                F.when(
-                    n_tok < k, F.array().cast("array<int>")
-                ).otherwise(F.sequence(F.lit(1), n_tok - F.lit(k - 1)))
-            ).alias("pos"),
-        )
-        .join(tok, "id")
-        .select(
-            "id",
-            "n_tokens",
-            "pos",
-            F.md5(F.array_join(F.slice("toks", F.col("pos"), k), " ")).alias("gh"),
-        )
+    win = tok.select(
+        "id",
+        n_tok.alias("n_tokens"),
+        F.explode(
+            F.when(
+                n_tok < k,
+                F.array().cast("array<struct<pos:int,gh:bigint>>"),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), n_tok - F.lit(k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(F.slice("toks", i, k)).alias("gh"),
+                    ),
+                )
+            )
+        ).alias("w"),
+    ).select("id", "n_tokens", F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
+    w_gh = Window.partitionBy("gh")
+    flagged = (
+        win.withColumn("id_min", F.min("id").over(w_gh))
+        .withColumn("id_max", F.max("id").over(w_gh))
+        .filter(F.col("id_min") != F.col("id_max"))
+        .select("id", "n_tokens", "pos")
     )
-    # NOTE: the join above is a self-join on the barrier frame -> the
-    # exchange is reused; slice() runs once per window on the
-    # materialized array.
-    dup = (
-        win.select("gh", "id").distinct()
-        .groupBy("gh").agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
-    )
-    flagged = win.join(dup, "gh").select("id", "n_tokens", "pos")
 
     w_prev = (
         Window.partitionBy("id")
