@@ -557,3 +557,137 @@ def attach_png_payload(
     return df.select(id_col, text_col).mapInPandas(
         kernel, schema=f"{id_col} long, content binary"
     )
+
+
+# ---------- audio (WAV/PCM) ----------
+#
+# Same posture as the image path: audio lives in a binary column, the
+# codec is real (RIFF/WAVE PCM16 — pure stdlib struct math, no external
+# libs), undecodable payloads quarantine as decoded=false rows (never
+# an exception mid-scan), and the per-payload work is numpy over Arrow
+# batches.
+
+
+def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: mono PCM16 little-endian.
+    samples: float array in [-1, 1] (clipped)."""
+    import struct
+
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(payload: "bytes | None") -> "tuple | None":
+    """(n_channels, sample_rate, bits, samples float64 ndarray) or None
+    for anything that is not intact mono/stereo PCM16 WAV. Every chunk
+    length is validated before unpacking — truncated/corrupt payloads
+    return None, they never raise (quarantine contract)."""
+    import struct
+
+    try:
+        if payload is None:
+            return None
+        b = bytes(payload)
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(b):
+            ctype = b[pos:pos + 4]
+            (clen,) = struct.unpack("<I", b[pos + 4:pos + 8])
+            chunk = b[pos + 8:pos + 8 + clen]
+            if len(chunk) < clen:
+                return None  # declared length overruns the payload
+            if ctype == b"fmt " and clen >= 16:
+                fmt = struct.unpack("<HHIIHH", chunk[:16])
+            elif ctype == b"data":
+                data = chunk
+            pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_fmt, n_ch, rate, _, _, bits = fmt
+        if audio_fmt != 1 or bits != 16 or n_ch not in (1, 2) or rate <= 0:
+            return None
+        usable = len(data) - (len(data) % (2 * n_ch))
+        arr = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64)
+        arr = arr / 32767.0
+        if n_ch == 2:
+            arr = arr.reshape(-1, 2).mean(axis=1)  # downmix
+        return n_ch, rate, bits, arr
+    except Exception:
+        return None
+
+
+def attach_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000,
+    duration_s: float = 0.25,
+) -> DataFrame:
+    """Deterministic audio fixture: per row, a real PCM16 WAV of a pure
+    tone whose frequency derives from the id (220 + id % 440 Hz) — so
+    the full encode AND decode codecs run end-to-end on testdata, the
+    same trick the image path uses with rendered PNGs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = int(sample_rate * duration_s)
+        t = np.arange(n) / sample_rate
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                freq = 220.0 + float(i % 440)
+                payloads.append(
+                    encode_wav_pcm16(
+                        0.5 * np.sin(2 * np.pi * freq * t), sample_rate
+                    )
+                )
+            yield pd.DataFrame({"id": pdf[id_col], "content": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, schema="id long, content binary")
+
+
+def wav_features(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """Decode + per-clip audio features: duration, RMS energy, peak,
+    zero-crossing rate — the cheap screens an audio curation pipeline
+    gates on before expensive ASR/embedding. Undecodable payloads
+    yield decoded=false rows with NULL features."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[content_col]):
+                parsed = parse_wav(payload)
+                if parsed is None or parsed[3].size == 0:
+                    rows.append((i, False, None, None, None, None, None))
+                    continue
+                _, rate, _, x = parsed
+                zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                rows.append((
+                    i, True, int(x.size),
+                    round(x.size / rate, 6),
+                    round(float(np.sqrt(np.mean(x * x))), 6),
+                    round(float(np.max(np.abs(x))), 6),
+                    round(zc / x.size * rate, 2),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "decoded", "n_samples", "duration_s",
+                    "rms", "peak", "zcr_hz",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        schema=(
+            "id long, decoded boolean, n_samples long, duration_s double, "
+            "rms double, peak double, zcr_hz double"
+        ),
+    )

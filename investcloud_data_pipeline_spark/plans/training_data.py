@@ -1785,7 +1785,18 @@ FROM dd GROUP BY 1
 """
 
 
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation screen over real PCM16 WAV payloads synthesized
+    per doc (encode AND decode codecs run end-to-end): duration, RMS,
+    peak, zero-crossing rate. Rows-only — binary codec round-trip is
+    not SQL-expressible; closed-form sine invariants are pytest-pinned."""
+    d = _docs(spark, sf_dir)
+    with_audio = MM.attach_wav_payload(d)
+    return MM.wav_features(with_audio)
+
+
 QUERIES = {
+    "multimodal_wav_features": (multimodal_wav_features, None),  # rows-only
     "corpus_quality_report": (corpus_quality_report, CORPUS_QUALITY_REPORT_SQL),
     "text_bpe_encode": (text_bpe_encode, None),  # rows-only (iterative)
     "text_html_strip": (text_html_strip, TEXT_HTML_STRIP_SQL),

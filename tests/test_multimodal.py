@@ -371,3 +371,77 @@ class TestPerceptualHash:
         for payload in out.values():
             arr = decode_png_pixels(payload)
             assert arr is not None and arr.shape == (16, 16, 1)
+
+
+class TestWavAudio:
+    def test_wav_roundtrip_exact(self, spark):
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            encode_wav_pcm16,
+            parse_wav,
+        )
+
+        x = np.sin(2 * np.pi * 440 * np.arange(800) / 8000) * 0.5
+        payload = encode_wav_pcm16(x, 8000)
+        n_ch, rate, bits, back = parse_wav(payload)
+        assert (n_ch, rate, bits) == (1, 8000, 16)
+        assert back.size == 800
+        # PCM16 quantization error bound
+        assert np.max(np.abs(back - x)) <= 1.0 / 32767 + 1e-9
+
+    def test_parse_wav_quarantines_corrupt_payloads(self):
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            encode_wav_pcm16,
+            parse_wav,
+        )
+        import numpy as np
+
+        good = encode_wav_pcm16(np.zeros(100), 8000)
+        assert parse_wav(None) is None
+        assert parse_wav(b"") is None
+        assert parse_wav(b"RIFFxxxxWAV!") is None        # bad magic
+        assert parse_wav(good[:20]) is None              # truncated header
+        assert parse_wav(good[:-50]) is None             # truncated data chunk
+        # declared chunk length overrunning payload
+        bad = bytearray(good)
+        bad[16:20] = (10 ** 6).to_bytes(4, "little")
+        assert parse_wav(bytes(bad)) is None
+
+    def test_wav_features_closed_form_sine(self, spark):
+        """A pure 400 Hz tone at amplitude 0.5: RMS ~ 0.5/sqrt(2), peak
+        ~ 0.5, ZCR ~ 2*freq; corrupt/NULL rows quarantine in-plan."""
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            encode_wav_pcm16,
+            wav_features,
+        )
+        import numpy as np
+
+        tone = encode_wav_pcm16(
+            0.5 * np.sin(2 * np.pi * 400 * np.arange(8000) / 8000), 8000
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(tone)), (2, bytearray(b"not audio")), (3, None)],
+            "id long, content binary",
+        )
+        out = {r.id: r for r in wav_features(df).collect()}
+        assert out[1].decoded
+        assert abs(out[1].rms - 0.5 / np.sqrt(2)) < 0.01
+        assert abs(out[1].peak - 0.5) < 0.01
+        assert abs(out[1].zcr_hz - 800) < 20
+        assert abs(out[1].duration_s - 1.0) < 1e-6
+        assert not out[2].decoded and out[2].rms is None
+        assert not out[3].decoded
+
+    def test_attach_wav_payload_deterministic(self, spark):
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            attach_wav_payload,
+        )
+
+        base = spark.range(5).selectExpr("id AS doc_id")
+        a = {r.id: bytes(r.content)
+             for r in attach_wav_payload(base).collect()}
+        b = {r.id: bytes(r.content)
+             for r in attach_wav_payload(base.repartition(3)).collect()}
+        assert a == b
+        assert all(p[:4] == b"RIFF" for p in a.values())
