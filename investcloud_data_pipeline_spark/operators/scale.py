@@ -78,3 +78,44 @@ def hot_keys(df: DataFrame, keys: Sequence[str], top_n: int = 10) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
         .limit(top_n)
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the fact side gets a deterministic salt
+    in [0, salt_buckets) and the dim side is EXPLODED across all salt
+    values, so one hot key's rows spread over ``salt_buckets`` reducers
+    instead of melting one.
+
+    This is the manual form of what AQE's skew-join split does at
+    runtime — needed when AQE can't act: streaming joins (no runtime
+    re-plan), full-outer shapes AQE won't split, or a key so hot a
+    single post-split partition still exceeds one task. The cost is
+    deliberate: the dim side is replicated ``salt_buckets``× (only ever
+    use it with a dim ≪ fact), and results are row-identical to the
+    plain join (tested) — only the shuffle profile changes.
+
+    The salt must be deterministic (task retries must re-salt a row
+    identically) but must SPREAD identical keys: hashing the whole fact
+    row does both — duplicate rows co-salt, which is harmless, while
+    distinct rows of a hot key fan out uniformly.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (fact-preserving) joins")
+    salt = (
+        F.abs(F.xxhash64(*[F.col(c) for c in fact.columns])) % salt_buckets
+    ).alias("__salt")
+    f = fact.select("*", salt)
+    d = dim.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")
+        ).alias("__salt"),
+    )
+    joined = f.join(d, [key, "__salt"], how)
+    return joined.drop("__salt")

@@ -405,3 +405,36 @@ def test_round5_second_batch_plan_shapes(spark, sf_dir):
 
     ohlc = _plan(T.event_ohlc_hourly(spark, sf_dir))
     assert "Window" not in ohlc  # pure agg: min_by/max_by, no sort-window
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    """One key owns 90% of fact rows; salted join returns the identical
+    multiset of rows as the plain join (inner and left, including
+    dim-miss NULLs) while spreading the hot key across salt buckets."""
+    from investcloud_data_pipeline_spark.operators.scale import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "cold")], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r.k, r.v, r.name) for r in fact.join(dim, "k", how).collect()
+        )
+        salted = sorted(
+            (r.k, r.v, r.name)
+            for r in salted_join(fact, dim, "k", salt_buckets=8, how=how).collect()
+        )
+        assert salted == plain, how
+    # the hot key's rows really are spread: >1 distinct salt observed
+    from pyspark.sql import functions as F
+
+    f = fact.select(
+        "*",
+        (F.abs(F.xxhash64(*[F.col(c) for c in fact.columns])) % 8).alias("s"),
+    )
+    n_salts = f.filter("k = 1").select("s").distinct().count()
+    assert n_salts > 4
