@@ -438,3 +438,31 @@ def test_salted_join_matches_plain_join_under_skew(spark):
     )
     n_salts = f.filter("k = 1").select("s").distinct().count()
     assert n_salts > 4
+
+
+def test_new_text_ops_plan_shapes(spark, sf_dir):
+    """Pin the shuffle economics of the round-5 additions:
+    unicode/html cleanup are shuffle-free map passes; DSIR's model
+    joins back via broadcast; repeated-span detection carries exactly
+    its two designed exchanges (digest window + per-doc merge) plus
+    the tokenizer barrier."""
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        corpus_dsir_weights,
+        dedup_repeated_spans,
+        text_html_strip,
+        text_unicode_cleanup,
+    )
+
+    assert "Exchange" not in _plan(text_html_strip(spark, sf_dir))
+
+    uni = _plan(text_unicode_cleanup(spark, sf_dir))
+    assert "Exchange" not in uni
+    assert uni.count("ArrowEvalPython") == 1  # NFC kernel, nothing else
+
+    dsir = _plan(corpus_dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in dsir  # 256-row model never shuffles the facts
+
+    spans = _plan(dedup_repeated_spans(spark, sf_dir))
+    # tokenizer barrier (id) + digest window (gh) + island merge (id);
+    # a 4th means the distinct/count/semi-join shape crept back
+    assert spans.count("Exchange hashpartitioning") <= 3
