@@ -337,3 +337,95 @@ def test_containment_dominates_jaccard(corpus, thr):
     assert jac <= set(cont)
     if any(t for t in corpus[0]):  # doc 0 tokenizable → dup pair exists
         assert cont.get((0, 100)) == 1.0
+
+
+# ---------- round-5 fourth-block invariants ----------
+
+word_st = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+)
+doc_st = st.lists(word_st, min_size=0, max_size=24).map(" ".join)
+corpus_st = st.lists(doc_st, min_size=1, max_size=8)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=corpus_st)
+def test_repeated_spans_bounded_and_permutation_invariant(docs):
+    """dup_tokens <= n_tokens for every doc; result is invariant to
+    input partitioning; duplicating the whole corpus makes every
+    windowable doc fully covered (dup_fraction == 1)."""
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        repeated_span_stats,
+    )
+
+    spark = _get_spark()
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repeated_span_stats(df, k=4).collect()}
+    n_toks = {i: len(t.split()) if t.strip() else 0 for i, t in rows}
+    for i, t in rows:
+        assert 0 <= out[i].dup_tokens <= n_toks[i]
+        if n_toks[i] < 4:
+            assert out[i].dup_tokens == 0
+    out_re = {
+        r.doc_id: r
+        for r in repeated_span_stats(df.repartition(5), k=4).collect()
+    }
+    assert {i: tuple(r) for i, r in out.items()} == {
+        i: tuple(r) for i, r in out_re.items()
+    }
+    # duplicate every doc under fresh ids -> every >=4-token doc fully dup
+    dup_rows = rows + [(i + 1000, t) for i, t in rows]
+    ddf = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    for r in repeated_span_stats(ddf, k=4).collect():
+        base = n_toks[r.doc_id % 1000]
+        if base >= 4:
+            assert r.dup_tokens == base, r
+            assert r.dup_fraction == 1.0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=0, max_size=30,
+    ),
+    dim_keys=st.sets(st.integers(0, 3), max_size=4),
+)
+def test_salted_join_equals_plain_join(fact, dim_keys):
+    from investcloud_data_pipeline_spark.operators.scale import salted_join
+
+    spark = _get_spark()
+    f = spark.createDataFrame(fact or [(99, 0)], "k long, v long")
+    d = spark.createDataFrame(
+        [(k, f"n{k}") for k in dim_keys] or [(98, "x")], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        plain = sorted((r.k, r.v, r.name) for r in f.join(d, "k", how).collect())
+        salted = sorted(
+            (r.k, r.v, r.name)
+            for r in salted_join(f, d, "k", salt_buckets=4, how=how).collect()
+        )
+        assert salted == plain
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ids=st.sets(st.integers(0, 10**9), min_size=1, max_size=40))
+def test_shard_manifest_partitions_corpus_exactly(ids):
+    """Shard counts sum to the corpus; checksums are partitioning-
+    invariant; shard ids stay in range."""
+    from investcloud_data_pipeline_spark.operators.export import shard_manifest
+
+    spark = _get_spark()
+    rows = [(i, f"text {i}") for i in sorted(ids)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m1 = {r.shard: (r.n_docs, r.content_md5)
+          for r in shard_manifest(df, 8).collect()}
+    m2 = {r.shard: (r.n_docs, r.content_md5)
+          for r in shard_manifest(df.repartition(7), 8).collect()}
+    assert m1 == m2
+    assert sum(n for n, _ in m1.values()) == len(rows)
+    assert set(m1) <= set(range(8))
