@@ -581,3 +581,101 @@ def bpe_encode_stats(df: DataFrame, merges: list[tuple[str, str]],
             ).alias("pieces_per_token"),
         )
     )
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words_per_line: int = 5) -> DataFrame:
+    """C4-style line/document hygiene (Raffel et al. 2020, §2.2): keep
+    only lines that end in terminal punctuation and carry at least
+    ``min_words_per_line`` words, drop lines mentioning javascript,
+    and gate the document on curly braces, "lorem ipsum", and a
+    >= 3-sentence minimum over the retained text.
+
+    Entirely JVM higher-order functions over the line array (filter /
+    transform / array_join) — a shuffle-free map pass that fuses into
+    the scan; the oracle restates the identical lambda chain with
+    DuckDB list functions.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    trimmed = F.transform(lines, lambda l: F.trim(l))
+    kept = F.filter(
+        trimmed,
+        lambda l: (F.length(l) > 0)
+        & (F.regexp_count(l, F.lit('[.!?"]$')) > 0)
+        & (F.size(F.split(l, " +")) >= min_words_per_line)
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(clean, F.lit("[.!?]"))
+    has_brace = F.contains(t, F.lit("{"))
+    has_lorem = F.contains(F.lower(t), F.lit("lorem ipsum"))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        clean.alias("text_clean"),
+        n_sentences.cast("long").alias("n_sentences"),
+        (
+            ~has_brace & ~has_lorem & (n_sentences >= 3)
+        ).alias("keep"),
+    )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, table A1 subset) —
+# module-level so the oracle SQL generator reads the same numbers.
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_gate(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition-free quality rules (Rae et al. 2021): token
+    count band, mean word length band, symbol-to-word ratio, fraction
+    of words containing an alphabetic character, and a minimum
+    stopword-hit count (the "is this prose at all" test). One
+    shuffle-free pass of higher-order array math; every signal is
+    emitted alongside the gate so downstream mixing can re-weight
+    instead of hard-dropping."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[#]|\.\.\."), 0)
+    )
+    alpha_frac = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))) / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(toks, lambda w: w.isin(GOPHER_STOPWORDS))
+    )
+    keep = (
+        n_tok.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & mean_wlen.between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+        & (
+            F.when(n_tok > 0, n_symbols / n_tok).otherwise(F.lit(0.0))
+            <= GOPHER_MAX_SYMBOL_RATIO
+        )
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        n_symbols.cast("long").alias("n_symbols"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        keep.alias("keep"),
+    )

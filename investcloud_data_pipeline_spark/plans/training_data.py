@@ -1795,7 +1795,98 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.wav_features(with_audio)
 
 
+def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/document hygiene (terminal-punctuation lines,
+    >= 5 words/line, javascript-line drop, brace / lorem-ipsum /
+    3-sentence doc gates). Crafted-input tests force branch coverage;
+    on this corpus every signal is honestly computed both sides."""
+    return TX.c4_line_filter(_docs(spark, sf_dir))
+
+
+TEXT_C4_FILTER_SQL = """
+WITH d AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents
+),
+f AS (
+  SELECT doc_id, text, lines,
+         list_filter([trim(l) FOR l IN lines], l ->
+           length(l) > 0
+           AND regexp_matches(l, '[.!?"]$')
+           AND len(string_split_regex(l, ' +')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM d
+),
+g AS (
+  SELECT doc_id, text, lines, kept,
+         -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+         coalesce(array_to_string(kept, chr(10)), '') AS clean
+  FROM f
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       clean AS text_clean,
+       CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS n_sentences,
+       (NOT contains(text, '{')
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS keep
+FROM g
+"""
+
+
+def text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (token band, mean word length, symbol
+    ratio, alphabetic-word fraction, stopword floor) with every signal
+    emitted beside the gate."""
+    return TX.gopher_quality_gate(_docs(spark, sf_dir))
+
+
+def _gopher_sql() -> str:
+    from ..operators import text as _t
+
+    sw = ", ".join(f"'{w}'" for w in _t.GOPHER_STOPWORDS)
+    return f"""
+WITH d AS (SELECT doc_id, text, {NORM_SQL} AS norm FROM documents),
+toks AS (
+  SELECT doc_id, text,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS t
+  FROM d
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         CASE WHEN len(t) > 0
+              THEN list_sum([length(w) FOR w IN t]) / len(t)
+              ELSE 0.0 END AS mean_wlen,
+         len(regexp_extract_all(text, '[#]|\\.\\.\\.')) AS n_symbols,
+         CASE WHEN len(t) > 0
+              THEN len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) / len(t)
+              ELSE 0.0 END AS alpha_frac,
+         len(list_filter(t, w -> list_contains([{sw}], w))) AS stop_hits
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(mean_wlen, 6) AS mean_word_len,
+       CAST(n_symbols AS BIGINT) AS n_symbols,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       CAST(stop_hits AS BIGINT) AS stopword_hits,
+       (n_tokens BETWEEN {_t.GOPHER_MIN_TOKENS} AND {_t.GOPHER_MAX_TOKENS}
+        AND mean_wlen BETWEEN {_t.GOPHER_MIN_MEAN_WLEN} AND {_t.GOPHER_MAX_MEAN_WLEN}
+        AND (CASE WHEN n_tokens > 0 THEN n_symbols / n_tokens ELSE 0.0 END)
+            <= {_t.GOPHER_MAX_SYMBOL_RATIO}
+        AND alpha_frac >= {_t.GOPHER_MIN_ALPHA_WORD_FRAC}
+        AND stop_hits >= {_t.GOPHER_MIN_STOPWORD_HITS}) AS keep
+FROM m
+"""
+
+
+TEXT_GOPHER_GATE_SQL = _gopher_sql()
+
+
 QUERIES = {
+    "text_c4_filter": (text_c4_filter, TEXT_C4_FILTER_SQL),
+    "text_gopher_gate": (text_gopher_gate, TEXT_GOPHER_GATE_SQL),
     "multimodal_wav_features": (multimodal_wav_features, None),  # rows-only
     "corpus_quality_report": (corpus_quality_report, CORPUS_QUALITY_REPORT_SQL),
     "text_bpe_encode": (text_bpe_encode, None),  # rows-only (iterative)

@@ -695,3 +695,97 @@ def test_bpe_encode_stats_invariants(spark, sf_dir):
         else:
             assert r.n_pieces >= r.n_tokens
             assert 1.0 <= r.pieces_per_token
+
+
+def test_c4_line_filter_rules(spark):
+    from investcloud_data_pipeline_spark.operators.text import c4_line_filter
+
+    good = (
+        "This is a perfectly reasonable first sentence.\n"
+        "Here is another sentence with enough words in it!\n"
+        "And a third one that also terminates properly?"
+    )
+    page = (
+        "Click here\n"                                   # too short, no punct
+        "Enable javascript to view this page properly.\n"  # js line
+        "short line.\n"                                   # < 5 words
+        + good
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, page),
+            (3, "lorem ipsum dolor sit amet. " + good),
+            (4, "function f() { return 1; }\n" + good),
+            (5, "one sentence only, even if it is long enough."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    assert out[1].keep and out[1].n_kept_lines == 3
+    assert out[1].text_clean == good
+    # bad lines dropped, survivors keep the doc
+    assert out[2].n_lines == 6 and out[2].n_kept_lines == 3
+    assert out[2].keep
+    assert not out[3].keep      # lorem ipsum doc gate
+    assert not out[4].keep      # brace gate
+    assert not out[5].keep and out[5].n_sentences == 1
+
+
+def test_c4_oracle_agrees_on_crafted_lines(spark):
+    import duckdb
+    import pandas as pdlib
+
+    from investcloud_data_pipeline_spark.operators.text import c4_line_filter
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        TEXT_C4_FILTER_SQL,
+    )
+
+    rows = [
+        (1, "A good long sentence ends right here.\nbad line\nAnother "
+            "decent sentence follows it now.\nAnd a third full sentence "
+            "closes the document."),
+        (2, "   padded line with five words here.   \nJAVASCRIPT required."),
+        (3, ""),
+        (4, "brace { doc with sentences. One more here now. And third "
+            "sentence too."),
+    ]
+    con = duckdb.connect()
+    con.register("documents", pdlib.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = {r[0]: tuple(r[1:]) for r in con.execute(TEXT_C4_FILTER_SQL).fetchall()}
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept_lines, r.text_clean, r.n_sentences, r.keep)
+        for r in c4_line_filter(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got == oracle
+
+
+def test_gopher_gate_rules(spark):
+    from investcloud_data_pipeline_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        gopher_quality_gate,
+    )
+
+    prose_words = (
+        "the market data shows that revenue growth will continue and "
+        "analysts have noted that demand remains strong with pricing "
+        "power intact across most segments of the business while costs "
+        "stay controlled and margins hold near record levels for now"
+    )
+    prose = prose_words + " " + prose_words  # ~66 tokens, in band
+    symbols = "# " * 60 + "the of and that have"      # symbol ratio blown
+    short = "the and of"                               # token floor
+    nostop = " ".join(f"zz{i}" for i in range(60))     # no stopwords
+    docs = spark.createDataFrame(
+        [(1, prose), (2, symbols), (3, short), (4, nostop)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_gate(docs).collect()}
+    assert out[1].keep
+    assert out[1].stopword_hits >= 2
+    assert not out[2].keep and out[2].n_symbols == 60
+    assert not out[3].keep          # below token floor
+    assert not out[4].keep and out[4].stopword_hits == 0
+    assert set(GOPHER_STOPWORDS) & set(prose.split())
