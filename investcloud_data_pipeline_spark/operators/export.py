@@ -116,3 +116,34 @@ def verify_shards(spark, path: str, n_shards: int = 16,
         )
         .select("shard")
     )
+
+
+def with_provenance(df: DataFrame) -> DataFrame:
+    """Attach the hidden file-source ``_metadata`` provenance columns
+    (file path, size, modification time, row-group offsets are pruned
+    away unless selected) — the lineage record a curation pipeline
+    stores so any training example can be traced back to the exact
+    input file that produced it. Zero-cost when unused: ``_metadata``
+    is a metadata-only struct populated by the scan, not a join."""
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("src_file"),
+        F.col("_metadata.file_size").alias("src_file_size"),
+        F.col("_metadata.file_modification_time").alias("src_file_mtime"),
+    )
+
+
+def export_sorted(df: DataFrame, path: str, order_col: str,
+                  n_files: int = 8) -> None:
+    """Globally-sorted parquet export: ``repartitionByRange`` (sampled
+    range boundaries) + ``sortWithinPartitions`` yields files whose
+    [min, max] ranges are disjoint and ordered, so a reader can binary-
+    search files from footer statistics alone — the layout for id-keyed
+    point lookups over an exported corpus. One range shuffle, no global
+    single-task sort."""
+    (
+        df.repartitionByRange(n_files, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
