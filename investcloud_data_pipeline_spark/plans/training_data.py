@@ -1884,7 +1884,135 @@ FROM m
 TEXT_GOPHER_GATE_SQL = _gopher_sql()
 
 
+def corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel wired through the round-5 gates:
+    Unicode hygiene -> HTML strip -> Gopher quality -> exact-dedup
+    canonical (on the CLEANED text) -> near-dup cluster canonical —
+    one DAG, every stage also individually oracled by its own query.
+    Emits per-doc stage flags (not just survivors) so curation loss is
+    attributable stage-by-stage; ``keep`` is the conjunction."""
+    from ..operators.graph import connected_components
+
+    d = _docs(spark, sf_dir)
+    uni = TX.unicode_cleanup(d).select(
+        "doc_id", F.col("keep").alias("enc_ok"), F.col("text_clean").alias("t1")
+    )
+    html = TX.html_strip(
+        uni.select("doc_id", F.col("t1").alias("text"))
+    ).select("doc_id", F.col("text_clean").alias("t2"))
+    staged = uni.join(html, "doc_id")
+    gop = TX.gopher_quality_gate(
+        staged.select("doc_id", F.col("t2").alias("text"))
+    ).select("doc_id", F.col("keep").alias("gopher_ok"))
+    exact = DF.exact_dedup(
+        staged.select("doc_id", F.col("t2").alias("text"))
+    ).select(F.col("keep_id").alias("doc_id"), F.lit(True).alias("exact_can"))
+    pairs = jaccard_pairs_cached(spark, sf_dir)
+    comp = connected_components(pairs, src="id1", dst="id2")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.lit(True).alias("near_loser")
+    )
+    return (
+        staged.join(gop, "doc_id")
+        .join(exact, "doc_id", "left")
+        .join(losers, "doc_id", "left")
+        .select(
+            "doc_id",
+            "enc_ok",
+            "gopher_ok",
+            F.coalesce("exact_can", F.lit(False)).alias("exact_canonical"),
+            F.col("near_loser").isNull().alias("near_ok"),
+            (
+                F.col("enc_ok")
+                & F.col("gopher_ok")
+                & F.coalesce("exact_can", F.lit(False))
+                & F.col("near_loser").isNull()
+            ).alias("keep"),
+        )
+    )
+
+
+def _curate_full_sql() -> str:
+    from ..operators import text as _t
+
+    bad = (
+        "(len(regexp_extract_all({c}, '" + _t.CONTROL_RE + "'))"
+        " + len(regexp_extract_all({c}, '" + _t.REPLACEMENT_CHAR + "'))"
+        " + len(regexp_extract_all({c}, '" + _t.MOJIBAKE_RE + "')))"
+    )
+    enc_ok = (
+        "CASE WHEN length({c}) = 0 THEN false ELSE "
+        + bad + " / length({c}) <= 0.01 END"
+    ).format(c="text")
+    t1 = (
+        "nfc_normalize(trim(regexp_replace(regexp_replace(text, '"
+        + _t.CONTROL_RE + "', ' ', 'g'), '\\s+', ' ', 'g')))"
+    )
+    decoded = (
+        "regexp_replace(regexp_replace(t1, '" + _t.HTML_DROP_RE
+        + "', ' ', 'gs'), '" + _t.HTML_TAG_RE + "', ' ', 'g')"
+    )
+    for ent, rep in _t.HTML_ENTITIES.items():
+        decoded = "replace(" + decoded + ", '" + ent + "', '" + rep.replace("'", "''") + "')"
+    t2 = "trim(regexp_replace(" + decoded + ", '\\s+', ' ', 'g'))"
+    norm2 = "trim(regexp_replace(lower(t2), '[^a-z0-9]+', ' ', 'g'))"
+    sw = ", ".join("'" + w + "'" for w in _t.GOPHER_STOPWORDS)
+    return (
+        "WITH RECURSIVE " + SHINGLES_CTE + ",\n"
+        "uni AS (SELECT doc_id, " + enc_ok + " AS enc_ok, " + t1
+        + " AS t1 FROM documents),\n"
+        "html AS (SELECT doc_id, enc_ok, " + t2 + " AS t2 FROM uni),\n"
+        "gtok AS (SELECT doc_id, enc_ok, t2,\n"
+        "  CASE WHEN " + norm2 + " = '' THEN [] ELSE string_split("
+        + norm2 + ", ' ') END AS t FROM html),\n"
+        "gop AS (SELECT doc_id, enc_ok, t2,\n"
+        "  (len(t) BETWEEN " + str(_t.GOPHER_MIN_TOKENS) + " AND "
+        + str(_t.GOPHER_MAX_TOKENS) + "\n"
+        "   AND (CASE WHEN len(t) > 0 THEN list_sum([length(w) FOR w IN t])"
+        " / len(t) ELSE 0.0 END) BETWEEN " + str(_t.GOPHER_MIN_MEAN_WLEN)
+        + " AND " + str(_t.GOPHER_MAX_MEAN_WLEN) + "\n"
+        "   AND (CASE WHEN len(t) > 0 THEN"
+        " len(regexp_extract_all(t2, '[#]|\\.\\.\\.')) / len(t)"
+        " ELSE 0.0 END) <= " + str(_t.GOPHER_MAX_SYMBOL_RATIO) + "\n"
+        "   AND (CASE WHEN len(t) > 0 THEN"
+        " len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) / len(t)"
+        " ELSE 0.0 END) >= " + str(_t.GOPHER_MIN_ALPHA_WORD_FRAC) + "\n"
+        "   AND len(list_filter(t, w -> list_contains([" + sw + "], w)))"
+        " >= " + str(_t.GOPHER_MIN_STOPWORD_HITS) + ") AS gopher_ok\n"
+        "  FROM gtok),\n"
+        "exact AS (SELECT min(doc_id) AS doc_id FROM html GROUP BY md5("
+        + norm2 + ")),\n"
+        "sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),\n"
+        "common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS"
+        " n_common FROM ex a JOIN ex b ON a.shingle = b.shingle AND"
+        " a.doc_id < b.doc_id GROUP BY 1, 2),\n"
+        "pairs AS (SELECT id1, id2 FROM common JOIN sizes s1 ON id1 ="
+        " s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id WHERE"
+        " round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5),\n"
+        "edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT"
+        " id2, id1 FROM pairs),\n"
+        "reach(node, label) AS (SELECT DISTINCT src, src FROM edges UNION"
+        " SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src ="
+        " r.node),\n"
+        "comp AS (SELECT node, min(label) AS component FROM reach GROUP BY"
+        " node),\n"
+        "losers AS (SELECT node AS doc_id FROM comp WHERE node <>"
+        " component)\n"
+        "SELECT g.doc_id, g.enc_ok, g.gopher_ok,\n"
+        "  (e.doc_id IS NOT NULL) AS exact_canonical,\n"
+        "  (l.doc_id IS NULL) AS near_ok,\n"
+        "  (g.enc_ok AND g.gopher_ok AND e.doc_id IS NOT NULL AND"
+        " l.doc_id IS NULL) AS keep\n"
+        "FROM gop g LEFT JOIN exact e USING (doc_id)"
+        " LEFT JOIN losers l USING (doc_id)"
+    )
+
+
+CORPUS_CURATE_FULL_SQL = _curate_full_sql()
+
+
 QUERIES = {
+    "corpus_curate_full": (corpus_curate_full, CORPUS_CURATE_FULL_SQL),
     "text_c4_filter": (text_c4_filter, TEXT_C4_FILTER_SQL),
     "text_gopher_gate": (text_gopher_gate, TEXT_GOPHER_GATE_SQL),
     "multimodal_wav_features": (multimodal_wav_features, None),  # rows-only
