@@ -58,6 +58,28 @@ def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_COMP_CACHE: dict[tuple, DataFrame] = {}
+
+
+def components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, component) for the near-dup pair graph, computed ONCE per
+    session/sf and persisted — the write-once economics of a production
+    pipeline, where the component relation is a shared artifact of the
+    whole canonicalization family (components query, clean pipeline,
+    keep-best-quality, full curation). Same memo pattern as
+    ``jaccard_pairs_cached``; the iterative CC job never reruns."""
+    from ..operators.graph import connected_components
+
+    key = (id(spark), sf_dir)
+    df = _COMP_CACHE.get(key)
+    if df is None:
+        df = connected_components(
+            jaccard_pairs_cached(spark, sf_dir), src="id1", dst="id2"
+        ).persist()
+        _COMP_CACHE[key] = df
+    return df
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -127,12 +149,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: Jaccard candidate pairs → distributed
     connected components (operators/graph.py) → (doc_id, component).
     Oracle: the same pair SQL closed transitively with a recursive CTE."""
-    from ..operators.graph import connected_components
-
-    pairs = jaccard_pairs_cached(spark, sf_dir)
-    return (
-        connected_components(pairs, src="id1", dst="id2")
-        .select(F.col("node").alias("doc_id"), "component")
+    return components_cached(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "component"
     )
 
 
@@ -482,7 +500,8 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def clean_corpus(d: DataFrame, pairs: DataFrame) -> DataFrame:
+def clean_corpus(d: DataFrame, pairs: DataFrame,
+                 components: DataFrame | None = None) -> DataFrame:
     """Corpus-cleaning funnel over an arbitrary documents frame: quality
     gate ∧ exact-dup canonical ∧ near-dup cluster canonical, each
     predicate computed over the whole corpus and intersected. ``pairs``
@@ -498,7 +517,10 @@ def clean_corpus(d: DataFrame, pairs: DataFrame) -> DataFrame:
 
     ok = quality_score(d).filter(F.col("quality_score") >= 0.5).select("doc_id")
     exact_keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
-    comp = connected_components(pairs, src="id1", dst="id2")
+    comp = (
+        components if components is not None
+        else connected_components(pairs, src="id1", dst="id2")
+    )
     near_dup_losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -518,7 +540,8 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is oracle-checked here."""
     d = _docs(spark, sf_dir)
     pairs = jaccard_pairs_cached(spark, sf_dir)
-    return clean_corpus(d, pairs).select("doc_id", "lang", "source")
+    comp = components_cached(spark, sf_dir)
+    return clean_corpus(d, pairs, comp).select("doc_id", "lang", "source")
 
 
 CORPUS_CLEAN_PIPELINE_SQL = f"""
@@ -1412,10 +1435,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed on component."""
     from pyspark.sql import Window
 
-    from ..operators.graph import connected_components
-
-    pairs = jaccard_pairs_cached(spark, sf_dir)
-    comp = connected_components(pairs, src="id1", dst="id2").select(
+    comp = components_cached(spark, sf_dir).select(
         F.col("node").alias("doc_id"), "component"
     )
     q = TX.quality_score(_docs(spark, sf_dir)).select(
@@ -1891,8 +1911,6 @@ def corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     one DAG, every stage also individually oracled by its own query.
     Emits per-doc stage flags (not just survivors) so curation loss is
     attributable stage-by-stage; ``keep`` is the conjunction."""
-    from ..operators.graph import connected_components
-
     d = _docs(spark, sf_dir)
     uni = TX.unicode_cleanup(d).select(
         "doc_id", F.col("keep").alias("enc_ok"), F.col("text_clean").alias("t1")
@@ -1907,8 +1925,7 @@ def corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = DF.exact_dedup(
         staged.select("doc_id", F.col("t2").alias("text"))
     ).select(F.col("keep_id").alias("doc_id"), F.lit(True).alias("exact_can"))
-    pairs = jaccard_pairs_cached(spark, sf_dir)
-    comp = connected_components(pairs, src="id1", dst="id2")
+    comp = components_cached(spark, sf_dir)
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id"), F.lit(True).alias("near_loser")
     )
