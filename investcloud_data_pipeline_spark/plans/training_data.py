@@ -2028,7 +2028,141 @@ def _curate_full_sql() -> str:
 CORPUS_CURATE_FULL_SQL = _curate_full_sql()
 
 
+def corpus_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split at NEAR-DUP-GROUP granularity: hash the
+    component canonical id, not the doc id, so near-duplicate documents
+    can never straddle the boundary — the leakage mode a plain per-doc
+    hash split silently allows (a test doc's near-twin in train is
+    contamination the n-gram decontaminator may miss). Docs in no pair
+    are their own group. Composes the shared component artifact; one
+    broadcast-able join, split stays a local predicate."""
+    comp = components_cached(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    d = _docs(spark, sf_dir).select("doc_id")
+    return (
+        d.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("group_id"),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                F.substring(F.md5(F.col("group_id").cast("string")), 1, 1)
+                < "d",
+                F.lit("train"),
+            ).otherwise(F.lit("test")),
+        )
+    )
+
+
+CORPUS_LEAKAGE_FREE_SPLIT_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2 FROM common
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
+),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION SELECT id2, id1 FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+g AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, group_id,
+       CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 1) < 'd'
+            THEN 'train' ELSE 'test' END AS split
+FROM g
+"""
+
+
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR step 2 — importance RESAMPLING: draw k=50 docs without
+    replacement with probability proportional to the importance ratio
+    exp(avg_log_ratio), via the same retry-stable A-ES exponential-key
+    trick as corpus_weighted_sample (hash uniforms, never rand()). The
+    global top-k compiles to TakeOrderedAndProject — each task keeps k
+    rows, the driver merges |tasks|*k, no global sort."""
+    from pyspark.sql import Window
+
+    d = corpus_dsir_weights(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = F.exp(F.col("avg_log_ratio"))  # avg_log_ratio pre-rounded to 6
+    key = -F.log(u) / w
+    return (
+        d.select("doc_id", "avg_log_ratio", F.round(key, 6).alias("aes_key"))
+        .orderBy(F.col("aes_key").asc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+CORPUS_DSIR_SAMPLE_SQL = f"""
+WITH d AS (SELECT doc_id, source, {NORM_SQL} AS norm FROM documents),
+inst AS (
+  SELECT doc_id, source = 'src0' AS is_target,
+         substr(md5(unnest(string_split(norm, ' '))), 1, 2) AS bucket
+  FROM d WHERE norm <> ''
+),
+counts AS (
+  SELECT bucket, count(*) AS r_cnt,
+         count(*) FILTER (is_target) AS t_cnt
+  FROM inst GROUP BY 1
+),
+totals AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM counts),
+model AS (
+  SELECT bucket,
+         ln((t_cnt + 0.5) / (t_tot + 128.0))
+           - ln((r_cnt + 0.5) / (r_tot + 128.0)) AS log_ratio
+  FROM counts CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, round(avg(log_ratio), 6) AS avg_log_ratio
+  FROM inst JOIN model USING (bucket) GROUP BY 1
+),
+keyed AS (
+  SELECT doc_id, avg_log_ratio,
+         round(
+           -ln(((('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE + 0.5)
+               / 4294967296.0)
+           / exp(avg_log_ratio), 6) AS aes_key
+  FROM scored
+)
+SELECT doc_id, avg_log_ratio, aes_key
+FROM keyed ORDER BY aes_key ASC, doc_id ASC LIMIT 50
+"""
+
+
 QUERIES = {
+    "corpus_leakage_free_split": (
+        corpus_leakage_free_split,
+        CORPUS_LEAKAGE_FREE_SPLIT_SQL,
+    ),
+    "corpus_dsir_sample": (corpus_dsir_sample, CORPUS_DSIR_SAMPLE_SQL),
     "corpus_curate_full": (corpus_curate_full, CORPUS_CURATE_FULL_SQL),
     "text_c4_filter": (text_c4_filter, TEXT_C4_FILTER_SQL),
     "text_gopher_gate": (text_gopher_gate, TEXT_GOPHER_GATE_SQL),

@@ -789,3 +789,40 @@ def test_gopher_gate_rules(spark):
     assert not out[3].keep          # below token floor
     assert not out[4].keep and out[4].stopword_hits == 0
     assert set(GOPHER_STOPWORDS) & set(prose.split())
+
+
+def test_leakage_free_split_never_splits_a_component(spark, sf_dir):
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        corpus_leakage_free_split,
+    )
+
+    out = corpus_leakage_free_split(spark, sf_dir)
+    per_group = out.groupBy("group_id").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.count("*").alias("n_docs"),
+    )
+    assert per_group.filter("n_splits > 1").count() == 0
+    # the guarantee is non-vacuous on this corpus: multi-doc groups exist
+    assert per_group.filter("n_docs > 1").count() > 0
+    # and both sides are populated
+    assert out.select("split").distinct().count() == 2
+
+
+def test_dsir_sample_biased_toward_target_domain(spark, sf_dir):
+    """A-ES with weight exp(avg_log_ratio): the 50 sampled docs must
+    have a higher mean importance weight than the corpus mean."""
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        corpus_dsir_sample,
+        corpus_dsir_weights,
+    )
+
+    sample = corpus_dsir_sample(spark, sf_dir)
+    assert sample.count() == 50
+    mean_s = sample.agg(F.avg("avg_log_ratio")).first()[0]
+    mean_c = (
+        corpus_dsir_weights(spark, sf_dir)
+        .filter("n_tokens > 0")
+        .agg(F.avg("avg_log_ratio"))
+        .first()[0]
+    )
+    assert mean_s > mean_c
