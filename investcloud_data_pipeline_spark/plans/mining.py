@@ -926,7 +926,98 @@ l{i} AS (
 COPURCHASE_COMMUNITIES_SQL = _lp_unrolled_sql(5)
 
 
+# ---------- distribution drift (PSI) ----------
+#
+# The monitoring gate a production feed runs between two time windows
+# of the same column: bucket both windows on FIXED edges (fixed, not
+# quantile-derived, so the reference frame cannot move with the drift
+# being measured), smooth with +1/2 counts, and report the population
+# stability index sum((p-q) * ln(p/q)). PSI > 0.1 is the standard
+# "investigate" line, > 0.25 "act". One grouped count + one per-type
+# fold - two small shuffles regardless of fact size.
+
+PSI_EDGES = [10.0, 25.0, 50.0, 100.0, 200.0]
+
+
+def _psi_bucket(col):
+    b = F.lit(len(PSI_EDGES))
+    for i, e in enumerate(reversed(PSI_EDGES)):
+        b = F.when(F.col(col) < e, F.lit(len(PSI_EDGES) - 1 - i)).otherwise(b)
+    return b
+
+
+def event_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    split_ts = F.lit("2024-01-16").cast("timestamp")
+    counts = (
+        e.select(
+            "event_type",
+            _psi_bucket("value").alias("bucket"),
+            (F.col("ts") < split_ts).alias("is_ref"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count_if("is_ref").alias("n_ref"),
+            F.count_if(~F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    k = len(PSI_EDGES) + 1
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * k)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * k)
+    term = (p - q) * (F.log(p) - F.log(q))
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("t_ref").alias("n_ref"),
+            F.first("t_cur").alias("n_cur"),
+            F.round(F.sum(term), 6).alias("psi"),
+        )
+        .withColumn("drifted", F.col("psi") > 0.1)
+    )
+
+
+def _psi_bucket_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} < {e} THEN {i}" for i, e in enumerate(PSI_EDGES)
+    )
+    return f"CASE {cases} ELSE {len(PSI_EDGES)} END"
+
+
+EVENT_VALUE_DRIFT_PSI_SQL = f"""
+WITH counts AS (
+  SELECT event_type, {_psi_bucket_sql('value')} AS bucket,
+         count(*) FILTER (ts < TIMESTAMP '2024-01-16') AS n_ref,
+         count(*) FILTER (ts >= TIMESTAMP '2024-01-16') AS n_cur
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+  FROM counts GROUP BY 1
+),
+terms AS (
+  SELECT c.event_type, t.t_ref, t.t_cur,
+         ((c.n_ref + 0.5) / (t.t_ref + {0.5 * (len(PSI_EDGES) + 1)})
+          - (c.n_cur + 0.5) / (t.t_cur + {0.5 * (len(PSI_EDGES) + 1)}))
+         * (ln((c.n_ref + 0.5) / (t.t_ref + {0.5 * (len(PSI_EDGES) + 1)}))
+            - ln((c.n_cur + 0.5) / (t.t_cur + {0.5 * (len(PSI_EDGES) + 1)})))
+           AS term
+  FROM counts c JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(min(t_ref) AS BIGINT) AS n_ref,
+       CAST(min(t_cur) AS BIGINT) AS n_cur,
+       round(sum(term), 6) AS psi,
+       round(sum(term), 6) > 0.1 AS drifted
+FROM terms GROUP BY 1
+"""
+
+
 QUERIES = {
+    "event_value_drift_psi": (event_value_drift_psi, EVENT_VALUE_DRIFT_PSI_SQL),
     "copurchase_communities": (copurchase_communities, COPURCHASE_COMMUNITIES_SQL),
     "yoy_nation_revenue": (yoy_nation_revenue, YOY_NATION_REVENUE_SQL),
     "customer_rfm_segments": (customer_rfm_segments, CUSTOMER_RFM_SEGMENTS_SQL),

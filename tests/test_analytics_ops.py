@@ -244,3 +244,26 @@ def test_bpe_first_merges_hand_counted(spark, tmp_path):
         for r in text_bpe_first_merges(spark, str(tmp_path)).collect()
     }
     assert out == {"ab": (4, 1), "ba": (2, 2), "cd": (1, 3)}
+
+
+def test_psi_drift_properties(spark, sf_dir):
+    """PSI is a symmetrized KL: always >= 0; the drifted flag matches
+    the 0.1 threshold; bucket edges assign correctly."""
+    from investcloud_data_pipeline_spark.plans.mining import (
+        PSI_EDGES,
+        _psi_bucket,
+        event_value_drift_psi,
+    )
+    from pyspark.sql import functions as F
+
+    out = event_value_drift_psi(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.psi >= 0.0, r
+        assert r.drifted == (r.psi > 0.1)
+        assert r.n_ref > 0 and r.n_cur > 0
+
+    probe = spark.createDataFrame(
+        [(5.0,), (10.0,), (99.0,), (5000.0,)], "v double"
+    ).select(_psi_bucket("v").alias("b")).collect()
+    assert [r.b for r in probe] == [0, 1, 3, len(PSI_EDGES)]
