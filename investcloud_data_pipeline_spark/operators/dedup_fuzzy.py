@@ -336,7 +336,12 @@ def simhash_candidates(
                 for c in range(4)
             ])
         ).alias("ck"),
-    ).select("id", "simhash", "ck.chunk_idx", "ck.chunk")
+    ).select("id", "simhash", "ck.chunk_idx", "ck.chunk").repartition(
+        # barrier on the join keys: AQE dedupes the two self-join
+        # stages, so the simhash Python kernel materializes once, not
+        # once per join side (same fix as phash_candidate_pairs)
+        F.col("chunk_idx"), F.col("chunk")
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
