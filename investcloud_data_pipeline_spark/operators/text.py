@@ -450,7 +450,8 @@ HTML_ENTITIES = {
 
 
 def html_strip(df: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               extra_cols: "tuple[str, ...]" = ()) -> DataFrame:
     """Boilerplate-lite markup removal for web-scraped corpora: drop
     script/style/comment blocks, strip remaining tags, decode the
     common named entities, collapse whitespace. Pure JVM regex chain —
@@ -477,7 +478,8 @@ def html_strip(df: DataFrame, text_col: str = "text",
     n_out = F.length(clean)
     return df.select(
         F.col(id_col),
-        clean.alias("text_clean"),
+        *[F.col(c) for c in extra_cols],  # pass-through (keeps composed
+        clean.alias("text_clean"),        # pipelines one linear chain)
         n_in.cast("long").alias("n_chars_in"),
         n_out.cast("long").alias("n_chars_out"),
         F.round(

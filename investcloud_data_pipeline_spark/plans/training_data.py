@@ -1915,10 +1915,15 @@ def corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = TX.unicode_cleanup(d).select(
         "doc_id", F.col("keep").alias("enc_ok"), F.col("text_clean").alias("t1")
     )
-    html = TX.html_strip(
-        uni.select("doc_id", F.col("t1").alias("text"))
-    ).select("doc_id", F.col("text_clean").alias("t2"))
-    staged = uni.join(html, "doc_id")
+    # linear chain (no uni-self-join): the NFC kernel runs once
+    staged = TX.html_strip(
+        uni.select("doc_id", "enc_ok", F.col("t1").alias("text")),
+        extra_cols=("enc_ok",),
+    ).select("doc_id", "enc_ok", F.col("text_clean").alias("t2"))
+    # staged has 3 consumers; a doc_id repartition barrier would dedupe
+    # the unicode/html kernel to one materialization, but measured at
+    # sf0.1 the extra exchange costs more than the cheap kernels save
+    # (1.13s -> 1.57s warm). At production kernel weights, add it.
     gop = TX.gopher_quality_gate(
         staged.select("doc_id", F.col("t2").alias("text"))
     ).select("doc_id", F.col("keep").alias("gopher_ok"))
