@@ -159,7 +159,21 @@ def _propagate_loop(
 ) -> DataFrame:
     """Min-label propagation rounds; returns the FINAL persisted labels
     frame (node, label) — the caller renames/re-roots it."""
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    def _fp(frame: DataFrame):
+        # Order-insensitive, TYPE-AGNOSTIC change fingerprint (same
+        # scheme as the star-contraction variant): bit_xor of per-row
+        # hashes + count. Works for string node ids (entity resolution)
+        # where the old sum(label) fingerprint would cast-fail, and
+        # cannot overflow where a long sum could. A changed node flips
+        # its row hash; cancellation odds are ~2^-64 per round.
+        row = frame.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("node", "label")).alias("x"),
+        ).collect()[0]
+        return row.n, row.x
+
+    prev_fp = _fp(labels)
     converged = False
     for i in range(max_iter):
         # One propagation hop per round. (Measured: batching 2 hops per
@@ -179,13 +193,13 @@ def _propagate_loop(
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_fp = _fp(new_labels)
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if new_fp == prev_fp:
             converged = True
             break
-        prev_sum = new_sum
+        prev_fp = new_fp
     sym.unpersist()
     if not converged:
         # Min-label propagation needs O(diameter) rounds; exiting early

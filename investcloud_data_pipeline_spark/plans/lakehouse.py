@@ -564,7 +564,63 @@ WHERE NOT (o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
 """
 
 
+def er_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage, resolved: the fuzzy pair relation closed into
+    ENTITIES via connected components (string node ids — min-label
+    works on any orderable key), singletons kept as their own entity.
+    One row per real-world part entity: canonical (min) name, variant
+    count, total record multiplicity. Completes the ER story the same
+    way dedup_components completes near-dup: pairs are evidence,
+    entities are the product."""
+    from ..operators.graph import connected_components
+
+    p = _t(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n_recs"))
+    pairs = er_fuzzy_part_pairs(spark, sf_dir).select("name1", "name2")
+    comp = connected_components(pairs, src="name1", dst="name2")
+    labeled = (
+        names.join(comp, names.p_name == comp.node, "left")
+        .select(
+            "p_name",
+            "n_recs",
+            F.coalesce("component", F.col("p_name")).alias("entity_id"),
+        )
+    )
+    return labeled.groupBy("entity_id").agg(
+        F.count("*").alias("n_variants"),
+        F.sum("n_recs").alias("total_recs"),
+    )
+
+
+ER_PART_ENTITIES_SQL = """
+WITH RECURSIVE names AS (
+  SELECT p_name, count(*) AS n_recs FROM part GROUP BY p_name
+), side AS (
+  SELECT p_name AS name, string_split(p_name, ' ')[2] AS block FROM names
+), prs AS (
+  SELECT a.name AS name1, b.name AS name2
+  FROM side a JOIN side b ON a.block = b.block AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 4
+), edges AS (
+  SELECT name1 AS src, name2 AS dst FROM prs
+  UNION SELECT name2, name1 FROM prs
+), reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+)
+SELECT coalesce(c.component, n.p_name) AS entity_id,
+       count(*) AS n_variants,
+       CAST(sum(n.n_recs) AS BIGINT) AS total_recs
+FROM names n LEFT JOIN comp c ON n.p_name = c.node
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "er_part_entities": (er_part_entities, ER_PART_ENTITIES_SQL),
     "pii_redact_documents": (pii_redact_documents, PII_REDACT_DOCUMENTS_SQL),
     "snapshot_diff_customers": (
         snapshot_diff_customers,
