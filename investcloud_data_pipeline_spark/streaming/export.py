@@ -158,3 +158,64 @@ def verify_stream_manifest(spark: SparkSession, out_dir: str,
         )
         .select("shard")
     )
+
+
+def start_drift_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    ref_counts: DataFrame,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    bucket_col_expr,
+    schema: T.StructType,
+) -> StreamingQuery:
+    """Per-micro-batch PSI drift against a FROZEN reference histogram:
+    the production guard that flags a live feed whose value
+    distribution is sliding away from the one the models were
+    trained/validated on.
+
+    ``ref_counts`` is a tiny (bucket, n_ref) frame computed ONCE from
+    the reference window and broadcast into every batch — the frame of
+    comparison never moves with the drift being measured (the same
+    fixed-frame rule as the batch PSI). Each batch appends one row
+    (epoch, n_events, psi, drifted) to ``metrics_dir``; the batch work
+    is a single grouped count + a <=k-row join, so monitoring cost is
+    O(batch), independent of history.
+    """
+    ref = ref_counts.collect()
+    k = max(len(ref), 1)
+    t_ref = sum(r.n_ref for r in ref) or 1
+    ref_map = {r.bucket: r.n_ref for r in ref}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        counts = {
+            r.bucket: r.n
+            for r in batch_df.select(bucket_col_expr.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_cur = sum(counts.values())
+        if n_cur == 0:
+            return
+        import math
+
+        psi = 0.0
+        for b in set(ref_map) | set(counts):
+            p = (ref_map.get(b, 0) + 0.5) / (t_ref + 0.5 * k)
+            q = (counts.get(b, 0) + 0.5) / (n_cur + 0.5 * k)
+            psi += (p - q) * (math.log(p) - math.log(q))
+        row = [(int(epoch_id), int(n_cur), round(psi, 6), psi > 0.1)]
+        spark.createDataFrame(
+            row, "epoch long, n_events long, psi double, drifted boolean"
+        ).coalesce(1).write.mode("append").parquet(metrics_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName("drift_monitor")
+        .start()
+    )

@@ -93,3 +93,49 @@ def test_shard_export_tamper_detection(spark, tmp_path):
 
     bad = [r.shard for r in verify_stream_manifest(spark, out, 2).collect()]
     assert bad == [0]
+
+
+def test_drift_monitor_flags_shifted_batches(spark, tmp_path):
+    """Reference = low values; batch 1 matches (no drift), batch 2 is
+    shifted high (drift flagged). One metrics row per micro-batch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from investcloud_data_pipeline_spark.streaming.export import (
+        start_drift_monitor,
+    )
+
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()),
+         T.StructField("value", T.DoubleType())]
+    )
+    bucket = (
+        F.when(F.col("value") < 10, 0)
+        .when(F.col("value") < 50, 1)
+        .otherwise(2)
+    )
+    ref = spark.createDataFrame(
+        [(0, 500), (1, 450), (2, 50)], "bucket int, n_ref long"
+    )
+    src, met, ck = (str(tmp_path / d) for d in ("src", "met", "ck"))
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: same shape as the reference
+    write_batch([(i, float(v)) for i, v in enumerate([5.0] * 50 + [20.0] * 45 + [80.0] * 5)])
+    q = start_drift_monitor(spark, src, ref, met, ck, bucket, schema)
+    q.awaitTermination(180)
+
+    # batch 2: mass shifted into the top bucket
+    write_batch([(1000 + i, 90.0) for i in range(100)])
+    q = start_drift_monitor(spark, src, ref, met, ck, bucket, schema)
+    q.awaitTermination(180)
+
+    rows = {r.epoch: r for r in spark.read.parquet(met).collect()}
+    assert len(rows) == 2
+    assert not rows[0].drifted and rows[0].psi < 0.05
+    assert rows[1].drifted and rows[1].psi > 0.5
+    assert rows[0].n_events == 100 and rows[1].n_events == 100
