@@ -612,6 +612,35 @@ def repeated_span_stats(df: DataFrame, k: int = 8,
     the per-doc merge is embarrassingly parallel and the merge
     partitions on doc id. No driver state, no collect.
     """
+    spans = repeated_spans(df, k, text_col, id_col)
+    per_doc = spans.groupBy("id", "n_tokens").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens").isNull() | (F.col("n_tokens") == 0),
+                    F.lit(0.0),
+                ).otherwise(F.col("dup_tokens") / F.col("n_tokens")),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def repeated_spans(df: DataFrame, k: int = 8,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, span_start, span_end) — the merged maximal spans
+    of k-token windows occurring in >= 2 docs (1-based inclusive token
+    positions). Shared upstream of the stats and strip operators."""
     tok = tokenized(df, text_col, id_col)
     n_tok = F.size("toks")
     win = tok.select(
@@ -666,24 +695,50 @@ def repeated_span_stats(df: DataFrame, k: int = 8,
             F.min("pos").alias("span_start"),
             (F.max("pos") + F.lit(k - 1)).alias("span_end"),
         )
+        .select("id", "n_tokens", "span_start", "span_end")
     )
-    per_doc = spans.groupBy("id", "n_tokens").agg(
-        F.count("*").alias("n_dup_spans"),
-        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    return spans
+
+
+def strip_repeated_spans(df: DataFrame, k: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The ACTION form of ExactSubstr dedup (Lee et al. 2022 remove the
+    duplicated substring from all but one occurrence; this operator
+    strips it everywhere, the conservative variant): rebuild each
+    document's text with every cross-document repeated span removed.
+
+    Plan: the shared spans relation collapses to one array per doc
+    (collect_list over the doc-id partition — bounded by the doc's own
+    span count), joins back onto the tokenizer barrier, and the token
+    filter + rejoin is pure JVM higher-order functions. Docs with no
+    flagged span pass through unchanged via the left join."""
+    spans = repeated_spans(df, k, text_col, id_col)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("spans")
     )
-    base = df.select(F.col(id_col).alias("id"))
-    return (
-        base.join(per_doc, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
-            F.round(
-                F.when(
-                    F.col("n_tokens").isNull() | (F.col("n_tokens") == 0),
-                    F.lit(0.0),
-                ).otherwise(F.col("dup_tokens") / F.col("n_tokens")),
-                6,
-            ).alias("dup_fraction"),
-        )
+    tok = tokenized(df, text_col, id_col)
+    joined = tok.join(per_doc, "id", "left")
+    kept_pos = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda p: ~F.exists(
+            F.coalesce(
+                F.col("spans"),
+                F.array().cast("array<struct<s:int,e:int>>"),
+            ),
+            lambda sp: (p >= sp["s"]) & (p <= sp["e"]),
+        ),
+    )
+    kept = F.transform(kept_pos, lambda p: F.element_at("toks", p))
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.when(F.size("toks") == 0, F.lit("")).otherwise(
+            F.array_join(kept, " ")
+        ).alias("text_dedup"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.when(F.size("toks") == 0, F.lit(0).cast("long")).otherwise(
+            (F.size("toks") - F.size(kept)).cast("long")
+        ).alias("n_removed"),
     )

@@ -2162,7 +2162,79 @@ FROM keyed ORDER BY aes_key ASC, doc_id ASC LIMIT 50
 """
 
 
+def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION form of repeated-span dedup: every cross-document
+    duplicated span removed from every document (conservative
+    ExactSubstr variant), pure JVM span-filter + token rejoin."""
+    return DF.strip_repeated_spans(_docs(spark, sf_dir), k=8)
+
+
+DEDUP_STRIP_SPANS_SQL = f"""
+WITH docs AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM docs WHERE norm <> ''),
+win AS (
+  SELECT doc_id, pos, gh FROM (
+    SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos,
+           [md5(array_to_string(t[i:i+7], ' ')) FOR i IN range(1, len(t) - 6)] AS ghs
+    FROM toks WHERE len(t) >= 8
+  ) x, LATERAL (SELECT ghs[pos] AS gh)
+),
+flagged AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           min(doc_id) OVER (PARTITION BY gh) AS dmin,
+           max(doc_id) OVER (PARTITION BY gh) AS dmax
+    FROM win
+  ) WHERE dmin <> dmax
+),
+marked AS (
+  SELECT doc_id, pos,
+         max(pos + 7) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM flagged
+),
+grouped AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM grouped GROUP BY doc_id, grp
+),
+sp AS (SELECT doc_id, list([s, e]) AS spans FROM spans GROUP BY 1),
+j AS (
+  SELECT d.doc_id, t.t, coalesce(sp.spans, []) AS spans
+  FROM documents d
+  LEFT JOIN toks t USING (doc_id)
+  LEFT JOIN sp USING (doc_id)
+),
+k AS (
+  SELECT doc_id, t, spans,
+         CASE WHEN t IS NULL THEN []
+              ELSE list_filter(range(1, len(t) + 1),
+                               p -> len(list_filter(spans,
+                                    s -> p >= s[1] AND p <= s[2])) = 0)
+         END AS kept
+  FROM j
+)
+SELECT doc_id,
+       CASE WHEN t IS NULL THEN ''
+            -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+            ELSE coalesce(array_to_string([t[p] FOR p IN kept], ' '), '')
+       END AS text_dedup,
+       CAST(coalesce(len(t), 0) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN t IS NULL THEN 0 ELSE len(t) - len(kept) END AS BIGINT)
+         AS n_removed
+FROM k
+"""
+
+
 QUERIES = {
+    "dedup_strip_spans": (dedup_strip_spans, DEDUP_STRIP_SPANS_SQL),
     "corpus_leakage_free_split": (
         corpus_leakage_free_split,
         CORPUS_LEAKAGE_FREE_SPLIT_SQL,

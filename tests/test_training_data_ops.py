@@ -826,3 +826,35 @@ def test_dsir_sample_biased_toward_target_domain(spark, sf_dir):
         .first()[0]
     )
     assert mean_s > mean_c
+
+
+def test_strip_repeated_spans_removes_shared_passage_everywhere(spark):
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        strip_repeated_spans,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {passage} closing words"),
+            (2, f"{passage} different ending entirely now"),
+            (3, "wholly original content with no shared passages at all"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_repeated_spans(docs, k=8).collect()}
+    assert out[1].text_dedup == "intro words here closing words"
+    assert out[1].n_removed == 8
+    assert out[2].text_dedup == "different ending entirely now"
+    assert out[3].n_removed == 0
+    assert out[3].text_dedup.startswith("wholly original")
+    assert out[4].text_dedup == "" and out[4].n_tokens == 0
+
+    # stripping is a fixed point: no spans remain after one pass
+    stripped = strip_repeated_spans(docs, k=8).select(
+        "doc_id", F.col("text_dedup").alias("text")
+    )
+    again = {r.doc_id: r.n_removed
+             for r in strip_repeated_spans(stripped, k=8).collect()}
+    assert all(v == 0 for v in again.values())
