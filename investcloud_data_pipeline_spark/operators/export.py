@@ -88,7 +88,12 @@ def export_shards(df: DataFrame, path: str, n_shards: int = 16,
         .partitionBy("shard")
         .parquet(path)
     )
-    manifest = shard_manifest(df, n_shards, id_col, text_col)
+    # Manifest from the WRITTEN shards, not from re-evaluating ``df``:
+    # if the upstream source changed (or any nondeterminism exists)
+    # between the shard write and a second evaluation, a df-derived
+    # manifest would seal a description of data that was never written.
+    written = df.sparkSession.read.parquet(path).drop("shard")
+    manifest = shard_manifest(written, n_shards, id_col, text_col)
     manifest.coalesce(1).write.mode("overwrite").parquet(path + "/_manifest")
     return manifest
 

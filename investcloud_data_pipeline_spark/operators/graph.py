@@ -524,16 +524,20 @@ def label_propagation(
                 .groupBy(F.col("b").alias("node"), "label")
                 .agg(F.count("*").alias("cnt"))
             )
+            # max-cnt / min-label argmax as min(struct(-cnt, label)):
+            # negating the COUNT (always a long) instead of the label
+            # keeps the tie-break type-agnostic — string node ids work
+            # exactly like numeric ones (connected_components parity).
             new_labels = (
                 votes.groupBy("node")
                 .agg(
-                    F.max(
+                    F.min(
                         F.struct(
-                            F.col("cnt"), (-F.col("label")).alias("neg")
+                            (-F.col("cnt")).alias("neg_cnt"), F.col("label")
                         )
                     ).alias("best")
                 )
-                .select("node", (-F.col("best.neg")).alias("label"))
+                .select("node", F.col("best.label").alias("label"))
             )
             if scope.isolated:
                 labels = new_labels

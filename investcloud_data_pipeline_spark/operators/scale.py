@@ -107,8 +107,11 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (fact-preserving) joins")
-    salt = (
-        F.abs(F.xxhash64(*[F.col(c) for c in fact.columns])) % salt_buckets
+    # pmod, not abs+%: abs(Long.MIN_VALUE) stays negative in Spark, so a
+    # row hashing to exactly Long.MIN_VALUE would get salt -8 and match
+    # no exploded dim salt (silently dropped from an inner join).
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)
     ).alias("__salt")
     f = fact.select("*", salt)
     d = dim.select(

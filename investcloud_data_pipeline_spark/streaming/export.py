@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.export import shard_key
+from .atomic import commit_version, drop_superseded, read_committed, version_path
 from .bronze import mark_sink_epoch, sink_epoch_committed
 from .documents import DOCS_SCHEMA
 
@@ -70,17 +71,26 @@ def batch_shard_stats(df: DataFrame, n_shards: int) -> DataFrame:
     )
 
 
+def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """The committed manifest snapshot (empty frame before the first
+    commit). Readers resolve the ``_COMMITTED`` marker, never a bare
+    directory listing — a crash mid-rewrite can't expose half a file."""
+    _, vdir = read_committed(manifest_dir)
+    if vdir is None:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    return spark.read.schema(MANIFEST_SCHEMA).parquet(vdir)
+
+
 def _merge_manifest(spark: SparkSession, manifest_dir: str,
-                    delta: DataFrame) -> None:
+                    delta: DataFrame, epoch_id: int) -> None:
     """manifest' = manifest ⊎ delta (sum counts/bytes/ids, xor
     checksums). The manifest is <= n_shards rows — the rewrite is a
-    metadata-sized overwrite, not a data job."""
-    if os.path.isdir(manifest_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(manifest_dir)
-    ):
-        cur = spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_dir)
-    else:
-        cur = spark.createDataFrame([], MANIFEST_SCHEMA)
+    metadata-sized job — and it commits through the versioned-snapshot
+    protocol (write ``v_<epoch>``, then atomically flip ``_COMMITTED``):
+    a crash mid-rewrite leaves the previous manifest fully readable
+    instead of an empty directory that a replayed batch would merge
+    its delta into, silently losing all prior counts."""
+    cur = read_manifest(spark, manifest_dir)
     merged = (
         cur.unionByName(delta)
         .groupBy("shard")
@@ -92,8 +102,11 @@ def _merge_manifest(spark: SparkSession, manifest_dir: str,
         )
     )
     rows = merged.collect()  # <= n_shards rows — driver-safe
+    vdir = version_path(manifest_dir, epoch_id)
     tmp = spark.createDataFrame(rows, MANIFEST_SCHEMA)
-    tmp.coalesce(1).write.mode("overwrite").parquet(manifest_dir)
+    tmp.coalesce(1).write.mode("overwrite").parquet(vdir)
+    commit_version(manifest_dir, epoch_id, vdir)
+    drop_superseded(manifest_dir, vdir, retain=2)
 
 
 def start_shard_export(
@@ -120,11 +133,16 @@ def start_shard_export(
                     .parquet(out_dir)
                 )
                 mark_sink_epoch(out_dir, epoch_id)
-            if not sink_epoch_committed(manifest_dir, epoch_id):
+            # The _COMMITTED marker IS the manifest's epoch guard:
+            # commit_version records the epoch atomically with the data
+            # flip, so a replay after any crash point either sees the
+            # old manifest (and re-merges exactly once) or the new one
+            # (and skips) — no window where the delta double-counts.
+            if read_committed(manifest_dir)[0] < epoch_id:
                 _merge_manifest(
-                    spark, manifest_dir, batch_shard_stats(batch_df, n_shards)
+                    spark, manifest_dir,
+                    batch_shard_stats(batch_df, n_shards), epoch_id,
                 )
-                mark_sink_epoch(manifest_dir, epoch_id)
         finally:
             batch_df.unpersist()
 
@@ -142,7 +160,7 @@ def verify_stream_manifest(spark: SparkSession, out_dir: str,
     """Recompute the fold from the written shards, diff against the
     maintained manifest; returns mismatching shard ids (empty = intact)."""
     manifest_dir = os.path.join(out_dir, "_manifest")
-    stored = spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_dir)
+    stored = read_manifest(spark, manifest_dir)
     actual = batch_shard_stats(
         spark.read.parquet(out_dir).drop("shard"), n_shards
     )
@@ -188,6 +206,11 @@ def start_drift_monitor(
     ref_map = {r.bucket: r.n_ref for r in ref}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # Same epoch guard as every other foreachBatch sink here: a
+        # replayed epoch after a crash must not append a duplicate
+        # (epoch, psi) row to the metrics history.
+        if sink_epoch_committed(metrics_dir, epoch_id):
+            return
         counts = {
             r.bucket: r.n
             for r in batch_df.select(bucket_col_expr.alias("bucket"))
@@ -197,6 +220,7 @@ def start_drift_monitor(
         }
         n_cur = sum(counts.values())
         if n_cur == 0:
+            mark_sink_epoch(metrics_dir, epoch_id)
             return
         import math
 
@@ -209,6 +233,7 @@ def start_drift_monitor(
         spark.createDataFrame(
             row, "epoch long, n_events long, psi double, drifted boolean"
         ).coalesce(1).write.mode("append").parquet(metrics_dir)
+        mark_sink_epoch(metrics_dir, epoch_id)
 
     return (
         spark.readStream.schema(schema)

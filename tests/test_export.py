@@ -44,6 +44,21 @@ def test_export_layout_and_manifest_roundtrip(spark, tmp_path):
     assert verify_shards(spark, path, n_shards=8).count() == 0
 
 
+def test_manifest_describes_written_files_not_reevaluated_input(spark, tmp_path):
+    """ADVICE r5 (low): the manifest used to re-evaluate the input df
+    after writing the shards — a nondeterministic upstream would seal a
+    manifest describing data that was never written. It now folds over
+    spark.read.parquet(written shards), so even a rand()-salted corpus
+    verifies clean: the manifest matches the files, by construction."""
+    path = str(tmp_path / "corpus")
+    df = _corpus(spark, 100).withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" nonce="), F.rand().cast("string")),
+    )
+    export_shards(df, path, n_shards=4)
+    assert verify_shards(spark, path, n_shards=4).count() == 0
+
+
 def test_export_assignment_is_retry_stable(spark):
     """Shard membership is a pure function of doc_id — identical across
     independent evaluations and repartitionings."""

@@ -239,6 +239,22 @@ def test_label_propagation_separates_disconnected_cliques(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_label_propagation_string_node_ids(spark):
+    """ADVICE r5 (low): the old tie-break negated the label, so string
+    node ids failed analysis. The argmax is now min(struct(-cnt,
+    label)) — count negation, type-agnostic — matching the string-id
+    support connected_components already has."""
+    from investcloud_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z")],
+        "src string, dst string",
+    )
+    out = {r.node: r.label for r in label_propagation(edges, n_iter=5).collect()}
+    # each triangle converges to its lexicographically-minimum node id
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
 def test_label_propagation_fixed_rounds_deterministic(spark):
     """Same graph, two runs, identical labels (synchronous update +
     min-label tie-break leaves no ordering freedom)."""

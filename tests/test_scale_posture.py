@@ -434,10 +434,42 @@ def test_salted_join_matches_plain_join_under_skew(spark):
 
     f = fact.select(
         "*",
-        (F.abs(F.xxhash64(*[F.col(c) for c in fact.columns])) % 8).alias("s"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8)).alias("s"),
     )
     n_salts = f.filter("k = 1").select("s").distinct().count()
     assert n_salts > 4
+
+
+def test_salt_expression_never_negative(spark):
+    """ADVICE r5 (low): abs(Long.MIN_VALUE) stays NEGATIVE in Spark, so
+    the old abs+% salt could emit a salt matching no exploded dim salt
+    and silently drop the row from an inner join. pmod is total: prove
+    the exact failure value the advice cites, and that salted_join's
+    expression is pmod-shaped (non-negative over a wide sweep)."""
+    from pyspark.sql import functions as F
+
+    minv = -(2**63)
+    # the trap is real: under ANSI (Spark 4 default) abs(MIN_VALUE)
+    # doesn't even stay negative — it throws ARITHMETIC_OVERFLOW, so a
+    # row hashing there would crash the whole job; with ANSI off it
+    # stays negative and the row is silently dropped. pmod is total.
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    with pytest.raises(ArithmeticException):
+        spark.range(1).select(F.abs(F.lit(minv)).alias("a")).first()
+    row = spark.range(1).select(
+        F.pmod(F.lit(minv), F.lit(16)).alias("pmod_min")
+    ).first()
+    assert 0 <= row.pmod_min < 16
+
+    salts = (
+        spark.range(100_000)
+        .select(F.pmod(F.xxhash64("id"), F.lit(16)).alias("s"))
+        .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+        .first()
+    )
+    assert salts.lo >= 0 and salts.hi <= 15
 
 
 def test_new_text_ops_plan_shapes(spark, sf_dir):

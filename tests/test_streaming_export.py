@@ -10,6 +10,7 @@ from investcloud_data_pipeline_spark.streaming.bronze import (
 )
 from investcloud_data_pipeline_spark.streaming.export import (
     batch_shard_stats,
+    read_manifest,
     start_shard_export,
     verify_stream_manifest,
 )
@@ -39,7 +40,7 @@ def test_shard_export_incremental_manifest(spark, tmp_path):
     assert verify_stream_manifest(spark, out, n_shards=4).count() == 0
     stored = {
         r.shard: (r.n_docs, r.content_xor)
-        for r in spark.read.parquet(os.path.join(out, "_manifest")).collect()
+        for r in read_manifest(spark, os.path.join(out, "_manifest")).collect()
     }
     full = {
         r.shard: (r.n_docs, r.content_xor)
@@ -93,6 +94,83 @@ def test_shard_export_tamper_detection(spark, tmp_path):
 
     bad = [r.shard for r in verify_stream_manifest(spark, out, 2).collect()]
     assert bad == [0]
+
+
+def test_manifest_survives_crash_mid_rewrite(spark, tmp_path):
+    """ADVICE r5 (medium): the manifest rewrite used to be a non-atomic
+    parquet overwrite — a crash mid-overwrite deleted the accumulated
+    stats and the replayed batch merged into an EMPTY manifest. Now the
+    merge writes a fresh version dir and flips _COMMITTED atomically;
+    simulate the crash (a half-written uncommitted version dir) and
+    assert readers still see the previous snapshot intact."""
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    _write(spark, src, "b1", [(1, "alpha doc"), (2, "beta doc"), (3, "gamma")])
+    q = start_shard_export(spark, src, out, ck, n_shards=2)
+    q.awaitTermination(180)
+    mdir = os.path.join(out, "_manifest")
+    before = {
+        r.shard: (r.n_docs, r.content_xor)
+        for r in read_manifest(spark, mdir).collect()
+    }
+    assert before  # epoch 0 committed something
+
+    # crash simulation: a later merge died after creating its version
+    # dir (even with partial garbage inside) but BEFORE the marker flip
+    crash_dir = os.path.join(mdir, "v_7")
+    os.makedirs(crash_dir)
+    with open(os.path.join(crash_dir, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"half a parquet file")
+
+    after = {
+        r.shard: (r.n_docs, r.content_xor)
+        for r in read_manifest(spark, mdir).collect()
+    }
+    assert after == before
+    assert verify_stream_manifest(spark, out, n_shards=2).count() == 0
+
+    # and the next real epoch merges on top of the intact snapshot
+    _write(spark, src, "b2", [(4, "delta doc")])
+    q = start_shard_export(spark, src, out, ck, n_shards=2)
+    q.awaitTermination(180)
+    assert verify_stream_manifest(spark, out, n_shards=2).count() == 0
+    assert sum(
+        r.n_docs for r in read_manifest(spark, mdir).collect()
+    ) == 4
+
+
+def test_drift_monitor_replayed_epoch_no_duplicate_row(spark, tmp_path):
+    """ADVICE r5 (low): a replayed epoch (fresh checkpoint, same data =
+    same epoch ids re-fired) must not append a duplicate (epoch, psi)
+    row — the metrics sink now carries the same epoch guard as every
+    other foreachBatch sink in the module."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from investcloud_data_pipeline_spark.streaming.export import (
+        start_drift_monitor,
+    )
+
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()),
+         T.StructField("value", T.DoubleType())]
+    )
+    bucket = F.when(F.col("value") < 10, 0).otherwise(1)
+    ref = spark.createDataFrame([(0, 50), (1, 50)], "bucket int, n_ref long")
+    src, met = (str(tmp_path / d) for d in ("src", "met"))
+    spark.createDataFrame(
+        [(i, float(i % 20)) for i in range(40)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = start_drift_monitor(spark, src, ref, met, str(tmp_path / "ck1"),
+                            bucket, schema)
+    q.awaitTermination(180)
+    # replay: a NEW checkpoint restarts epochs at 0 over the same files
+    q = start_drift_monitor(spark, src, ref, met, str(tmp_path / "ck2"),
+                            bucket, schema)
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(met).collect()
+    assert len(rows) == 1 and rows[0].epoch == 0
 
 
 def test_drift_monitor_flags_shifted_batches(spark, tmp_path):
