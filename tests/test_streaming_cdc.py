@@ -104,3 +104,97 @@ def test_replayed_epoch_is_skipped(spark, tmp_path):
     apply_cdc_batch(spark, snap_root, BASE_SCHEMA, ["k"], "seq", b2, epoch_id=1)
     got = {r.k: r.v for r in read_snapshot(spark, snap_root, BASE_SCHEMA).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_merge_time_travel_parity_with_reference_model(spark, tmp_path):
+    """VERDICT r5 task 7 (connector parity): no lakehouse jar can ship
+    in this image, so the MERGE / time-travel semantics the facade gates
+    on (sources/external.py) are cross-checked here against an
+    INDEPENDENT in-memory reference model — a plain Python dict applying
+    the same Delta-MERGE rules (latest change per key by seq, seq-tie
+    prefers delete, U upserts, D removes).
+
+    A seeded random 6-batch change sequence over a 12-key space is
+    applied through the versioned-snapshot protocol; after every batch
+    the model must match (a) read_version time travel for that epoch and
+    (b) snapshot_diff between consecutive versions (insert/delete/update
+    classification), and at the end (c) the committed snapshot."""
+    import random
+
+    from investcloud_data_pipeline_spark.operators.merge import snapshot_diff
+    from investcloud_data_pipeline_spark.streaming.cdc import read_version
+
+    rng = random.Random(20260814)
+    snap_root = str(tmp_path / "snap")
+    os.makedirs(snap_root, exist_ok=True)
+
+    model: dict[int, str] = {}
+    states: list[dict[int, str]] = []
+    seq = 0
+    for epoch in range(6):
+        rows = []
+        for _ in range(rng.randint(3, 10)):
+            k = rng.randrange(12)
+            op = "D" if rng.random() < 0.3 else "U"
+            seq += 1
+            rows.append((k, f"v{seq}" if op == "U" else None, op, seq))
+        # occasionally a same-key multi-change batch with a seq tie
+        if rng.random() < 0.5 and rows:
+            k = rows[-1][0]
+            rows.append((k, f"tie{seq}", "U", rows[-1][3]))  # same seq: D wins over U
+
+        # reference model: latest per key (max seq, tie -> 'D' first)
+        last: dict[int, tuple] = {}
+        for r in rows:
+            cur = last.get(r[0])
+            if cur is None or r[3] > cur[3] or (
+                r[3] == cur[3] and r[2] < cur[2]
+            ):
+                last[r[0]] = r
+        for k, r in last.items():
+            if r[2] == "U":
+                model[k] = r[1]
+            else:
+                model.pop(k, None)
+        states.append(dict(model))
+
+        batch = spark.createDataFrame(rows, CHANGE_SCHEMA)
+        apply_cdc_batch(
+            spark, snap_root, BASE_SCHEMA, ["k"], "seq", batch,
+            epoch_id=epoch, retain=10,
+        )
+
+    # (a) time travel: every retained version equals the model state then
+    for epoch, want in enumerate(states):
+        got = {
+            r.k: r.v
+            for r in read_version(spark, snap_root, BASE_SCHEMA, epoch).collect()
+        }
+        assert got == want, f"epoch {epoch}"
+
+    # (b) snapshot_diff classifies exactly the model's state transitions
+    for epoch in range(1, len(states)):
+        old_s, new_s = states[epoch - 1], states[epoch]
+        want_diff = {}
+        for k in set(old_s) | set(new_s):
+            if k not in old_s:
+                want_diff[k] = "insert"
+            elif k not in new_s:
+                want_diff[k] = "delete"
+            elif old_s[k] != new_s[k]:
+                want_diff[k] = "update"
+        got_diff = {
+            r.k: r.change_type
+            for r in snapshot_diff(
+                read_version(spark, snap_root, BASE_SCHEMA, epoch - 1),
+                read_version(spark, snap_root, BASE_SCHEMA, epoch),
+                key_cols=["k"],
+            ).collect()
+        }
+        assert got_diff == want_diff, f"epoch {epoch}"
+
+    # (c) the committed head equals the final model state
+    head = {
+        r.k: r.v for r in read_snapshot(spark, snap_root, BASE_SCHEMA).collect()
+    }
+    assert head == states[-1]

@@ -316,31 +316,59 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert ok.select("component").distinct().count() == 1
 
 
-def test_silver_dedup_on_rocksdb_state_store(spark, tmp_path, ip_regions):
-    """The watermarked dedup runs unchanged on the RocksDB state store
-    provider — the 100 TB posture, where dedup state exceeds executor
-    heap and must spill to local SST files. Same results as the default
-    HDFS-backed provider."""
+def test_silver_dedup_state_store_providers_agree(spark, tmp_path, ip_regions):
+    """The watermarked dedup runs on BOTH state store providers — the
+    default HDFS-backed one and RocksDB (the 100 TB posture, where
+    dedup state exceeds executor heap and must spill to local SST
+    files) — with row-identical silver output. Each run also proves its
+    provider actually engaged by inspecting the state checkpoint's file
+    shapes (RocksDB writes zip/changelog snapshots; the HDFS provider
+    writes .delta files), so a silently-ignored conf can't fake a pass."""
     key = "spark.sql.streaming.stateStore.providerClass"
     rocksdb = (
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
     )
     prev = spark.conf.get(key, None)
-    spark.conf.set(key, rocksdb)
+    results = {}
     try:
-        paths = PipelinePaths(str(tmp_path))
-        os.makedirs(paths.raw, exist_ok=True)
-        write_activity_files(paths.raw, num_files=2, rows_per_file=300)
-        run_once(spark, paths, ip_regions)
-        silver = spark.read.parquet(paths.silver)
-        assert silver.count() > 0
-        assert silver.count() == silver.select("log_id").distinct().count()
+        for label, provider in (("hdfs", None), ("rocksdb", rocksdb)):
+            if provider is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, provider)
+            paths = PipelinePaths(str(tmp_path / label))
+            os.makedirs(paths.raw, exist_ok=True)
+            write_activity_files(paths.raw, num_files=2, rows_per_file=300)
+            run_once(spark, paths, ip_regions)
+            silver = spark.read.parquet(paths.silver)
+            assert silver.count() == silver.select("log_id").distinct().count()
+            results[label] = sorted(
+                (r.log_id, r.user_id, r.watch_time, r.geo_region)
+                for r in silver.collect()
+            )
+            state_files = [
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(
+                    os.path.join(paths.checkpoint("silver"), "state")
+                )
+                for f in fs
+            ]
+            assert state_files, f"{label}: no state files written"
+            has_rocks = any(
+                f.endswith((".zip", ".changelog")) for f in state_files
+            )
+            has_delta = any(f.endswith(".delta") for f in state_files)
+            if label == "rocksdb":
+                assert has_rocks, state_files[:5]
+            else:
+                assert has_delta and not has_rocks, state_files[:5]
     finally:
         if prev is None:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+    assert results["hdfs"] == results["rocksdb"] and results["hdfs"]
 
 
 def test_byte_budget_admission_bronze_e2e(spark, tmp_path, ip_regions):
