@@ -113,6 +113,75 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_multiband_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_bands: int = 8,
+    bits_per_band: int = 3,
+) -> DataFrame:
+    """OR-amplified sign-LSH: ``n_bands`` independent bands of
+    ``bits_per_band`` coordinate sign bits each; a candidate qualifies
+    if it co-buckets with the query in ANY band (union → dedup →
+    rank). Single-band sign-LSH ANDs all its bits, so on a
+    near-orthogonal corpus (per-bit agreement p, recall ≈ p^bits) it
+    misses most true neighbors — the r6 recall ledger measured 0.05
+    recall@10 at 6 bits. Banding flips the law to 1-(1-p^r)^B, the
+    standard minhash-LSH amplification applied to hyperplane LSH.
+
+    Scale shape: the corpus is exploded ×n_bands onto (band, key) — the
+    same bucketed-join economics as MinHash-LSH banding
+    (dedup_fuzzy.py), never all-pairs; band fan-out is the recall/cost
+    dial. Candidate dedup keys on (query_id, neighbor_id) before the
+    ranking window, so a pair agreeing in many bands is scored once."""
+    dims = [d for d in range(n_bands * bits_per_band)]
+
+    def band_key(col: str, band: int):
+        return F.concat(
+            *[
+                F.when(
+                    F.element_at(F.col(col), dims[band * bits_per_band + b] + 1) >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for b in range(bits_per_band)
+            ]
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"), band_key(vec_col, i).alias("key")
+            )
+            for i in range(n_bands)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(vec_col).alias("qv"),
+        F.explode(bands).alias("bk"),
+    ).select("query_id", "qv", "bk.band", "bk.key")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(vec_col).alias("cv"),
+        F.explode(bands).alias("bk"),
+    ).select("neighbor_id", "cv", "bk.band", "bk.key")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), on=["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col("rk").cast("long").alias("rk"), "neighbor_id", "cos")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -292,7 +292,12 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("val"), 4).alias("mean_val"),
+            # +0.0 normalizes IEEE negative zero: at sf0.1 two dims have
+            # a mean that rounds to -0.0 in DuckDB but 0.0 in Spark —
+            # adding positive zero maps -0.0 → 0.0 on both engines
+            # (found by the r6 full-ledger run at sf0.1; sf0.01 never
+            # produced a near-zero mean).
+            (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("mean_val"),
             F.round(F.min("val"), 6).alias("min_val"),
             F.round(F.max("val"), 6).alias("max_val"),
         )
@@ -308,7 +313,7 @@ WITH ex AS (
 )
 SELECT CAST(dim AS BIGINT) AS dim,
        count(*) AS n,
-       round(avg(val), 4) AS mean_val,
+       round(avg(val), 4) + 0.0 AS mean_val,
        round(min(val), 6) AS min_val,
        round(max(val), 6) AS max_val
 FROM ex GROUP BY dim ORDER BY dim

@@ -860,6 +860,53 @@ SELECT query_id, rk, neighbor_id, cos FROM (
 """
 
 
+def ann_multiband_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified sign-LSH (8 bands × 3 bits): candidates from ANY
+    agreeing band, deduped, exact-ranked. The recall fix for
+    single-band sign-LSH on near-orthogonal corpora (r6 ledger: 0.05 →
+    ~0.5 recall@10 at the same bucketed-join economics)."""
+    emb = _emb(spark, sf_dir)
+    return SS.lsh_multiband_topk(emb, _queries_subset(emb), k=5)
+
+
+def _multiband_sql(n_bands: int = 8, bits: int = 3, k: int = 5) -> str:
+    def key(alias: str, band: int) -> str:
+        return " || ".join(
+            f"(CASE WHEN {alias}.embedding[{band * bits + b + 1}] >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for b in range(bits)
+        )
+
+    unions = "\nUNION\n".join(
+        f"""SELECT q.vec_id AS query_id, q.embedding AS qe,
+       c.vec_id AS neighbor_id, c.embedding AS ce
+FROM embeddings q JOIN embeddings c
+  ON {key('q', i)} = {key('c', i)} AND q.vec_id <> c.vec_id
+WHERE q.vec_id < 10"""
+        for i in range(n_bands)
+    )
+    return f"""
+WITH cand AS (
+{unions}
+)
+SELECT query_id, rk, neighbor_id, cos FROM (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
+                                      CAST(ce AS DOUBLE[])), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
+                                                 CAST(ce AS DOUBLE[])), 6) DESC,
+                    neighbor_id ASC
+         ) AS rk
+  FROM cand
+) WHERE rk <= {k}
+"""
+
+
+ANN_MULTIBAND_LSH_TOPK_SQL = _multiband_sql()
+
+
 def ann_brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stock pyspark.ml BucketedRandomProjectionLSH — rows-only oracle."""
     emb = _emb(spark, sf_dir)
@@ -2299,6 +2346,7 @@ QUERIES = {
     "dedup_semantic_pairs": (dedup_semantic_pairs, None),  # rows-only (kmeans)
     "ann_brute_force_topk": (ann_brute_force_topk, ANN_BRUTE_FORCE_TOPK_SQL),
     "ann_lsh_bucketed_topk": (ann_lsh_bucketed_topk, ANN_LSH_BUCKETED_TOPK_SQL),
+    "ann_multiband_lsh_topk": (ann_multiband_lsh_topk, ANN_MULTIBAND_LSH_TOPK_SQL),
     "ann_brp_lsh_topk": (ann_brp_lsh_topk, None),  # rows-only (ml randomness)
     "ann_ivf_topk": (ann_ivf_topk, None),  # rows-only (kmeans not in SQL)
     "ann_vectorized_topk": (ann_vectorized_topk, None),  # rows-only (fp order)

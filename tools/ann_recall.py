@@ -1,0 +1,104 @@
+"""ANN recall ledger: recall@k of every approximate method vs exact.
+
+The bucketed ANN paths (sign-LSH, BRP-LSH, IVF) have tolerance tests
+but until r6 no committed recall numbers — a banding change that
+quietly gutted recall would have been invisible. This tool measures
+recall@k per method against the exact cosine top-k (brute_force_topk)
+on the real embeddings table and writes a small committed JSON.
+
+recall@k = mean over queries of |approx_topk ∩ exact_topk| / k.
+
+BRP-LSH is an L2 method scored here against the cosine ground truth —
+its number is expected to trail the cosine-native methods; it is
+recorded under the same metric because the corpus-dedup use case the
+engine serves IS cosine retrieval.
+
+Usage: python tools/ann_recall.py [out.json] [sf_dir] [k] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def topk_sets(df, k: int) -> dict:
+    """query_id -> set of neighbor ids (collect is bounded: n_queries*k
+    tiny rows)."""
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return {q: s for q, s in out.items()}
+
+
+def measure(sf_dir: str, k: int, n_queries: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from investcloud_data_pipeline_spark.operators import simsearch as SS
+    from investcloud_data_pipeline_spark.session import get_spark
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    spark = get_spark("ann_recall")
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") < n_queries)
+
+    t0 = time.time()
+    exact = topk_sets(SS.brute_force_topk(emb, queries, k=k), k)
+    t_exact = round(time.time() - t0, 2)
+
+    methods = {
+        "sign_lsh": lambda: SS.lsh_bucketed_topk(emb, queries, k=k),
+        "multiband_lsh": lambda: SS.lsh_multiband_topk(emb, queries, k=k),
+        "brp_lsh": lambda: SS.brp_lsh_topk(emb, queries, k=k),
+        "ivf_probe2": lambda: SS.ivf_topk(emb, queries, k=k, n_probe=2),
+        "ivf_probe4": lambda: SS.ivf_topk(emb, queries, k=k, n_probe=4),
+        "vectorized_exact": lambda: SS.vectorized_topk(emb, queries, k=k),
+    }
+    results = {}
+    for name, fn in methods.items():
+        t0 = time.time()
+        approx = topk_sets(fn(), k)
+        wall = round(time.time() - t0, 2)
+        # Queries missing entirely from a bucketed method count as 0.
+        per_q = [
+            len(approx.get(q, set()) & exact_set) / k
+            for q, exact_set in exact.items()
+        ]
+        results[name] = {
+            "recall_at_k": round(sum(per_q) / len(per_q), 4),
+            "min_query_recall": round(min(per_q), 4),
+            "queries_answered": sum(1 for q in exact if approx.get(q)),
+            "wall_s": wall,
+        }
+    emb.unpersist()
+    return {
+        "metric": f"recall@{k}",
+        "k": k,
+        "n_queries": len(exact),
+        "n_corpus": n_corpus,
+        "sf_dir": sf_dir,
+        "exact_wall_s": t_exact,
+        "methods": results,
+    }
+
+
+def main() -> int:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else None
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    n_queries = int(sys.argv[4]) if len(sys.argv) > 4 else 100
+    result = measure(sf_dir, k, n_queries)
+    if out_json:
+        with open(out_json, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+    print(json.dumps(result, separators=(",", ":")))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
