@@ -186,6 +186,50 @@ def test_lsh_bucketed_topk_subset_of_bruteforce(spark, sf_dir):
         assert rks == list(range(1, len(rks) + 1))
 
 
+def test_ann_recall_floors(spark, sf_dir):
+    """Recall@10 floors vs exact cosine top-10 on the real embeddings
+    (the test-scale twin of the committed ANN_RECALL_r6.json at sf0.1):
+    a banding or bucketing change that guts recall must fail here, not
+    surface months later. Floors sit ~40% under the measured values at
+    this sf (sf0.001: multiband ≈0.9, ivf_p4 ≈0.5) — loose enough for
+    data-shape drift, tight enough to catch an amplification bug.
+    Single-band sign-LSH is structurally low-recall on near-orthogonal
+    corpora (measured ≈0.05 — WHY multiband exists), so it only gets a
+    sanity floor > 0."""
+    from investcloud_data_pipeline_spark.operators.simsearch import (
+        ivf_topk,
+        lsh_multiband_topk,
+    )
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    q = emb.filter("vec_id < 30")
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = sets(brute_force_topk(emb, q, k=10))
+
+    def recall(df):
+        approx = sets(df)
+        return sum(
+            len(approx.get(qid, set()) & s) / 10 for qid, s in exact.items()
+        ) / len(exact)
+
+    r_multi = recall(lsh_multiband_topk(emb, q, k=10))
+    r_ivf4 = recall(ivf_topk(emb, q, k=10, n_probe=4))
+    r_single = recall(lsh_bucketed_topk(emb, q, k=10))
+    emb.unpersist()
+    assert r_multi >= 0.55, r_multi
+    assert r_ivf4 >= 0.30, r_ivf4
+    assert r_single > 0.0, r_single
+    # amplification must actually amplify
+    assert r_multi > r_single + 0.3, (r_multi, r_single)
+
+
 def test_vectorized_topk_matches_exact(spark, sf_dir):
     from investcloud_data_pipeline_spark.operators.simsearch import vectorized_topk
     from investcloud_data_pipeline_spark.sources.batch import load_table
