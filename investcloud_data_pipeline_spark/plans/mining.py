@@ -1016,8 +1016,71 @@ FROM terms GROUP BY 1
 """
 
 
+def event_user_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL distinct counting (operators/sketches.py): one
+    DataSketches HLL per (event_type, month-shard), union-merged to a
+    per-type distinct-user estimate — the 100 TB pattern where shards
+    materialize sketch columns once and all later distinct questions
+    merge sketches instead of rescanning facts.
+
+    The oracle is STRICT despite the sketch being approximate: the
+    query emits the exact distinct (for value comparison) plus two
+    booleans DuckDB asserts as literal TRUE — ``merge_equals_global``
+    (shard-merge ≡ whole-table sketch, the algebraic law, bit-exact at
+    fixed lgK) and ``est_within_3pct`` (lgk=14 ⇒ ~0.8% RSE, so 3% is a
+    ≳3.7σ accuracy gate on deterministic input)."""
+    from ..operators.sketches import distinct_via_sketch_merge
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "shard", F.date_trunc("month", F.col("ts"))
+    )
+    merged = distinct_via_sketch_merge(
+        e, "user_id", ["event_type"], "shard", lgk=14
+    )
+    global_est = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(14))
+        ).alias("global_est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("distinct_exact")
+    )
+    return (
+        merged.join(global_est, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_shards").cast("long").alias("n_shards"),
+            F.col("distinct_exact").cast("long").alias("distinct_exact"),
+            (F.col("distinct_est") == F.col("global_est")).alias(
+                "merge_equals_global"
+            ),
+            (
+                F.abs(F.col("distinct_est") - F.col("distinct_exact"))
+                <= 0.03 * F.col("distinct_exact")
+            ).alias("est_within_3pct"),
+        )
+    )
+
+
+EVENT_USER_DISTINCT_SKETCH_MERGE_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(DISTINCT date_trunc('month', ts)) AS n_shards,
+       count(DISTINCT user_id) AS distinct_exact,
+       TRUE AS merge_equals_global,
+       TRUE AS est_within_3pct
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "event_value_drift_psi": (event_value_drift_psi, EVENT_VALUE_DRIFT_PSI_SQL),
+    "event_user_distinct_sketch_merge": (
+        event_user_distinct_sketch_merge,
+        EVENT_USER_DISTINCT_SKETCH_MERGE_SQL,
+    ),
     "copurchase_communities": (copurchase_communities, COPURCHASE_COMMUNITIES_SQL),
     "yoy_nation_revenue": (yoy_nation_revenue, YOY_NATION_REVENUE_SQL),
     "customer_rfm_segments": (customer_rfm_segments, CUSTOMER_RFM_SEGMENTS_SQL),

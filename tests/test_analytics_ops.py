@@ -267,3 +267,47 @@ def test_psi_drift_properties(spark, sf_dir):
         [(5.0,), (10.0,), (99.0,), (5000.0,)], "v double"
     ).select(_psi_bucket("v").alias("b")).collect()
     assert [r.b for r in probe] == [0, 1, 3, len(PSI_EDGES)]
+
+
+def test_hll_sketch_merge_laws(spark, sf_dir):
+    """Mergeable-HLL laws (operators/sketches.py): (1) shard-merge ≡
+    whole-table sketch at fixed lgK regardless of HOW the data is
+    sharded; (2) small cardinalities are exact (sparse mode); (3) the
+    estimate stays within 3% of exact on the real events table."""
+    from pyspark.sql import functions as F
+
+    from investcloud_data_pipeline_spark.operators.sketches import (
+        distinct_via_sketch_merge,
+    )
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    e = load_table(spark, sf_dir, "events")
+
+    def est(shard_expr):
+        out = distinct_via_sketch_merge(
+            e.withColumn("shard", shard_expr), "user_id", ["event_type"],
+            "shard", lgk=14,
+        )
+        return {r.event_type: r.distinct_est for r in out.collect()}
+
+    by_month = est(F.date_trunc("month", F.col("ts")))
+    by_day = est(F.to_date("ts"))
+    by_hash = est(F.pmod(F.xxhash64("event_id"), F.lit(7)))
+    assert by_month == by_day == by_hash  # merge is shard-agnostic
+
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(by_month[t] - n) <= 0.03 * n, (t, by_month[t], n)
+
+    # sparse mode: tiny distinct sets estimate EXACTLY
+    small = spark.range(1000).select(
+        (F.col("id") % 37).alias("v"), F.lit("g").alias("g"),
+        (F.col("id") % 4).alias("shard"),
+    )
+    out = distinct_via_sketch_merge(small, "v", ["g"], "shard").collect()
+    assert out[0].distinct_est == 37 and out[0].n_shards == 4
