@@ -41,6 +41,7 @@ ROWS_ONLY = {
     "approx_aggregates": "HLL++/KLL sketch estimates are engine-specific",
     "corpus_stratified_sample": "per-stratum Bernoulli sampling is engine-specific",
     "dedup_embedding_cosine_fast": "numpy blocked-matmul summation order",
+    "corpus_topic_clusters": "k-means clustering (iterative fit, not SQL)",
     "dedup_semantic_pairs": "k-means clustering (iterative fit, not SQL)",
     "dedup_simhash_candidates": "64-bit simhash bit voting (not portable SQL)",
     "embedding_pca_project": "eigendecomposition of the covariance (not SQL)",

@@ -115,6 +115,12 @@ def seeded_kmeans_centers(
         [r[0] for r in df.select(to_double_array(vec_col)).collect()],
         dtype=np.float64,
     )
+    # Canonicalize row order before seeding: collect() returns rows in
+    # PARTITION order, so without this the seeded RNG indexes a
+    # layout-dependent matrix and a mere repartition() changes the fit
+    # (found by the r6 partition-invariance test). Lexicographic row
+    # sort makes the fit a pure function of the SET of vectors.
+    mat = mat[np.lexsort(mat.T[::-1])]
     rng = np.random.default_rng(seed)
     # k-means++ seeding by D² sampling, maintained INCREMENTALLY: track
     # the running min-distance and update it against only the newest
@@ -169,3 +175,36 @@ def assign_cells(centers) -> "callable":
         return pd.Series(idx.astype("int32"))
 
     return assign
+
+
+def kmeans_assignments(
+    df, vec_col: str, id_col: str, k: int, seed: int = 42
+):
+    """(id, cluster) assignments for a seeded k-means over an embedding
+    column — the shared fit-then-assign entry for cluster-scoped
+    operators (SemDeDup blocks, IVF cells, topic clustering).
+
+    Fit follows the repo's standard dual path: driver-side seeded Lloyd
+    under the collect guard (Spark ML's ~10 scheduled fit jobs dominate
+    guard-sized corpora), distributed Spark ML KMeans above it.
+    Assignment is a distributed Arrow-batched argmin either way."""
+    from pyspark.sql import functions as F
+
+    centers = seeded_kmeans_centers(df, vec_col, k=k, seed=seed)
+    if centers is not None:
+        return df.select(
+            F.col(id_col),
+            assign_cells(centers)(to_double_array(vec_col)).alias("cluster"),
+        )
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec_df = df.withColumn(
+        "features", array_to_vector(to_double_array(vec_col))
+    )
+    model = KMeans(k=k, seed=seed, maxIter=8, featuresCol="features").fit(
+        vec_df
+    )
+    return model.transform(vec_df).select(
+        F.col(id_col), F.col("prediction").alias("cluster")
+    )

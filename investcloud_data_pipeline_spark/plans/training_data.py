@@ -1135,6 +1135,61 @@ QUALIFY rank <= 50
 """
 
 
+def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain discovery: seeded k-means over the embedding column
+    (functions/vectors.py::kmeans_assignments, k=8) labels every
+    document with a topic cluster; each cluster is then characterized
+    by its 3 most distinctive terms (cluster-tf × corpus-idf) plus its
+    size — the corpus-mixture report a pretraining pipeline uses to
+    steer source weighting before training.
+
+    Scale: assignment is one Arrow argmin pass (centers broadcast in
+    the UDF closure); term scoring is the TF-IDF economics of
+    text_tfidf_top_terms keyed by cluster instead of source; top-3 is
+    a WindowGroupLimit heap. Rows-only oracle: the k-means fit is
+    iterative, not SQL — determinism is pinned by tests instead
+    (seeded fit + partition invariance)."""
+    from ..functions.text import tokens
+    from ..functions.vectors import kmeans_assignments
+
+    emb = _emb(spark, sf_dir)
+    assigned = kmeans_assignments(emb, "embedding", "vec_id", k=8)
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()
+    docs = d.join(
+        assigned.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    )
+    sizes = docs.groupBy("cluster").agg(F.count("*").alias("n_docs"))
+    tok = docs.select(
+        "doc_id", "cluster", F.explode(tokens("text")).alias("term")
+    )
+    df_counts = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf_counts = tok.groupBy("cluster", "term").agg(F.count("*").alias("tf"))
+    from pyspark.sql import Window
+
+    scored = tf_counts.join(F.broadcast(df_counts), "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .join(F.broadcast(sizes), "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("rn").cast("long").alias("rn"),
+            "term",
+            "tfidf",
+        )
+    )
+
+
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup candidate pairs over REAL PNG payloads: the corpus
     is rendered to deterministic 16×16 grayscale PNGs (encode_png), the
@@ -2359,4 +2414,5 @@ QUERIES = {
     "multimodal_byte_histogram": (multimodal_byte_histogram, None),  # rows-only
     "text_chunking_udtf": (text_chunking_udtf, TEXT_CHUNKING_UDTF_SQL),
     "text_chunking_explode": (text_chunking_explode, TEXT_CHUNKING_UDTF_SQL),
+    "corpus_topic_clusters": (corpus_topic_clusters, None),  # rows-only (kmeans)
 }

@@ -937,3 +937,41 @@ def test_strip_repeated_spans_removes_shared_passage_everywhere(spark):
     again = {r.doc_id: r.n_removed
              for r in strip_repeated_spans(stripped, k=8).collect()}
     assert all(v == 0 for v in again.values())
+
+
+def test_topic_clusters_deterministic_and_complete(spark, sf_dir):
+    """corpus_topic_clusters: seeded fit + Arrow argmin assignment must
+    be partition-invariant (identical rows after a repartition of the
+    embeddings read path), every cluster id in [0, 8), sizes sum to the
+    corpus, and per-cluster ranks are consecutive from 1."""
+    from investcloud_data_pipeline_spark.functions.vectors import (
+        kmeans_assignments,
+    )
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        corpus_topic_clusters,
+    )
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    out = corpus_topic_clusters(spark, sf_dir).collect()
+    rows = sorted((r.cluster, r.rn, r.term, r.n_docs, r.tfidf) for r in out)
+    again = sorted(
+        (r.cluster, r.rn, r.term, r.n_docs, r.tfidf)
+        for r in corpus_topic_clusters(spark, sf_dir).collect()
+    )
+    assert rows == again and rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    a1 = {(r.vec_id, r.cluster)
+          for r in kmeans_assignments(emb, "embedding", "vec_id", k=8).collect()}
+    a2 = {(r.vec_id, r.cluster)
+          for r in kmeans_assignments(
+              emb.repartition(11), "embedding", "vec_id", k=8).collect()}
+    assert a1 == a2 and len(a1) == n
+    assert all(0 <= c < 8 for _, c in a1)
+
+    sizes = {r.cluster: r.n_docs for r in out}
+    assert sum(sizes.values()) == n
+    for c in sizes:
+        rks = sorted(r.rn for r in out if r.cluster == c)
+        assert rks == list(range(1, len(rks) + 1))
