@@ -92,6 +92,71 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def _exact_groups(df: DataFrame, text_col: str, id_col: str):
+    """Collapse exact (normalized-content) duplicates BEFORE shingle
+    matching: returns (rep_rows, members) where ``rep_rows`` keeps one
+    surviving row (minimum id) per distinct content and ``members`` maps
+    every original id to its representative.
+
+    This is the hot-bucket armor for the inverted-index pair plans: m
+    exact copies of a document share ALL shingles, so without collapse
+    every shingle bucket they touch expands m²-fold in the self-join
+    (the r6 10× scale probe measured 12.8× wall at 10× rows on a
+    replica-duplicated corpus). Identical shingle sets ⇒ identical
+    scores, so rep-level pairs expand back to member-level pairs
+    exactly (cross pairs inherit the rep score; intra-group pairs score
+    1.0) — equivalence is enforced by the strict DuckDB oracle."""
+    keyed = df.withColumn("__k", content_digest(text_col))
+    reps = keyed.groupBy("__k").agg(F.min(id_col).alias("__rep"))
+    members = (
+        keyed.select(F.col(id_col).alias("__member"), "__k")
+        .join(reps, "__k")
+        .select("__rep", "__member")
+    )
+    rep_rows = (
+        keyed.join(F.broadcast(reps), "__k")
+        .filter(F.col(id_col) == F.col("__rep"))
+        .drop("__k", "__rep")
+    )
+    return rep_rows, members
+
+
+def _expand_member_pairs(rep_pairs: DataFrame, members: DataFrame,
+                         reps_with_shingles: DataFrame,
+                         intra_cols: list) -> DataFrame:
+    """rep-level pairs → member-level pairs: cross pairs between the two
+    groups inherit the rep pair's score columns; intra-group pairs (m≥2
+    copies of one content, provided it HAS shingles) are emitted with
+    the perfect-score columns in ``intra_cols``."""
+    score_cols = [c for c in rep_pairs.columns if c not in ("id1", "id2")]
+    e1 = members.select(F.col("__rep").alias("id1"), F.col("__member").alias("__a"))
+    e2 = members.select(F.col("__rep").alias("id2"), F.col("__member").alias("__b"))
+    cross = (
+        rep_pairs.join(e1, "id1")
+        .join(e2, "id2")
+        .select(
+            F.least("__a", "__b").alias("id1"),
+            F.greatest("__a", "__b").alias("id2"),
+            *score_cols,
+        )
+    )
+    mm = members.join(reps_with_shingles, "__rep")
+    intra = (
+        mm.alias("x")
+        .join(
+            mm.alias("y"),
+            (F.col("x.__rep") == F.col("y.__rep"))
+            & (F.col("x.__member") < F.col("y.__member")),
+        )
+        .select(
+            F.col("x.__member").alias("id1"),
+            F.col("y.__member").alias("id2"),
+            *intra_cols,
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -104,8 +169,10 @@ def ngram_jaccard_pairs(
     Inverted-index plan: explode distinct shingles → self-equi-join on the
     shingle → per-pair intersection count → Jaccard from per-doc distinct
     shingle counts. No cartesian product: only docs sharing ≥1 shingle
-    ever meet.
+    ever meet. Exact duplicates are collapsed first (``_exact_groups``)
+    so duplicate multiplicity cannot quadratically inflate the buckets.
     """
+    df, members = _exact_groups(df, text_col, id_col)
     # Keep the exploded relation narrow (id, shingle): carrying the
     # per-doc size through the explode re-inlines the shingle expression
     # into a second projection (size + generator) and measures 2× slower
@@ -131,7 +198,7 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
     sb = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return (
+    rep_pairs = (
         common.join(sa, "id1")  # size joins: small; AQE picks broadcast
         .join(sb, "id2")        # locally, shuffle-hash at corpus scale
 
@@ -139,6 +206,12 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+    return _expand_member_pairs(
+        rep_pairs,
+        members,
+        sizes.select(F.col("id").alias("__rep")),
+        intra_cols=[F.lit(1.0).alias("jaccard")],
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_containment_pairs(
@@ -155,10 +228,12 @@ def ngram_containment_pairs(
     long side), so quote/subset leakage survives a Jaccard-only dedup.
 
     Same inverted-index physical plan as :func:`ngram_jaccard_pairs`
-    (xxhash64 shingle keys, shared repartition barrier, no cartesian):
-    only the final scalar differs, so the 100 TB posture is identical —
-    in production both scores are emitted from ONE pair relation.
+    (xxhash64 shingle keys, shared repartition barrier, no cartesian,
+    exact-duplicate collapse before matching): only the final scalar
+    differs, so the 100 TB posture is identical — in production both
+    scores are emitted from ONE pair relation.
     """
+    df, members = _exact_groups(df, text_col, id_col)
     sh = shingle_relation(df, text_col, id_col, n).select(
         "id", F.xxhash64("shingle").alias("shingle")
     )
@@ -173,13 +248,23 @@ def ngram_containment_pairs(
     sa = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
     sb = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
     cont = F.col("n_common") / F.least("n1", "n2")
-    return (
+    rep_pairs = (
         common.join(sa, "id1")
         .join(sb, "id2")
         .withColumn("containment", F.round(cont, 6))
         .filter(F.col("containment") >= threshold)
         .select("id1", "id2", "n_common", "containment")
     )
+    # intra-group pairs share the full shingle set: n_common = |set|
+    return _expand_member_pairs(
+        rep_pairs,
+        members,
+        sizes.select(F.col("id").alias("__rep"), F.col("n_sh")),
+        intra_cols=[
+            F.col("x.n_sh").alias("n_common"),
+            F.lit(1.0).alias("containment"),
+        ],
+    ).filter(F.col("containment") >= threshold)
 
 
 def minhash_signatures(
@@ -360,8 +445,9 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     seed: int = 42,
+    target_cell_rows: int = 128,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped near-duplicate pairs (Abbas et al.,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -377,6 +463,14 @@ def semantic_dedup_pairs(
     the exact all-pairs set is asserted in tests. Seeded k-means is
     deterministic run-to-run but not SQL-expressible → rows-only oracle.
 
+    ``n_cells`` defaults to n / ``target_cell_rows`` (min 16): the cell
+    COUNT must scale with the corpus so the cell SIZE stays constant —
+    with fixed k the within-cell self-join is O((n/k)²) per cell and the
+    whole operator quietly reverts to quadratic as the corpus grows (the
+    r6 10× scale probe measured 22.7× wall at 10× rows with fixed k=16;
+    adaptive k restores ~linear). This mirrors the paper's k ∝ corpus
+    practice.
+
     Returns (id1, id2, cluster, cos) with id1 < id2, cos rounded to 6
     exactly like the all-pairs plans.
     """
@@ -387,6 +481,8 @@ def semantic_dedup_pairs(
         seeded_kmeans_centers,
     )
 
+    if n_cells is None:
+        n_cells = max(16, df.count() // target_cell_rows)
     # Fit: driver-side seeded Lloyd when the corpus fits the guard
     # (milliseconds vs ~4s of Spark ML job-scheduling overhead at
     # sf0.1); distributed KMeans above it. Assignment is distributed

@@ -664,10 +664,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cluster-scoped near-dup pairs — the k-independent-blocks
-    scale path for embedding dedup; rows-only (seeded k-means)."""
-    return DF.semantic_dedup_pairs(
-        _emb(spark, sf_dir), threshold=0.35, n_cells=8
-    )
+    scale path for embedding dedup; rows-only (seeded k-means). Cell
+    count stays on the operator's adaptive default (k ∝ n, constant
+    cell size): the r6 scale probe showed a pinned small k silently
+    reverts the within-cell self-join to quadratic as the corpus
+    grows."""
+    return DF.semantic_dedup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
 def dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,157 @@
+"""10× scale probe: how do the heavy queries scale from sf0.1 → ~sf1?
+
+The bench proves speed at sf0.1; this probe proves the SHAPE of the
+scaling curve. It materializes a synthetic ~sf1 dataset (fact tables
+replicated 10× with disjoint primary/foreign keys — orders+lineitem
+share each replica's orderkey offset so joins stay consistent;
+dimension tables are kept single-copy, which multiplies fan-in per
+dimension key exactly like real growth does), then times a
+representative slice of the registry at both scale factors and records
+the wall-clock ratio per query.
+
+A plan that would melt at 100 TB shows here as a ratio ≫ the data
+ratio (quadratic candidate blowup, driver collects, skew collapse); a
+healthy distributed plan lands ~linear or below (fixed overheads
+amortize). Replicated documents are EXACT cross-replica duplicates by
+construction — dedup operators therefore do 10× the real matching
+work, which is the stress the probe wants.
+
+Usage: python tools/bench_scale_probe.py [out.json]
+       SPARK_GRAFT_PROBE_COPIES=10 SPARK_GRAFT_PROBE_DIR=/tmp/sfprobe
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Representative heavy slice: graph iteration, LSH banding, span
+# stripping, semantic/embedding work, multi-join TPC-H, sketches,
+# curation funnel — the shapes whose scaling behavior matters most.
+PROBE_QUERIES = [
+    "q1_pricing_summary",
+    "q21_lone_failing_supplier",
+    "copurchase_pagerank",
+    "copurchase_communities",
+    "dedup_minhash_lsh",
+    "dedup_ngram_containment",
+    "dedup_repeated_spans",
+    "dedup_semantic_pairs",
+    "corpus_curate_full",
+    "ann_multiband_lsh_topk",
+    "corpus_topic_clusters",
+    "event_user_distinct_sketch_merge",
+    "text_bpe_encode",
+    "text_chunking_explode",
+]
+
+FACT_OFFSETS = {
+    # table -> (columns sharing the per-replica offset, offset step)
+    "orders": (["o_orderkey"], 10_000_000),
+    "lineitem": (["l_orderkey"], 10_000_000),
+    "events": (["event_id"], 100_000_000),
+    "documents": (["doc_id"], 1_000_000),
+    "embeddings": (["vec_id"], 1_000_000),
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def build_probe_dir(spark, src_dir: str, out_dir: str, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_PROBE_READY")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == f"{src_dir}:{copies}":
+                return
+    for t in DIMS:
+        load_table(spark, src_dir, t).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    for t, (key_cols, step) in FACT_OFFSETS.items():
+        base = load_table(spark, src_dir, t)
+        parts = []
+        for i in range(copies):
+            df = base
+            for kc in key_cols:
+                df = df.withColumn(kc, F.col(kc) + F.lit(i * step))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    with open(marker, "w") as fh:
+        fh.write(f"{src_dir}:{copies}")
+
+
+def main() -> int:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else None
+    copies = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "10"))
+    probe_dir = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/sfprobe")
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import __spark_entry__ as entrymod
+    from investcloud_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench_scale_probe")
+    t0 = time.time()
+    build_probe_dir(spark, src_dir, probe_dir, copies)
+    build_s = round(time.time() - t0, 1)
+
+    qs = entrymod.queries()
+    results = {}
+    for name in PROBE_QUERIES:
+        fn = qs[name]
+        row = {}
+        for label, sf_dir in (("base", src_dir), ("x10", probe_dir)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                try:
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    el = round(time.time() - t0, 3)
+                except Exception as exc:  # noqa: BLE001
+                    print(f"probe error {name}@{label}: {exc}", file=sys.stderr)
+                    el = -1.0
+                    break
+                if best is None or el < best:
+                    best = el
+            row[label] = best if best is not None else -1.0
+        row["ratio"] = (
+            round(row["x10"] / row["base"], 2)
+            if row["base"] and row["base"] > 0 and row["x10"] > 0
+            else None
+        )
+        results[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+
+    ratios = [r["ratio"] for r in results.values() if r["ratio"]]
+    out = {
+        "metric": "wall_ratio_at_10x_rows",
+        "copies": copies,
+        "base_dir": src_dir,
+        "probe_build_s": build_s,
+        "median_ratio": round(sorted(ratios)[len(ratios) // 2], 2),
+        "max_ratio": max(ratios),
+        "queries": results,
+    }
+    if out_json:
+        with open(out_json, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps(out, separators=(",", ":")))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
