@@ -429,3 +429,59 @@ def test_shard_manifest_partitions_corpus_exactly(ids):
     assert m1 == m2
     assert sum(n for n, _ in m1.values()) == len(rows)
     assert set(m1) <= set(range(8))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0,
+                      allow_nan=False, allow_infinity=False,
+                      width=32),
+            min_size=24, max_size=24,
+        ),
+        min_size=4, max_size=20, unique_by=tuple,
+    )
+)
+def test_multiband_lsh_matches_local_banding(vecs):
+    """The OR-amplified multiband sign-LSH join emits EXACTLY the
+    neighbor set implied by its definition: a candidate pair agrees on
+    the full sign pattern of at least one band. Verified against a
+    local recomputation of the band keys over generated vectors
+    (including negative/zero components, where the >=0 sign convention
+    must match bit-for-bit)."""
+    spark = _get_spark()
+    from investcloud_data_pipeline_spark.operators.simsearch import (
+        lsh_multiband_topk,
+    )
+
+    rows = [(i, list(v)) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_multiband_topk(
+            emb, emb, k=len(vecs), n_bands=8, bits_per_band=3
+        ).collect()
+    }
+
+    import struct as _struct
+
+    def f32(x):  # the table stores float32: band on the stored value
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    def bands(v):
+        return [
+            tuple(f32(v[b * 3 + j]) >= 0 for j in range(3))
+            for b in range(8)
+        ]
+
+    expected = set()
+    local = {i: bands(v) for i, v in enumerate(vecs)}
+    for i in local:
+        for j in local:
+            if i == j:
+                continue
+            if any(bi == bj for bi, bj in zip(local[i], local[j])):
+                expected.add((i, j))
+    assert got == expected

@@ -975,3 +975,52 @@ def test_topic_clusters_deterministic_and_complete(spark, sf_dir):
     for c in sizes:
         rks = sorted(r.rn for r in out if r.cluster == c)
         assert rks == list(range(1, len(rks) + 1))
+
+
+def test_ngram_pairs_duplicate_collapse_equivalence(spark):
+    """The exact-duplicate collapse inside the shingle-pair operators
+    (r6 hot-bucket armor) must be output-invisible: on a corpus with
+    3 exact copies + 2 near-copies + an unrelated doc, pairs/scores
+    equal the definitional per-pair computation done locally."""
+    from itertools import combinations
+
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the old wooden fence near the garden gate")
+    near = base.replace("lazy dog", "sleepy dog")
+    rows = [
+        (1, base), (2, base.upper()), (3, base + "!!"),  # 3 exact copies
+        (4, near), (5, near),                             # 2 copies of near
+        (6, "totally unrelated content about query planners"),
+        (7, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingle_set(text):
+        toks = "".join(c.lower() if c.isalnum() else " " for c in text).split()
+        return {" ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 0))} \
+            if len(toks) >= 3 else ({" ".join(toks)} if toks else set())
+
+    sets = {i: shingle_set(t) for i, t in rows}
+    want_j, want_c = {}, {}
+    for i, j in combinations(sorted(sets), 2):
+        a, b = sets[i], sets[j]
+        if not a or not b or not (a & b):
+            continue
+        jac = round(len(a & b) / len(a | b), 6)
+        cont = round(len(a & b) / min(len(a), len(b)), 6)
+        if jac >= 0.8:
+            want_j[(i, j)] = jac
+        if cont >= 0.9:
+            want_c[(i, j)] = (len(a & b), cont)
+
+    got_j = {(r.id1, r.id2): r.jaccard
+             for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    got_c = {(r.id1, r.id2): (r.n_common, r.containment)
+             for r in ngram_containment_pairs(docs, threshold=0.9).collect()}
+    assert got_j == want_j and (1, 2) in got_j and (1, 3) in got_j
+    assert got_c == want_c and (4, 5) in got_c
