@@ -342,10 +342,15 @@ def minhash_lsh_candidates(
     only shuffle keys on (band_idx, band_key) — uniform md5-derived
     buckets. Verification (exact jaccard on candidates only) composes
     downstream; at 100 TB this is the standard shingle→minhash→band plan.
+    Exact duplicates are collapsed before banding (identical text ⇒
+    identical signature ⇒ every band bucket they touch would inflate
+    m²-fold — the same hot-bucket armor as the ngram pair plans) and the
+    candidate set is expanded back over the duplicate groups.
     """
+    df, members = _exact_groups(df, text_col, id_col)
     banded = minhash_band_relation(df, text_col, id_col, n, num_hashes, bands)
     a, b2 = banded.alias("a"), banded.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b2,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -354,6 +359,13 @@ def minhash_lsh_candidates(
         )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
+    )
+    # docs with ≥1 shingle ARE banded (empty docs never reach a bucket)
+    return _expand_member_pairs(
+        rep_pairs,
+        members,
+        banded.select(F.col("id").alias("__rep")).distinct(),
+        intra_cols=[],
     )
 
 
@@ -403,10 +415,23 @@ def simhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Near-dup candidates: docs agreeing on any 16-bit chunk of their
-    SimHash (standard 4-band hamming-distance blocking)."""
-    hashed = df.select(id_col, text_col).mapInPandas(
+    SimHash (standard 4-band hamming-distance blocking).
+
+    Hot-bucket armor: docs with the SAME 64-bit simhash (exact dups and
+    hash-identical near-dups) are collapsed to one representative before
+    the chunk join — m copies would otherwise inflate every chunk bucket
+    they touch m²-fold — then expanded back (same-hash pairs are all
+    candidates BY DEFINITION: all four chunks agree). Collapsing on the
+    computed hash itself, not on text, makes the rewrite risk-free: the
+    group key IS the join-relevant value."""
+    hashed_all = df.select(id_col, text_col).mapInPandas(
         lambda it: simhash64(it, text_col, id_col), schema="id long, simhash long"
     )
+    reps = hashed_all.groupBy("simhash").agg(F.min("id").alias("__rep"))
+    members = hashed_all.join(reps, "simhash").select(
+        "__rep", F.col("id").alias("__member")
+    )
+    hashed = reps.select(F.col("__rep").alias("id"), "simhash")
     chunks = hashed.select(
         "id",
         "simhash",
@@ -428,7 +453,7 @@ def simhash_candidates(
         F.col("chunk_idx"), F.col("chunk")
     )
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -437,6 +462,11 @@ def simhash_candidates(
         )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
+    )
+    # every doc is hashed (empty text → simhash 0), so every dup group
+    # is eligible for intra-pair expansion
+    return _expand_member_pairs(
+        rep_pairs, members, reps.select("__rep"), intra_cols=[]
     )
 
 
