@@ -498,9 +498,21 @@ def phash_candidate_pairs(
     Scale: the only shuffle keys on (band_idx, band value) — no
     all-pairs comparison ever happens; the signed-range shift in
     :func:`perceptual_hashes` flips the same top bit on both operands,
-    so XOR-popcount hamming is unaffected.
+    so XOR-popcount hamming is unaffected. Images with the SAME 64-bit
+    dHash are collapsed to one representative before the band join (m
+    identical images would inflate every touched bucket m²-fold — the
+    same hot-bucket armor as the text-side simhash blocking) and the
+    pair set is expanded back afterwards (same-hash pairs are hamming-0
+    candidates by definition).
     """
-    hashed = perceptual_hashes(df, id_col, content_col).filter("decoded")
+    from .dedup_fuzzy import _expand_member_pairs
+
+    hashed_all = perceptual_hashes(df, id_col, content_col).filter("decoded")
+    reps = hashed_all.groupBy("phash").agg(F.min("id").alias("__rep"))
+    members = hashed_all.join(reps, "phash").select(
+        "__rep", F.col("id").alias("__member")
+    )
+    hashed = reps.select(F.col("__rep").alias("id"), "phash")
     chunks = (
         hashed.select(
             "id",
@@ -529,7 +541,7 @@ def phash_candidate_pairs(
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -543,6 +555,12 @@ def phash_candidate_pairs(
             hamming.cast("long").alias("hamming"),
         )
         .distinct()
+    )
+    return _expand_member_pairs(
+        rep_pairs,
+        members,
+        reps.select("__rep"),
+        intra_cols=[F.lit(0).cast("long").alias("hamming")],
     )
 
 
