@@ -107,11 +107,17 @@ def _exact_groups(df: DataFrame, text_col: str, id_col: str):
     exactly (cross pairs inherit the rep score; intra-group pairs score
     1.0) — equivalence is enforced by the strict DuckDB oracle."""
     keyed = df.withColumn("__k", content_digest(text_col))
-    reps = keyed.groupBy("__k").agg(F.min(id_col).alias("__rep"))
+    # reps and members are tiny (ids + digests) but referenced several
+    # times by the expansion joins — LAZY persist so one action
+    # evaluates the digest/group lineage once (InMemoryRelation shared
+    # by every reference), instead of once per reference (measured
+    # ~1.3× on the pair queries without it).
+    reps = keyed.groupBy("__k").agg(F.min(id_col).alias("__rep")).persist()
     members = (
         keyed.select(F.col(id_col).alias("__member"), "__k")
         .join(reps, "__k")
         .select("__rep", "__member")
+        .persist()
     )
     rep_rows = (
         keyed.join(F.broadcast(reps), "__k")
@@ -424,9 +430,12 @@ def simhash_candidates(
     candidates BY DEFINITION: all four chunks agree). Collapsing on the
     computed hash itself, not on text, makes the rewrite risk-free: the
     group key IS the join-relevant value."""
+    # persist the (id, simhash) relation: reps/members/chunks all read
+    # it, and without the cache each reference re-runs the Python
+    # hashing kernel over the corpus
     hashed_all = df.select(id_col, text_col).mapInPandas(
         lambda it: simhash64(it, text_col, id_col), schema="id long, simhash long"
-    )
+    ).persist()
     reps = hashed_all.groupBy("simhash").agg(F.min("id").alias("__rep"))
     members = hashed_all.join(reps, "simhash").select(
         "__rep", F.col("id").alias("__member")

@@ -507,7 +507,12 @@ def phash_candidate_pairs(
     """
     from .dedup_fuzzy import _expand_member_pairs
 
-    hashed_all = perceptual_hashes(df, id_col, content_col).filter("decoded")
+    # persist the (id, phash) relation: reps/members/chunks all read it,
+    # and without the cache each reference re-runs the PNG codec +
+    # dHash kernel chain over the corpus
+    hashed_all = (
+        perceptual_hashes(df, id_col, content_col).filter("decoded").persist()
+    )
     reps = hashed_all.groupBy("phash").agg(F.min("id").alias("__rep"))
     members = hashed_all.join(reps, "phash").select(
         "__rep", F.col("id").alias("__member")

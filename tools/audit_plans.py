@@ -56,7 +56,14 @@ def main() -> int:
             node = stack.pop()
             name = node.nodeName()
             for key in counts:
-                if key in name:
+                # ReusedExchange is a POINTER to an exchange that runs
+                # once — counting it as a fresh Exchange overstates the
+                # shuffle bill of any plan that fans one relation into
+                # several consumers (e.g. the r6 duplicate-collapse
+                # expansion joins read `members` four times).
+                if key in name and not (
+                    key == "Exchange" and "Reused" in name
+                ):
                     counts[key] += 1
             if "AdaptiveSparkPlan" in name:
                 # AQE wrapper exposes no children; audit its initial plan
