@@ -49,11 +49,21 @@ def _progress_stats(query) -> dict:
     return {"batches": len(progresses), "engine_input_rows": n_rows}
 
 
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
 def main() -> int:
     out_json = sys.argv[1] if len(sys.argv) > 1 else None
     n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "20"))
     rows_per_file = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "50000"))
     fmt = os.environ.get("SPARK_GRAFT_STREAM_FMT", "csv")
+    # hdfs (default provider) | rocksdb — the silver dedup layer is the
+    # stateful one, so the provider choice shows up in its drain rate;
+    # recording both makes the RocksDB 100 TB posture a measured number.
+    provider = os.environ.get("SPARK_GRAFT_STREAM_STATE", "hdfs")
 
     from investcloud_data_pipeline_spark.config import PipelinePaths
     from investcloud_data_pipeline_spark.datagen import (
@@ -66,6 +76,10 @@ def main() -> int:
     from investcloud_data_pipeline_spark.streaming.silver import start_silver
 
     spark = get_spark("bench_streaming")
+    if provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB
+        )
     root = tempfile.mkdtemp(prefix="bench_streaming_")
     try:
         paths = PipelinePaths(root)
@@ -132,6 +146,7 @@ def main() -> int:
 
         result = {
             "metric": "streaming_pipeline_drain",
+            "state_store": provider,
             "unit": "rows/sec",
             "value": round(n_raw / total_wall, 1),
             "total_wall_s": total_wall,
