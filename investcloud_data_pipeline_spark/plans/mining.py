@@ -108,6 +108,83 @@ HAVING count(*) >= 3
 """
 
 
+def copurchase_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase part
+    graph: coeff(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)) — how
+    clique-like each part's neighborhood is (assortment tightness),
+    complementing the global triangle/wedge ratio of
+    ``dedup_triangle_stats``.
+
+    Plan: node-iterator triangle counting — symmetric edge list, wedge
+    enumeration per center (join on v, a<b keeps each wedge once),
+    closure check against the oriented edge relation, one grouped
+    count. Every shuffle keys on node or (a, b); no cartesian. The
+    wedge join is the textbook distributed algorithm; at 100 TB the
+    standard refinement is degree-ordered orientation, which this graph
+    (capped by HAVING n_orders ≥ 3) does not need. Division guarded
+    for deg==1 (ANSI mode makes x/0 an error, not NULL)."""
+    p = copurchase_part_pairs(spark, sf_dir).select("part1", "part2")
+    sym = p.union(
+        p.select(F.col("part2").alias("part1"), F.col("part1").alias("part2"))
+    )
+    e1 = sym.select(F.col("part1").alias("v"), F.col("part2").alias("a"))
+    e2 = sym.select(F.col("part1").alias("v"), F.col("part2").alias("b"))
+    wedges = e1.join(e2, "v").filter(F.col("a") < F.col("b"))
+    closed = wedges.join(
+        p.select(F.col("part1").alias("a"), F.col("part2").alias("b")),
+        ["a", "b"],
+    )
+    tri = closed.groupBy("v").agg(F.count("*").alias("n_tri"))
+    deg = sym.groupBy(F.col("part1").alias("v")).agg(F.count("*").alias("deg"))
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return (
+        deg.join(tri, "v", "left")
+        .select(
+            F.col("v").alias("part"),
+            F.col("deg").cast("long").alias("deg"),
+            n_tri.cast("long").alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    n_tri * 2.0 / (F.col("deg") * (F.col("deg") - 1)), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+COPURCHASE_CLUSTERING_COEFF_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+sym AS (
+  SELECT part1 AS v, part2 AS n FROM pairs
+  UNION ALL SELECT part2, part1 FROM pairs
+),
+deg AS (SELECT v, count(*) AS deg FROM sym GROUP BY 1),
+tri AS (
+  SELECT w.v, count(*) AS n_tri
+  FROM (SELECT s1.v, s1.n AS a, s2.n AS b
+        FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.n < s2.n) w
+  JOIN pairs p ON w.a = p.part1 AND w.b = p.part2
+  GROUP BY 1
+)
+SELECT d.v AS part,
+       CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN round(coalesce(t.n_tri, 0) * 2.0 / (d.deg * (d.deg - 1)), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN tri t ON d.v = t.v
+"""
+
+
 # ---------- Apriori level-3: frequent triples ----------
 #
 # Classic frequent-itemset mining one level up: 3-itemsets are counted
@@ -1097,6 +1174,10 @@ QUERIES = {
     ),
     "event_value_outliers": (event_value_outliers, EVENT_VALUE_OUTLIERS_SQL),
     "copurchase_part_pairs": (copurchase_part_pairs, COPURCHASE_PART_PAIRS_SQL),
+    "copurchase_clustering_coeff": (
+        copurchase_clustering_coeff,
+        COPURCHASE_CLUSTERING_COEFF_SQL,
+    ),
     "dedup_triangle_stats": (dedup_triangle_stats, _triangle_sql()),
     "copurchase_part_triples": (copurchase_part_triples, COPURCHASE_PART_TRIPLES_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),

@@ -268,3 +268,39 @@ def test_label_propagation_fixed_rounds_deterministic(spark):
     a = sorted(label_propagation(edges, n_iter=4).collect())
     b = sorted(label_propagation(edges.repartition(7), n_iter=4).collect())
     assert a == b
+
+
+def test_clustering_coeff_known_graph(spark, sf_dir):
+    """Local clustering coefficient on the real co-purchase graph obeys
+    its definitional bounds and closed-form spot values: coeff in
+    [0, 1], zero for deg<2 nodes, and recomputable per node from the
+    edge set collected locally."""
+    from itertools import combinations
+
+    from investcloud_data_pipeline_spark.plans.mining import (
+        copurchase_clustering_coeff,
+        copurchase_part_pairs,
+    )
+
+    edges = {
+        (r.part1, r.part2)
+        for r in copurchase_part_pairs(spark, sf_dir).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    out = {r.part: r for r in copurchase_clustering_coeff(spark, sf_dir).collect()}
+    assert set(out) == set(adj)
+    for v, nbrs in adj.items():
+        r = out[v]
+        assert r.deg == len(nbrs)
+        tri = sum(
+            1 for a, b in combinations(sorted(nbrs), 2)
+            if (a, b) in edges or (b, a) in edges
+        )
+        assert r.n_triangles == tri
+        want = round(2 * tri / (r.deg * (r.deg - 1)), 6) if r.deg >= 2 else 0.0
+        assert abs(r.clustering_coeff - want) < 1e-9
+        assert 0.0 <= r.clustering_coeff <= 1.0
