@@ -115,27 +115,52 @@ def copurchase_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     complementing the global triangle/wedge ratio of
     ``dedup_triangle_stats``.
 
-    Plan: node-iterator triangle counting — symmetric edge list, wedge
-    enumeration per center (join on v, a<b keeps each wedge once),
-    closure check against the oriented edge relation, one grouped
-    count. Every shuffle keys on node or (a, b); no cartesian. The
-    wedge join is the textbook distributed algorithm; at 100 TB the
-    standard refinement is degree-ordered orientation, which this graph
-    (capped by HAVING n_orders ≥ 3) does not need. Division guarded
-    for deg==1 (ANSI mode makes x/0 an error, not NULL)."""
+    Plan: DEGREE-ORDERED triangle enumeration — edges oriented from the
+    (deg, id)-smaller endpoint to the larger, wedges enumerated only at
+    each triangle's smallest corner, closure checked with one equi-join
+    (orientation is a total order, so the closing edge is stored
+    exactly as (a, b)), then each found triangle credits its three
+    corners via explode. This is O(m^1.5) instead of the naive
+    node-iterator's O(Σ deg²): the r6 10× scale probe measured the
+    naive wedge join at 8.5× wall at 10× rows (denser graph → quadratic
+    wedge blowup at the hubs); orientation makes it ~2×. Division
+    guarded for deg==1 (ANSI mode makes x/0 an error, not NULL)."""
     p = copurchase_part_pairs(spark, sf_dir).select("part1", "part2")
     sym = p.union(
         p.select(F.col("part2").alias("part1"), F.col("part1").alias("part2"))
     )
-    e1 = sym.select(F.col("part1").alias("v"), F.col("part2").alias("a"))
-    e2 = sym.select(F.col("part1").alias("v"), F.col("part2").alias("b"))
-    wedges = e1.join(e2, "v").filter(F.col("a") < F.col("b"))
-    closed = wedges.join(
-        p.select(F.col("part1").alias("a"), F.col("part2").alias("b")),
+    deg = sym.groupBy(F.col("part1").alias("v")).agg(F.count("*").alias("deg"))
+    d1 = deg.select(F.col("v").alias("part1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("v").alias("part2"), F.col("deg").alias("deg2"))
+    k1 = F.struct(F.col("deg1").alias("d"), F.col("part1").alias("n"))
+    k2 = F.struct(F.col("deg2").alias("d"), F.col("part2").alias("n"))
+    ed = (
+        p.join(F.broadcast(d1), "part1")
+        .join(F.broadcast(d2), "part2")
+        .select(
+            F.when(k1 < k2, F.col("part1")).otherwise(F.col("part2")).alias("src"),
+            F.when(k1 < k2, F.col("part2")).otherwise(F.col("part1")).alias("dst"),
+            F.when(k1 < k2, k2).otherwise(k1).alias("dk"),
+        )
+    )
+    x, y = ed.alias("x"), ed.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src")) & (F.col("x.dk") < F.col("y.dk")),
+    ).select(
+        F.col("x.src").alias("c"),
+        F.col("x.dst").alias("a"),
+        F.col("y.dst").alias("b"),
+    )
+    triangles = wedges.join(
+        ed.select(F.col("src").alias("a"), F.col("dst").alias("b")),
         ["a", "b"],
     )
-    tri = closed.groupBy("v").agg(F.count("*").alias("n_tri"))
-    deg = sym.groupBy(F.col("part1").alias("v")).agg(F.count("*").alias("deg"))
+    tri = (
+        triangles.select(F.explode(F.array("c", "a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
     n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
     return (
         deg.join(tri, "v", "left")

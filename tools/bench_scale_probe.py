@@ -47,6 +47,10 @@ PROBE_QUERIES = [
     "event_user_distinct_sketch_merge",
     "text_bpe_encode",
     "text_chunking_explode",
+    "dedup_simhash_candidates",
+    "multimodal_phash_dedup",
+    "copurchase_clustering_coeff",
+    "ann_brute_force_topk",
 ]
 
 FACT_OFFSETS = {
