@@ -125,7 +125,10 @@ def copurchase_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive wedge join at 8.5× wall at 10× rows (denser graph → quadratic
     wedge blowup at the hubs); orientation makes it ~2×. Division
     guarded for deg==1 (ANSI mode makes x/0 an error, not NULL)."""
-    p = copurchase_part_pairs(spark, sf_dir).select("part1", "part2")
+    # p is referenced by sym (×2), the orientation join, and the
+    # closure join — persist the tiny pair relation so the lineitem
+    # self-join lineage plans/executes once, not once per reference.
+    p = copurchase_part_pairs(spark, sf_dir).select("part1", "part2").persist()
     sym = p.union(
         p.select(F.col("part2").alias("part1"), F.col("part1").alias("part2"))
     )
@@ -142,6 +145,7 @@ def copurchase_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(k1 < k2, F.col("part2")).otherwise(F.col("part1")).alias("dst"),
             F.when(k1 < k2, k2).otherwise(k1).alias("dk"),
         )
+        .persist()  # read by both wedge sides and the closure join
     )
     x, y = ed.alias("x"), ed.alias("y")
     wedges = x.join(
