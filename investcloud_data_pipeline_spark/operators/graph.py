@@ -550,3 +550,85 @@ def label_propagation(
     e.unpersist()
     nodes.unpersist()
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """k-core of an undirected graph (Seidman 1983) by synchronous
+    peeling: every round, ALL nodes whose current degree is below ``k``
+    are deleted simultaneously, until a round deletes nothing. The
+    round bound keeps the operator oracle-expressible — the DuckDB
+    mirror unrolls the same ``max_rounds`` rounds, and because a
+    converged round is a no-op, Spark's early exit and the oracle's
+    full unroll agree exactly whenever the graph converges within the
+    bound (asserted by tests at the shipped scale factors).
+
+    Returns ``(node, core_degree)`` for surviving nodes — every
+    ``core_degree`` is ≥ k by construction.
+
+    Per round: one grouped degree count plus two left-semi joins, all
+    keyed on node id, so the exchanges line up and AQE (on the
+    large-graph path) reuses them. The peel is monotone — the edge set
+    only shrinks — so per-round cost falls. Same loop-session isolation
+    as the other iterative operators, and the same two execution shapes
+    as :func:`label_propagation`: on the ISOLATED small-graph path all
+    ``max_rounds`` rounds compose into one lazy plan materialized once
+    at the boundary (per-round jobs would be pure scheduling overhead —
+    measured 5.6s → see plan notes — and converged rounds are no-ops,
+    so the full unroll equals the fixpoint); on the large-graph path
+    each round materializes behind ``persist``/``count`` and the
+    edge-count fingerprint EARLY-EXITS the loop at the fixpoint, since
+    there a wasted round is real shuffle money.
+    """
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e0 = (
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    n_edges = e0.count()
+    spark = edges.sparkSession
+    with _small_graph_loop_scope(spark, n_edges) as scope:
+        e_l = scope.to_loop(e0)
+        prev = n_edges
+        for i in range(max_rounds):
+            deg = e_l.groupBy("a").agg(F.count("*").alias("deg"))
+            keep = deg.filter(F.col("deg") >= k).select("a")
+            # NOTE: broadcasting `keep` here looks attractive (the
+            # membership checks would run map-side) but measures WORSE
+            # on the lazy-composed path: every broadcast exchange
+            # materializes as its own job and re-executes the entire
+            # prior-round lineage, turning the compose quadratic
+            # (5.5s → 6.4s at sf0.1). Shuffle semi-joins keep all
+            # rounds inside one job, each stage computed once.
+            stepped = (
+                e_l.join(keep, "a", "left_semi")
+                .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+                .select("a", "b")
+            )
+            if scope.isolated:
+                # lazy compose; truncate lineage depth every few rounds
+                if (i + 1) % 4 == 0:
+                    stepped = stepped.localCheckpoint(eager=False)
+                e_l = stepped
+            else:
+                stepped = stepped.persist()
+                cur = stepped.count()
+                e_l.unpersist()
+                e_l = stepped
+                if cur == prev or cur == 0:
+                    break
+                prev = cur
+        core = e_l.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").cast("long").alias("core_degree")
+        )
+        out = scope.to_parent(core)
+        if not scope.isolated:
+            e_l.unpersist()
+    e0.unpersist()
+    return out

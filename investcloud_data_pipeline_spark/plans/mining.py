@@ -1194,7 +1194,126 @@ FROM events GROUP BY 1
 """
 
 
+# ---------- k-core of the co-purchase graph ----------
+#
+# Where the clustering coefficient asks "how clique-like is each
+# neighborhood", the k-core asks "which parts survive when weakly
+# attached ones are recursively stripped" — the standard dense-subgraph
+# screen (Seidman 1983) that feeds assortment-anchor selection. The
+# ≥2-order pair threshold (vs the pair query's ≥3) keeps the graph
+# dense enough that the 2-core is non-trivial at every shipped scale
+# factor; the peel itself converges in ≤6 synchronous rounds on all of
+# them (8-round bound = 1.33× headroom, convergence test-asserted; the
+# Spark side and the unrolled oracle run the IDENTICAL 8 rounds, so
+# they agree exactly even where that reading is wrong).
+
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core membership + within-core degree over the ≥2-order
+    co-purchase part graph, via :func:`operators.graph.k_core`
+    synchronous peeling. Oracle unrolls the identical rounds."""
+    from ..operators.graph import k_core
+
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    core = k_core(pairs, k=2, max_rounds=8)
+    return core.select(F.col("node").alias("part"), "core_degree")
+
+
+def _kcore_unrolled_sql(k: int = 2, rounds: int = 8) -> str:
+    head = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e0 AS MATERIALIZED (
+  SELECT part1 AS a, part2 AS b FROM pairs
+  UNION ALL SELECT part2, part1 FROM pairs
+)"""
+    layers = []
+    for i in range(1, rounds + 1):
+        layers.append(f"""
+k{i} AS MATERIALIZED (
+  SELECT a FROM (SELECT a, count(*) AS c FROM e{i-1} GROUP BY a) WHERE c >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i-1} e
+  JOIN k{i} x ON e.a = x.a JOIN k{i} y ON e.b = y.a
+)""")
+    tail = f"""
+SELECT a AS part, CAST(count(*) AS BIGINT) AS core_degree
+FROM e{rounds} GROUP BY a
+"""
+    return head + "," + ",".join(layers) + tail
+
+
+COPURCHASE_KCORE_SQL = _kcore_unrolled_sql()
+
+
+# ---------- event-type transition matrix ----------
+#
+# First-order Markov view of user behavior: for each consecutive event
+# pair within a user's timeline, count (src_type → dst_type) and
+# normalize per source type. One window shuffle on user_id (lead over a
+# total order — ties on ts broken by the unique event_id), one pair
+# aggregate, and a per-src window over the |types|² matrix, which is
+# KB-sized at any fact scale. The probability is a single long÷long
+# division — no sum-order float nondeterminism.
+
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("dst_type", F.lead("event_type").over(w))
+        .filter(F.col("dst_type").isNotNull())
+    )
+    counts = seq.groupBy(
+        F.col("event_type").alias("src_type"), "dst_type"
+    ).agg(F.count("*").alias("n"))
+    per_src = Window.partitionBy("src_type")
+    return counts.select(
+        "src_type",
+        "dst_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(per_src).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+EVENT_TYPE_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+  FROM events
+), c AS (
+  SELECT src_type, dst_type, count(*) AS n
+  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT src_type, dst_type, n,
+       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src_type) AS DOUBLE), 6) AS p
+FROM c
+"""
+
+
 QUERIES = {
+    "copurchase_kcore": (copurchase_kcore, COPURCHASE_KCORE_SQL),
+    "event_type_transitions": (event_type_transitions, EVENT_TYPE_TRANSITIONS_SQL),
     "event_value_drift_psi": (event_value_drift_psi, EVENT_VALUE_DRIFT_PSI_SQL),
     "event_user_distinct_sketch_merge": (
         event_user_distinct_sketch_merge,

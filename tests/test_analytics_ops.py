@@ -311,3 +311,55 @@ def test_hll_sketch_merge_laws(spark, sf_dir):
     )
     out = distinct_via_sketch_merge(small, "v", ["g"], "shard").collect()
     assert out[0].distinct_est == 37 and out[0].n_shards == 4
+
+
+def test_event_transitions_hand_computed(spark, tmp_path):
+    from investcloud_data_pipeline_spark.plans.mining import (
+        event_type_transitions,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: view -> click -> purchase
+        (1, t, 1, "view"),
+        (2, t + s, 1, "click"),
+        (3, t + 2 * s, 1, "purchase"),
+        # user 2: view -> view
+        (4, t, 2, "view"),
+        (5, t + s, 2, "view"),
+        # user 3: two events at the SAME instant — the unique event_id
+        # breaks the tie (a before b), then b -> c
+        (10, t, 3, "a"),
+        (11, t, 3, "b"),
+        (12, t + s, 3, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.src_type, r.dst_type): (r.n, r.p)
+        for r in event_type_transitions(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("click", "purchase"): (1, 1.0),
+        ("a", "b"): (1, 1.0),
+        ("b", "c"): (1, 1.0),
+    }
+
+
+def test_event_transitions_probabilities_sum_to_one(spark, sf_dir):
+    from investcloud_data_pipeline_spark.plans.mining import (
+        event_type_transitions,
+    )
+
+    out = event_type_transitions(spark, sf_dir)
+    sums = (
+        out.groupBy("src_type").agg(F.sum("p").alias("s")).collect()
+    )
+    assert sums
+    # per-row rounding to 6dp can drift the sum by at most 0.5e-6 per row
+    assert all(abs(r.s - 1.0) < 1e-4 for r in sums)

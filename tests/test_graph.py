@@ -304,3 +304,81 @@ def test_clustering_coeff_known_graph(spark, sf_dir):
         want = round(2 * tri / (r.deg * (r.deg - 1)), 6) if r.deg >= 2 else 0.0
         assert abs(r.clustering_coeff - want) < 1e-9
         assert 0.0 <= r.clustering_coeff <= 1.0
+
+
+class TestKCore:
+    def _core(self, spark, edges, schema="src long, dst long", **kw):
+        from investcloud_data_pipeline_spark.operators.graph import k_core
+
+        df = spark.createDataFrame(edges, schema)
+        return {r.node: r.core_degree for r in k_core(df, **kw).collect()}
+
+    def test_triangle_with_tail(self, spark):
+        # triangle 1-2-3 plus pendant 3-4: the 2-core is exactly the
+        # triangle (each member at degree 2); the pendant peels off.
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        assert self._core(spark, edges, k=2) == {1: 2, 2: 2, 3: 2}
+        # k=3: the triangle is not a 3-core; everything peels.
+        assert self._core(spark, edges, k=3) == {}
+
+    def test_cascading_peel_needs_multiple_rounds(self, spark):
+        # path 4-5-6 hanging off a square 0-1-2-3: the path strips one
+        # node per synchronous round (6, then 5, then 4) before the
+        # square stabilizes — exercises the multi-round cascade.
+        edges = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 4), (4, 5), (5, 6)]
+        assert self._core(spark, edges, k=2) == {0: 2, 1: 2, 2: 2, 3: 2}
+
+    def test_string_node_ids(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+        got = self._core(spark, edges, schema="src string, dst string", k=2)
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_every_survivor_meets_the_degree_floor(self, spark, sf_dir):
+        from investcloud_data_pipeline_spark.plans.mining import (
+            copurchase_kcore,
+        )
+
+        rows = copurchase_kcore(spark, sf_dir).collect()
+        assert rows, "2-core should be non-trivial at the shipped sfs"
+        assert all(r.core_degree >= 2 for r in rows)
+
+    def test_fixpoint_reached_within_the_registry_bound(self, spark, sf_dir):
+        # The registry query runs 8 synchronous rounds; the oracle
+        # unrolls the same 8. The "this IS the k-core" reading
+        # additionally needs convergence within the bound: one more
+        # round must change nothing.
+        from investcloud_data_pipeline_spark.operators.graph import k_core
+        from investcloud_data_pipeline_spark.plans.mining import (
+            copurchase_kcore,
+        )
+        from investcloud_data_pipeline_spark.sources.batch import load_table
+        from pyspark.sql import functions as F
+
+        l = load_table(spark, sf_dir, "lineitem")
+        op = l.select("l_orderkey", "l_partkey").distinct()
+        a, b = op.alias("a"), op.alias("b")
+        pairs = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .groupBy(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("src", "dst")
+        ).persist()
+        at_bound = {
+            (r.node, r.core_degree)
+            for r in k_core(pairs, k=2, max_rounds=8).collect()
+        }
+        past_bound = {
+            (r.node, r.core_degree)
+            for r in k_core(pairs, k=2, max_rounds=9).collect()
+        }
+        pairs.unpersist()
+        assert at_bound == past_bound
+        assert at_bound == {
+            (r.part, r.core_degree)
+            for r in copurchase_kcore(spark, sf_dir).collect()
+        }
