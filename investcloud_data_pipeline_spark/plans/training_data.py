@@ -2347,7 +2347,140 @@ FROM k
 """
 
 
+# ---------- BM25 lexical retrieval ----------
+#
+# Sparse keyword search over the corpus: Okapi BM25 (Robertson et al.,
+# Lucene's ln(1 + (N-df+0.5)/(df+0.5)) idf form) for a fixed query-term
+# set, top-20 by score. The retrieval shape every corpus team needs
+# next to the embedding ANN paths — same ranking math, no index.
+#
+# Scale: the query-term IN-list filter lands directly on the exploded
+# token stream BEFORE the first shuffle, so only matching (doc, term)
+# pairs ever move; df/idf is |query| rows (a broadcast); doc lengths
+# join tf on doc_id (co-partitioned); the top-k is orderBy+limit =
+# TakeOrderedAndProject, never a global sort. Determinism: each
+# per-term contribution is rounded to 9dp and summed as DECIMAL(18,9)
+# — exact, order-free addition — so partial-aggregation order can
+# never flip the 6dp final round (ln() differs from DuckDB's by ≤1 ulp
+# ≈ 1e-15 relative, far under the 0.5e-9 round-9 threshold).
+
+BM25_TERMS = ["dup", "vector", "hash", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl")).persist()
+    # corpus scalars stay IN the plan as a broadcast 1-row aggregate
+    # fold (no driver collect, no second scan-and-wait job)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    df_counts = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select("term", F.round(idf, 9).alias("idf"))
+    )
+    contrib = (
+        F.col("idf")
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(
+                F.sum(
+                    F.round(contrib, 9).cast("decimal(18,9)")
+                ).cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
+        BM25_TOPK
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "doc_id",
+        "n_terms",
+        "score",
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+TEXT_BM25_SEARCH_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {NORM_SQL} AS norm FROM documents
+), dl AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN 0
+              ELSE len(string_split(norm, ' ')) END AS dl
+  FROM docs
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+        FROM docs WHERE norm <> '')
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2
+), idf AS (
+  SELECT term,
+         round(ln(1.0 + ((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5)), 9) AS idf
+  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+), scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         round(CAST(sum(CAST(round(
+             i.idf * t.tf * ({BM25_K1} + 1.0)
+             / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * d.dl / (SELECT avgdl FROM stats))), 9)
+           AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+  FROM tf t JOIN idf i USING (term) JOIN dl d USING (doc_id)
+  GROUP BY t.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+       doc_id, n_terms, score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
 QUERIES = {
+    "text_bm25_search": (text_bm25_search, TEXT_BM25_SEARCH_SQL),
     "dedup_strip_spans": (dedup_strip_spans, DEDUP_STRIP_SPANS_SQL),
     "corpus_leakage_free_split": (
         corpus_leakage_free_split,

@@ -1024,3 +1024,54 @@ def test_ngram_pairs_duplicate_collapse_equivalence(spark):
              for r in ngram_containment_pairs(docs, threshold=0.9).collect()}
     assert got_j == want_j and (1, 2) in got_j and (1, 3) in got_j
     assert got_c == want_c and (4, 5) in got_c
+
+
+def test_bm25_hand_computed(spark, tmp_path):
+    import math
+
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        text_bm25_search,
+    )
+
+    # 3 docs; only the first two contain query terms. Query set is the
+    # registry's fixed one: ['dup', 'vector', 'hash', 'window'].
+    corpus = {
+        1: "dup dup vector noise words here",          # dl 6
+        2: "hash window hash filler",                  # dl 4
+        3: "completely unrelated text tokens",         # dl 4
+    }
+    spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    n_docs, avgdl = 3, (6 + 4 + 4) / 3
+    tf = {1: {"dup": 2, "vector": 1}, 2: {"hash": 2, "window": 1}}
+    df = {"dup": 1, "vector": 1, "hash": 1, "window": 1}
+    dl = {1: 6, 2: 4}
+
+    def score(doc):
+        s = 0.0
+        for t, f in tf[doc].items():
+            idf = round(
+                math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)), 9
+            )
+            s += round(
+                idf * f * (BM25_K1 + 1)
+                / (f + BM25_K1 * (1 - BM25_B + BM25_B * dl[doc] / avgdl)),
+                9,
+            )
+        return round(s, 6)
+
+    got = {
+        r.doc_id: (r.rnk, r.n_terms, r.score)
+        for r in text_bm25_search(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2}
+    expected = {d: score(d) for d in (1, 2)}
+    ranked = sorted(expected, key=lambda d: (-expected[d], d))
+    for rnk, d in enumerate(ranked, start=1):
+        assert got[d] == (rnk, len(tf[d]), expected[d])
+    assert set(tf[1]) | set(tf[2]) == set(BM25_TERMS)
