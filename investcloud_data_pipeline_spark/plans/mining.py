@@ -1311,7 +1311,102 @@ FROM c
 """
 
 
+# ---------- item-item cosine similarity (co-purchase CF) ----------
+#
+# The classic neighborhood recommender: over binary order-baskets,
+# cosine(i,j) = cooc(i,j) / sqrt(n_i·n_j) — co-occurrence normalized by
+# each item's basket frequency, so ubiquitous items stop dominating the
+# raw pair counts (the lift/confidence queries' blind spot). Top-5
+# neighbors per item, symmetric.
+#
+# Scale: the pair expansion is the same bounded per-order quadratic as
+# copurchase_part_pairs (one co-partitioned self-join on l_orderkey);
+# the per-item totals aggregate is |parts| rows and BROADCASTS into the
+# pair relation twice; the top-k is a WindowGroupLimit heap per item,
+# not a global sort. cosine is one int÷sqrt(int·int) double op — no
+# sum-order nondeterminism; ties broken by neighbor id.
+
+def copurchase_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    cooc = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    totals = op.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("n")
+    )
+    sym = cooc.select("p1", "p2", "cooc").union(
+        cooc.select(
+            F.col("p2").alias("p1"), F.col("p1").alias("p2"), "cooc"
+        )
+    )
+    scored = (
+        sym.join(
+            F.broadcast(totals.select(F.col("p").alias("p1"), F.col("n").alias("n1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("p").alias("p2"), F.col("n").alias("n2"))),
+            "p2",
+        )
+        .select(
+            F.col("p1").alias("part"),
+            F.col("p2").alias("neighbor"),
+            F.col("cooc").cast("long").alias("cooc"),
+            F.round(
+                F.col("cooc") / F.sqrt(F.col("n1") * F.col("n2")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("part", F.col("rnk").cast("long").alias("rnk"), "neighbor", "cooc", "cosine")
+    )
+
+
+COPURCHASE_ITEM_COSINE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cooc AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cooc
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+totals AS (SELECT l_partkey AS p, count(*) AS n FROM op GROUP BY 1),
+sym AS (
+  SELECT p1, p2, cooc FROM cooc
+  UNION ALL SELECT p2, p1, cooc FROM cooc
+),
+scored AS (
+  SELECT s.p1 AS part, s.p2 AS neighbor, s.cooc,
+         round(s.cooc / sqrt(t1.n * t2.n), 6) AS cosine
+  FROM sym s JOIN totals t1 ON s.p1 = t1.p JOIN totals t2 ON s.p2 = t2.p
+)
+SELECT part, CAST(rnk AS BIGINT) AS rnk, neighbor, cooc, cosine
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY part ORDER BY cosine DESC, neighbor ASC
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+"""
+
+
 QUERIES = {
+    "copurchase_item_cosine": (copurchase_item_cosine, COPURCHASE_ITEM_COSINE_SQL),
     "copurchase_kcore": (copurchase_kcore, COPURCHASE_KCORE_SQL),
     "event_type_transitions": (event_type_transitions, EVENT_TYPE_TRANSITIONS_SQL),
     "event_value_drift_psi": (event_value_drift_psi, EVENT_VALUE_DRIFT_PSI_SQL),

@@ -363,3 +363,30 @@ def test_event_transitions_probabilities_sum_to_one(spark, sf_dir):
     assert sums
     # per-row rounding to 6dp can drift the sum by at most 0.5e-6 per row
     assert all(abs(r.s - 1.0) < 1e-4 for r in sums)
+
+
+def test_item_cosine_hand_computed(spark, tmp_path):
+    from investcloud_data_pipeline_spark.plans.mining import (
+        copurchase_item_cosine,
+    )
+
+    # baskets: {A,B}, {A,B}, {A,C}, {B,C} -> n_A=3, n_B=3, n_C=2
+    # cooc(A,B)=2, cooc(A,C)=1 (dropped by >=2), cooc(B,C)=1 (dropped)
+    lines = [
+        (1, 101), (1, 102),
+        (2, 101), (2, 102),
+        (3, 101), (3, 103),
+        (4, 102), (4, 103),
+    ]
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        (r.part, r.neighbor): (r.rnk, r.cooc, r.cosine)
+        for r in copurchase_item_cosine(spark, str(tmp_path)).collect()
+    }
+    cos = round(2 / (3 * 3) ** 0.5, 6)
+    assert got == {
+        (101, 102): (1, 2, cos),
+        (102, 101): (1, 2, cos),
+    }
