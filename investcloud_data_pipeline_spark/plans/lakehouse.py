@@ -624,7 +624,120 @@ GROUP BY 1
 """
 
 
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: one GOLDEN RECORD per resolved part entity —
+    survivor name (the variant with the most records; ties to the
+    smaller name), modal brand (most records across the entity's rows;
+    ties to the smaller brand), price band, and volume counters. The
+    step after ``er_part_entities``: entities say WHICH rows belong
+    together, the golden record says what the merged master row IS —
+    the argmax tie-breaks are the MDM survivorship rules stated
+    deterministically.
+
+    Scale: records are labeled by an entity-keyed broadcast-or-shuffle
+    join against the component relation (|entities| ≤ |names|, tiny
+    next to `part`); both survivorship branches aggregate on entity_id
+    so their exchanges line up and AQE reuses one shuffle; each argmax
+    is a single map-side-combinable ``min(struct(-cnt, value))`` — no
+    window sort over the fact stream."""
+    from ..operators.graph import connected_components
+
+    p = _t(spark, sf_dir, "part")
+    pairs = er_fuzzy_part_pairs(spark, sf_dir).select("name1", "name2")
+    comp = connected_components(pairs, src="name1", dst="name2")
+    rec = p.join(comp, p.p_name == comp.node, "left").select(
+        F.coalesce("component", F.col("p_name")).alias("entity_id"),
+        "p_name",
+        "p_brand",
+        "p_retailprice",
+    )
+    name_counts = rec.groupBy("entity_id", "p_name").agg(
+        F.count("*").alias("cnt")
+    )
+    survivor = (
+        name_counts.groupBy("entity_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg"), F.col("p_name"))
+            ).alias("best"),
+            F.count("*").alias("n_variants"),
+            F.sum("cnt").alias("total_recs"),
+        )
+        .select(
+            "entity_id",
+            F.col("best.p_name").alias("survivor_name"),
+            F.col("n_variants").cast("long").alias("n_variants"),
+            F.col("total_recs").cast("long").alias("total_recs"),
+        )
+    )
+    brand_counts = rec.groupBy("entity_id", "p_brand").agg(
+        F.count("*").alias("cnt")
+    )
+    modal_brand = (
+        brand_counts.groupBy("entity_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg"), F.col("p_brand"))
+            ).alias("best")
+        )
+        .select("entity_id", F.col("best.p_brand").alias("modal_brand"))
+    )
+    prices = rec.groupBy("entity_id").agg(
+        F.round(F.min("p_retailprice"), 2).alias("price_min"),
+        F.round(F.max("p_retailprice"), 2).alias("price_max"),
+    )
+    return survivor.join(modal_brand, "entity_id").join(prices, "entity_id")
+
+
+ER_GOLDEN_RECORD_SQL = """
+WITH RECURSIVE names AS (
+  SELECT p_name, count(*) AS n_recs FROM part GROUP BY p_name
+), side AS (
+  SELECT p_name AS name, string_split(p_name, ' ')[2] AS block FROM names
+), prs AS (
+  SELECT a.name AS name1, b.name AS name2
+  FROM side a JOIN side b ON a.block = b.block AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 4
+), edges AS (
+  SELECT name1 AS src, name2 AS dst FROM prs
+  UNION SELECT name2, name1 FROM prs
+), reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+), rec AS (
+  SELECT coalesce(c.component, p.p_name) AS entity_id,
+         p.p_name, p.p_brand, p.p_retailprice
+  FROM part p LEFT JOIN comp c ON p.p_name = c.node
+), name_counts AS (
+  SELECT entity_id, p_name, count(*) AS cnt FROM rec GROUP BY 1, 2
+), survivor AS (
+  SELECT entity_id,
+         min({'neg': -cnt, 'nm': p_name})['nm'] AS survivor_name,
+         CAST(count(*) AS BIGINT) AS n_variants,
+         CAST(sum(cnt) AS BIGINT) AS total_recs
+  FROM name_counts GROUP BY entity_id
+), brand_counts AS (
+  SELECT entity_id, p_brand, count(*) AS cnt FROM rec GROUP BY 1, 2
+), modal AS (
+  SELECT entity_id, min({'neg': -cnt, 'nm': p_brand})['nm'] AS modal_brand
+  FROM brand_counts GROUP BY entity_id
+), prices AS (
+  SELECT entity_id,
+         round(min(p_retailprice), 2) AS price_min,
+         round(max(p_retailprice), 2) AS price_max
+  FROM rec GROUP BY entity_id
+)
+SELECT s.entity_id, s.survivor_name, s.n_variants, s.total_recs,
+       m.modal_brand, p.price_min, p.price_max
+FROM survivor s JOIN modal m USING (entity_id) JOIN prices p USING (entity_id)
+"""
+
+
 QUERIES = {
+    "er_golden_record": (er_golden_record, ER_GOLDEN_RECORD_SQL),
     "er_part_entities": (er_part_entities, ER_PART_ENTITIES_SQL),
     "pii_redact_documents": (pii_redact_documents, PII_REDACT_DOCUMENTS_SQL),
     "snapshot_diff_customers": (

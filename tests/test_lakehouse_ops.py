@@ -353,3 +353,36 @@ class TestSnapshotDiff:
             for r in snapshot_diff(base, new, ["k"]).collect()
         }
         assert out == {1: "update", 2: "delete", 9: "insert"}
+
+
+def test_golden_record_survivorship_rules(spark, tmp_path):
+    from investcloud_data_pipeline_spark.plans.lakehouse import (
+        er_golden_record,
+    )
+
+    # One fuzzy entity ("acme widget red" ×2 / "acme widget rex" ×1 —
+    # same 'widget' block, lev distance 1) plus an unmatched singleton.
+    rows = [
+        (1, "acme widget red", "B1", "t", 1, 10.0),
+        (2, "acme widget red", "B1", "t", 1, 15.0),
+        (3, "acme widget rex", "B2", "t", 1, 20.0),
+        (4, "zzz gadget blue", "B9", "t", 1, 7.5),
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    got = {
+        r.entity_id: (
+            r.survivor_name, r.n_variants, r.total_recs,
+            r.modal_brand, r.price_min, r.price_max,
+        )
+        for r in er_golden_record(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        # min-name component label; survivor = most-record variant,
+        # modal brand = most-record brand, band spans ALL variants
+        "acme widget red": ("acme widget red", 2, 3, "B1", 10.0, 20.0),
+        "zzz gadget blue": ("zzz gadget blue", 1, 1, "B9", 7.5, 7.5),
+    }
