@@ -47,6 +47,7 @@ ROWS_ONLY = {
     "embedding_pca_project": "eigendecomposition of the covariance (not SQL)",
     "multimodal_byte_histogram": "binary payload histogram (no binary tables in DuckDB views)",
     "multimodal_phash_dedup": "PNG codec round-trip + dHash bit voting (not SQL)",
+    "multimodal_thumbnail": "PNG codec round-trip + pixel resample (not SQL)",
     "multimodal_wav_features": "WAV codec round-trip + numpy DSP (not SQL)",
     "text_bpe_encode": "greedy iterative merge application (not SQL; Python-reference tested)",
     "profile_orders": "HLL++ approx distincts are engine-specific (exact twin: profile_orders_exact)",

@@ -725,3 +725,77 @@ def wav_features(
             "rms double, peak double, zcr_hz double"
         ),
     )
+
+
+def resize_nearest(arr: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Deterministic nearest-neighbor resample to (out_h, out_w) via
+    integer index mapping (floor(i·h/out_h)) — pure numpy indexing, no
+    interpolation library, so the result is bit-identical on every
+    backend and partitioning. Channels pass through untouched."""
+    h, w = arr.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[rows][:, cols]
+
+
+def thumbnail_images(
+    df: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """The resize stage of a training-data image pipeline: decode the
+    binary payload, nearest-neighbor downsample to (out_h, out_w), and
+    re-encode as a real PNG — (id, decoded, orig dims, thumb payload +
+    its md5/size). Same quarantine contract as :func:`decode_media`:
+    NULL/corrupt payloads come back as decoded=false rows, never an
+    executor exception.
+
+    Scale: Arrow-batched ``mapInPandas``, one Python pass per payload;
+    the output carries the thumbnail BYTES (the writeback shape — a
+    sink would persist them), so batch sizes stay bounded by
+    maxRecordsPerBatch exactly like the decode path."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[content_col]):
+                arr = _decode_pixels(
+                    bytes(payload) if payload is not None else None
+                )
+                if arr is None:
+                    rows.append((i, False, None, None, None, None, None))
+                else:
+                    h, w, _c = arr.shape
+                    thumb = encode_png(resize_nearest(arr, out_h, out_w))
+                    rows.append(
+                        (
+                            i,
+                            True,
+                            w,
+                            h,
+                            len(thumb),
+                            hashlib.md5(thumb).hexdigest(),
+                            thumb,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "decoded",
+                    "width",
+                    "height",
+                    "thumb_bytes",
+                    "thumb_md5",
+                    "thumb",
+                ],
+            ).astype({"width": "Int64", "height": "Int64", "thumb_bytes": "Int64"})
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        schema="id long, decoded boolean, width long, height long, "
+        "thumb_bytes long, thumb_md5 string, thumb binary",
+    )

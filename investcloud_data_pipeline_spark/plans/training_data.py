@@ -1083,6 +1083,20 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.byte_histogram_features(media)
 
 
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE plumbing end-to-end on real PNG payloads: decode →
+    deterministic nearest-neighbor 8×8 downsample → re-encode → md5.
+    Rows-only registry entry (PNG codec round-trips aren't SQL);
+    correctness is pinned by round-trip/determinism/quarantine tests in
+    tests/test_multimodal.py."""
+    media = MM.attach_png_payload(_docs(spark, sf_dir))
+    out = MM.thumbnail_images(media, out_h=8, out_w=8)
+    # registry shape drops the raw blob; md5+size stand in for it
+    return out.select(
+        "id", "decoded", "width", "height", "thumb_bytes", "thumb_md5"
+    )
+
+
 def text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, step 1 at corpus scale: the 50 most
     frequent adjacent character pairs inside words, weighted by word
@@ -2547,6 +2561,7 @@ QUERIES = {
     "multimodal_decode_meta": (multimodal_decode_meta, MULTIMODAL_DECODE_META_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "multimodal_byte_histogram": (multimodal_byte_histogram, None),  # rows-only
+    "multimodal_thumbnail": (multimodal_thumbnail, None),  # rows-only
     "text_chunking_udtf": (text_chunking_udtf, TEXT_CHUNKING_UDTF_SQL),
     "text_chunking_explode": (text_chunking_explode, TEXT_CHUNKING_UDTF_SQL),
     "corpus_topic_clusters": (corpus_topic_clusters, None),  # rows-only (kmeans)

@@ -445,3 +445,79 @@ class TestWavAudio:
              for r in attach_wav_payload(base.repartition(3)).collect()}
         assert a == b
         assert all(p[:4] == b"RIFF" for p in a.values())
+
+
+class TestThumbnail:
+    def test_nearest_resize_exact_mapping(self):
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            resize_nearest,
+        )
+
+        arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        got = resize_nearest(arr[:, :, None], 2, 2)
+        # floor(i*4/2) -> source rows/cols 0 and 2
+        assert got[:, :, 0].tolist() == [[0, 2], [8, 10]]
+        # identity resize is a no-op
+        assert (
+            resize_nearest(arr[:, :, None], 4, 4)[:, :, 0] == arr
+        ).all()
+
+    def test_round_trip_and_quarantine(self, spark):
+        import hashlib
+
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            _decode_pixels,
+            attach_png_payload,
+            thumbnail_images,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "some document text"), (2, "other words entirely")],
+            "doc_id long, text string",
+        )
+        media = attach_png_payload(docs)
+        out = thumbnail_images(media, out_h=8, out_w=8)
+        rows = {r.id: r for r in out.collect()}
+        assert set(rows) == {1, 2}
+        for r in rows.values():
+            assert r.decoded and (r.width, r.height) == (16, 16)
+            arr = _decode_pixels(bytes(r.thumb))
+            assert arr is not None and arr.shape[:2] == (8, 8)
+            assert hashlib.md5(bytes(r.thumb)).hexdigest() == r.thumb_md5
+            assert r.thumb_bytes == len(bytes(r.thumb))
+
+        # corrupt + NULL payloads quarantine as decoded=false rows
+        from pyspark.sql import functions as F
+
+        bad = spark.createDataFrame(
+            [(10, bytearray(b"\x89PNGgarbage")), (11, None)],
+            "doc_id long, content binary",
+        )
+        got = {r.id: r.decoded for r in thumbnail_images(bad).collect()}
+        assert got == {10: False, 11: False}
+
+    def test_partitioning_invariance(self, spark):
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            attach_png_payload,
+            thumbnail_images,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"text number {i} with words") for i in range(20)],
+            "doc_id long, text string",
+        )
+        one = {
+            (r.id, r.thumb_md5)
+            for r in thumbnail_images(
+                attach_png_payload(docs.coalesce(1))
+            ).collect()
+        }
+        many = {
+            (r.id, r.thumb_md5)
+            for r in thumbnail_images(
+                attach_png_payload(docs.repartition(7))
+            ).collect()
+        }
+        assert one == many
