@@ -397,6 +397,90 @@ FROM feats
 """
 
 
+def text_quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table for the quality classifier — the standard
+    model-evaluation report: rank docs by predicted quality, cut into
+    10 equal bins (deterministic ntile: prob desc, doc_id tiebreak),
+    and profile each bin (volume, mean prob, mean length, keep share).
+    Shows score-length correlation and where the 0.5 threshold lands.
+
+    Scale posture matches customer_rfm_segments: the windowed input is
+    the NARROW scored relation (id + a few doubles), and an exact
+    global decile cut is inherently a total order — at 100 TB the
+    report would swap ntile for approx-quantile boundaries + a bucket
+    join; the exact form is what the oracle can mirror strictly."""
+    scored = text_quality_classifier(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("quality_prob").desc(), F.col("doc_id"))
+    d = scored.select(
+        "doc_id",
+        "n_tokens",
+        "quality_prob",
+        "keep",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+    # order-free per-bin means: exact decimal/integer sums, ONE final
+    # double division — partial-aggregation order can't flip the round
+    return d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("quality_prob").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_prob"),
+        F.round(F.min("quality_prob"), 6).alias("min_prob"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count("*"), 6
+        ).alias("avg_tokens"),
+        F.round(
+            F.sum(F.col("keep").cast("long")).cast("double") / F.count("*"),
+            6,
+        ).alias("keep_share"),
+    )
+
+
+_QUALITY_SCORED_CTE = f"""
+f AS (
+  SELECT doc_id,
+         len(list_filter(string_split({{NORM}}, ' '), x -> x <> '')) AS n_tokens,
+         list_filter(string_split({{NORM}}, ' '), x -> x <> '') AS toks,
+         {{NORM}} AS norm,
+         text
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CASE WHEN n_tokens > 0 THEN len(list_distinct(toks)) / n_tokens ELSE 0.0 END AS ttr,
+         CASE WHEN n_tokens > 0 THEN length(replace(norm, ' ', '')) / n_tokens ELSE 0.0 END AS mean_wlen,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / length(text)
+              ELSE 0.0 END AS alnum
+  FROM f
+), scored AS (
+  SELECT doc_id, n_tokens,
+         round(1.0 / (1.0 + exp(-(-3.0 + 0.02*n_tokens + 2.0*ttr + 0.3*mean_wlen + 1.5*alnum))), 6) AS quality_prob,
+         round(1.0 / (1.0 + exp(-(-3.0 + 0.02*n_tokens + 2.0*ttr + 0.3*mean_wlen + 1.5*alnum))), 6) >= 0.5 AS keep
+  FROM feats
+)
+""".replace("{NORM}", NORM_SQL)
+
+TEXT_QUALITY_DECILE_LIFT_SQL = f"""
+WITH {_QUALITY_SCORED_CTE},
+binned AS (
+  SELECT *, CAST(ntile(10) OVER (ORDER BY quality_prob DESC, doc_id) AS BIGINT) AS decile
+  FROM scored
+)
+SELECT decile,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(quality_prob AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_prob,
+       round(min(quality_prob), 6) AS min_prob,
+       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       round(CAST(sum(CAST(keep AS BIGINT)) AS DOUBLE) / count(*), 6) AS keep_share
+FROM binned GROUP BY decile
+"""
+
+
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per source: term frequency summed per
     (source, term) × ln(N/df) with unsmoothed document frequency —
@@ -2533,6 +2617,10 @@ QUERIES = {
     "text_lm_perplexity": (text_lm_perplexity, TEXT_LM_PERPLEXITY_SQL),
     "corpus_chunk_dedup": (corpus_chunk_dedup, CORPUS_CHUNK_DEDUP_SQL),
     "text_quality_classifier": (text_quality_classifier, TEXT_QUALITY_CLASSIFIER_SQL),
+    "text_quality_decile_lift": (
+        text_quality_decile_lift,
+        TEXT_QUALITY_DECILE_LIFT_SQL,
+    ),
     "text_tfidf_top_terms": (text_tfidf_top_terms, TEXT_TFIDF_TOP_TERMS_SQL),
     "corpus_train_test_split": (corpus_train_test_split, CORPUS_TRAIN_TEST_SPLIT_SQL),
     "corpus_stratified_sample": (corpus_stratified_sample, None),

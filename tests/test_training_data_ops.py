@@ -1075,3 +1075,23 @@ def test_bm25_hand_computed(spark, tmp_path):
     for rnk, d in enumerate(ranked, start=1):
         assert got[d] == (rnk, len(tf[d]), expected[d])
     assert set(tf[1]) | set(tf[2]) == set(BM25_TERMS)
+
+
+def test_quality_decile_lift_shape_and_monotonicity(spark, sf_dir):
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        text_quality_decile_lift,
+    )
+
+    rows = sorted(
+        text_quality_decile_lift(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # ntile bins differ by at most one row
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # ranked by prob desc -> per-bin mean prob is non-increasing
+    probs = [r.avg_prob for r in rows]
+    assert all(a >= b for a, b in zip(probs, probs[1:]))
+    # keep_share is a probability
+    assert all(0.0 <= r.keep_share <= 1.0 for r in rows)
