@@ -700,7 +700,128 @@ GROUP BY 1, 2
 """
 
 
+# ---------- rolling z-score outliers ----------
+#
+# Self-referential anomaly screen: each event scored against ITS OWN
+# user's trailing window (mean/std of the 10 preceding events), so a
+# globally-normal value still flags when it breaks that user's local
+# pattern — the complement of event_value_outliers' global MAD screen.
+# One window shuffle on user_id; the frame is bounded (10 rows), so
+# state per key is O(1) and the same plan runs at any fact scale.
+# Determinism: the frame is an exact row set under the (ts, event_id)
+# total order; avg/stddev over ≤10 doubles agree across engines to
+# ~1e-12 relative — the 6dp round has ~1e5× headroom.
+
+def event_value_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("value").over(w).alias("n_prev"),
+    ).filter((F.col("n_prev") >= 5) & (F.col("sigma") > 0))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return scored.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.round("mu", 6).alias("mu"),
+        F.round(z, 6).alias("zscore"),
+    ).filter(F.abs(z) > 3.0)
+
+
+EVENT_VALUE_ROLLING_ZSCORE_SQL = """
+WITH scored AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sigma,
+         count(value) OVER w AS n_prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       round(value, 6) AS value,
+       round(mu, 6) AS mu,
+       round((value - mu) / sigma, 6) AS zscore
+FROM scored
+WHERE n_prev >= 5 AND sigma > 0 AND abs((value - mu) / sigma) > 3.0
+"""
+
+
+# ---------- supplier concentration per part (HHI) ----------
+#
+# Market-concentration screen: for each part, the Herfindahl–Hirschman
+# index of supplier revenue shares (1.0 = single-sourced, 1/n = evenly
+# split across n) — the sourcing-risk number next to q2/q15's supplier
+# rankings. Two aggregations that share the l_partkey exchange (AQE
+# reuse); shares are one decimal-exact division each, and the share²
+# sum rides the DECIMAL(18,9) trick so per-part addition order can't
+# flip the 6dp round.
+
+def supplier_part_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(rev.alias("rev_ps"))
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("rev_ps").alias("rev_p"),
+    )
+    share = F.col("rev_ps").cast("double") / F.col("rev_p").cast("double")
+    return (
+        ps.join(per_part, "l_partkey")
+        .groupBy("l_partkey", "n_suppliers")
+        .agg(
+            F.max("rev_p").cast("double").alias("revenue"),
+            F.round(
+                F.sum(
+                    F.round(share * share, 9).cast("decimal(18,9)")
+                ).cast("double"),
+                6,
+            ).alias("hhi"),
+        )
+    )
+
+
+SUPPLIER_PART_HHI_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_ps
+  FROM lineitem GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         sum(rev_ps) AS rev_p
+  FROM ps GROUP BY 1
+)
+SELECT p.l_partkey, p.n_suppliers,
+       CAST(max(p.rev_p) AS DOUBLE) AS revenue,
+       round(CAST(sum(CAST(round(
+           (CAST(s.rev_ps AS DOUBLE) / CAST(p.rev_p AS DOUBLE))
+         * (CAST(s.rev_ps AS DOUBLE) / CAST(p.rev_p AS DOUBLE)), 9)
+         AS DECIMAL(18,9))) AS DOUBLE), 6) AS hhi
+FROM ps s JOIN per_part p USING (l_partkey)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "event_value_rolling_zscore": (
+        event_value_rolling_zscore,
+        EVENT_VALUE_ROLLING_ZSCORE_SQL,
+    ),
+    "supplier_part_hhi": (supplier_part_hhi, SUPPLIER_PART_HHI_SQL),
     "asof_purchase_last_click": (asof_purchase_last_click, ASOF_PURCHASE_LAST_CLICK_SQL),
     "event_ohlc_hourly": (event_ohlc_hourly, EVENT_OHLC_HOURLY_SQL),
     "attribution_linear": (attribution_linear, ATTRIBUTION_LINEAR_SQL),

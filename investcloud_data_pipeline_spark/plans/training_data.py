@@ -481,6 +481,87 @@ FROM binned GROUP BY decile
 """
 
 
+def text_term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-pair pointwise mutual information at document level —
+    which words co-occur MORE than their individual frequencies
+    predict (collocation discovery / topic-seed mining). Presence-based
+    (array_distinct before explode), so token repetition inside one doc
+    can't inflate the association.
+
+    pmi(a,b) = ln(n_ab·N / (df_a·df_b)); pairs with n_ab < 5 are cut.
+    Scale: pair expansion is the per-doc bounded quadratic (distinct
+    terms per doc, NOT raw tokens) via a co-partitioned self-join on
+    doc_id — the copurchase shape on text; df is |vocabulary| rows,
+    broadcast twice. Determinism: the ln argument is a single division
+    of two exact integer products — both engines see the identical
+    double, and ln's ≤1-ulp wobble is 1e9× under the 6dp round."""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    pres = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    stats = d.agg(F.count("*").cast("double").alias("n_docs"))
+    dfc = pres.groupBy("term").agg(F.count("*").alias("df"))
+    a, b = pres.alias("a"), pres.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term1"), F.col("b.term").alias("term2")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    pmi = F.log(
+        (F.col("n_ab") * F.col("n_docs"))
+        / (F.col("df1") * F.col("df2")).cast("double")
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                dfc.select(F.col("term").alias("term1"), F.col("df").alias("df1"))
+            ),
+            "term1",
+        )
+        .join(
+            F.broadcast(
+                dfc.select(F.col("term").alias("term2"), F.col("df").alias("df2"))
+            ),
+            "term2",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term1",
+            "term2",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )
+
+
+TEXT_TERM_COOCCURRENCE_PMI_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {NORM_SQL} AS norm FROM documents
+), pres AS (
+  SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS term
+  FROM docs WHERE norm <> ''
+), dfc AS (
+  SELECT term, count(*) AS df FROM pres GROUP BY term
+), pairs AS (
+  SELECT a.term AS term1, b.term AS term2, count(*) AS n_ab
+  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT p.term1, p.term2, p.n_ab,
+       round(ln((p.n_ab * (SELECT CAST(count(*) AS DOUBLE) FROM documents))
+                / CAST(d1.df * d2.df AS DOUBLE)), 6) AS pmi
+FROM pairs p
+JOIN dfc d1 ON p.term1 = d1.term
+JOIN dfc d2 ON p.term2 = d2.term
+"""
+
+
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per source: term frequency summed per
     (source, term) × ln(N/df) with unsmoothed document frequency —
@@ -2622,6 +2703,10 @@ QUERIES = {
         TEXT_QUALITY_DECILE_LIFT_SQL,
     ),
     "text_tfidf_top_terms": (text_tfidf_top_terms, TEXT_TFIDF_TOP_TERMS_SQL),
+    "text_term_cooccurrence_pmi": (
+        text_term_cooccurrence_pmi,
+        TEXT_TERM_COOCCURRENCE_PMI_SQL,
+    ),
     "corpus_train_test_split": (corpus_train_test_split, CORPUS_TRAIN_TEST_SPLIT_SQL),
     "corpus_stratified_sample": (corpus_stratified_sample, None),
     "corpus_clean_pipeline": (corpus_clean_pipeline, CORPUS_CLEAN_PIPELINE_SQL),

@@ -390,3 +390,91 @@ def test_item_cosine_hand_computed(spark, tmp_path):
         (101, 102): (1, 2, cos),
         (102, 101): (1, 2, cos),
     }
+
+
+def test_rolling_zscore_flags_local_spike(spark, tmp_path):
+    from investcloud_data_pipeline_spark.plans.temporal import (
+        event_value_rolling_zscore,
+    )
+
+    t = dt.datetime(2024, 3, 1)
+    s = dt.timedelta(minutes=1)
+    rows = []
+    # user 1: ten near-constant values then a huge spike -> flagged
+    vals = [10.0, 10.1, 9.9, 10.0, 10.2, 9.8, 10.0, 10.1, 9.9, 10.0, 500.0]
+    for i, v in enumerate(vals):
+        rows.append((i, t + i * s, 1, "view", v))
+    # user 2: same spike but only 3 prior events -> below n_prev floor
+    for i, v in enumerate([10.0, 10.1, 9.9, 500.0]):
+        rows.append((100 + i, t + i * s, 2, "view", v))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = event_value_rolling_zscore(spark, str(tmp_path)).collect()
+    assert [(r.event_id, r.user_id) for r in got] == [(10, 1)]
+    assert got[0].zscore > 100
+
+
+def test_supplier_hhi_known_concentrations(spark, tmp_path):
+    from investcloud_data_pipeline_spark.plans.temporal import (
+        supplier_part_hhi,
+    )
+
+    rows = [
+        # part 1: single supplier -> hhi 1.0
+        (1, 1, 11, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", dt.date(2024, 1, 1)),
+        # part 2: two equal suppliers -> hhi 0.5
+        (2, 2, 21, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", dt.date(2024, 1, 1)),
+        (3, 2, 22, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", dt.date(2024, 1, 1)),
+        # part 3: 80/20 split -> 0.64 + 0.04
+        (4, 3, 31, 1, 1.0, 80.0, 0.0, 0.0, "N", "O", dt.date(2024, 1, 1)),
+        (5, 3, 32, 1, 1.0, 20.0, 0.0, 0.0, "N", "O", dt.date(2024, 1, 1)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.l_partkey: (r.n_suppliers, r.revenue, r.hhi)
+        for r in supplier_part_hhi(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (1, 100.0, 1.0),
+        2: (2, 100.0, 0.5),
+        3: (2, 100.0, 0.68),
+    }
+
+
+def test_pmi_separates_collocated_from_independent(spark, tmp_path):
+    import math
+
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        text_term_cooccurrence_pmi,
+    )
+
+    # 'aa bb' always together (5 docs); 'cc' with each of them only via
+    # the 5 shared docs plus 5 solo docs each -> lower-than-predicted
+    docs = []
+    for i in range(5):
+        docs.append((i, "aa bb cc"))
+    for i in range(5, 10):
+        docs.append((i, "cc dd"))
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.term1, r.term2): (r.n_ab, r.pmi)
+        for r in text_term_cooccurrence_pmi(spark, str(tmp_path)).collect()
+    }
+    n = 10.0
+    # aa,bb: df 5 each, together 5 -> pmi = ln(5*10/25) = ln 2
+    assert got[("aa", "bb")] == (5, round(math.log(2), 6))
+    # aa,cc / bb,cc: df_a 5, df_cc 10, n_ab 5 -> ln(50/50) = 0
+    assert got[("aa", "cc")] == (5, 0.0)
+    assert got[("bb", "cc")] == (5, 0.0)
+    # cc,dd pairs: n_ab 5 -> ln(5*10/(10*5)) = 0; below-threshold pairs absent
+    assert got[("cc", "dd")] == (5, 0.0)
+    assert len(got) == 4
