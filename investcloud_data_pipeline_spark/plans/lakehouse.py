@@ -645,12 +645,15 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     pairs = er_fuzzy_part_pairs(spark, sf_dir).select("name1", "name2")
     comp = connected_components(pairs, src="name1", dst="name2")
+    # persisted: three survivorship branches (names, brands, prices)
+    # consume the labeled relation — without it each branch re-runs the
+    # part scan + component join
     rec = p.join(comp, p.p_name == comp.node, "left").select(
         F.coalesce("component", F.col("p_name")).alias("entity_id"),
         "p_name",
         "p_brand",
         "p_retailprice",
-    )
+    ).persist()
     name_counts = rec.groupBy("entity_id", "p_name").agg(
         F.count("*").alias("cnt")
     )

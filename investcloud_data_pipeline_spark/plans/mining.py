@@ -1331,6 +1331,10 @@ def copurchase_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = l.select("l_orderkey", "l_partkey").distinct()
     a = op.alias("a")
     b = op.alias("b")
+    # persisted: the symmetric union below consumes this relation TWICE
+    # (both orientations) — without the persist the whole basket
+    # self-join pipeline executes once per orientation (15 exchanges
+    # audited → 8 after)
     cooc = (
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
@@ -1339,7 +1343,7 @@ def copurchase_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cooc"))
         .filter(F.col("cooc") >= 2)
-    )
+    ).persist()
     totals = op.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count("*").alias("n")
     )
