@@ -38,8 +38,13 @@ def salted_sum(
     case (one key ≫ one executor's memory/cpu) and for aggregates
     without map-side combine (e.g. collect_list).
     """
-    salt = (F.abs(F.xxhash64(*[F.col(k) for k in keys], F.col(value_col)))
-            % salt_buckets).alias("__salt")
+    # pmod for the same reason as salted_join below: under ANSI,
+    # abs(Long.MIN_VALUE) THROWS; with ANSI off it stays negative and
+    # quietly creates a junk salt bucket
+    salt = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys], F.col(value_col)),
+        F.lit(salt_buckets),
+    ).alias("__salt")
     partial = (
         df.select(*keys, F.col(value_col), salt)
         .groupBy(*keys, "__salt")
