@@ -816,7 +816,125 @@ GROUP BY 1, 2
 """
 
 
+# ---------- sweep-line: concurrent shipments per day ----------
+#
+# Interval-overlap counting without an interval join: each shipment
+# occupies [l_shipdate, l_shipdate + 7d); decompose every interval into
+# a +1 start event and a −1 end event, aggregate deltas per day, and a
+# cumulative window turns them into the active count — the sweep-line
+# trick that replaces an O(days × shipments) range join with one
+# aggregation plus a window over |distinct days| rows. At 100 TB the
+# per-day delta aggregate is the only fact-sized shuffle (map-side
+# combinable); the cumulative scan runs over a few thousand days.
+# Integer counts only — nothing to round.
+
+def lineitem_active_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    starts = l.select(
+        F.col("l_shipdate").cast("date").alias("day"),
+        F.lit(1).cast("long").alias("delta"),
+    )
+    ends = l.select(
+        F.date_add(F.col("l_shipdate").cast("date"), 7).alias("day"),
+        F.lit(-1).cast("long").alias("delta"),
+    )
+    deltas = (
+        starts.unionByName(ends)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "day",
+        F.col("net").cast("long").alias("net_change"),
+        F.sum("net").over(w).cast("long").alias("active"),
+    )
+
+
+LINEITEM_ACTIVE_SHIPMENTS_SQL = """
+WITH deltas AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM (
+    SELECT CAST(l_shipdate AS DATE) AS day, 1 AS delta FROM lineitem
+    UNION ALL
+    SELECT CAST(l_shipdate AS DATE) + 7, -1 FROM lineitem
+  ) GROUP BY day
+)
+SELECT day, net AS net_change,
+       CAST(sum(net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
+FROM deltas
+"""
+
+
+# ---------- ABC / Pareto revenue classification ----------
+#
+# The 80/15/5 inventory screen: rank parts by revenue, cumulative
+# revenue share in rank order, class A until 80%, B until 95%, C after.
+# Revenue aggregates decimal-exact; the cumulative sum runs over the
+# |parts|-row aggregate (not the fact stream) in a deterministic
+# (revenue desc, partkey) order, and the share is ONE division per row
+# of two exact decimals — no float accumulation anywhere.
+
+def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        l.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(
+        F.col("revenue").desc(), F.col("l_partkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    total = rev.agg(F.sum("revenue").alias("total"))
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    return (
+        rev.withColumn("cum", F.sum("revenue").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= 0.80, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+PART_REVENUE_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         (SELECT sum(revenue) FROM rev) AS total
+  FROM rev
+)
+SELECT l_partkey,
+       CAST(revenue AS DOUBLE) AS revenue,
+       round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+       CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80 THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+"""
+
+
 QUERIES = {
+    "lineitem_active_shipments": (
+        lineitem_active_shipments,
+        LINEITEM_ACTIVE_SHIPMENTS_SQL,
+    ),
+    "part_revenue_abc": (part_revenue_abc, PART_REVENUE_ABC_SQL),
     "event_value_rolling_zscore": (
         event_value_rolling_zscore,
         EVENT_VALUE_ROLLING_ZSCORE_SQL,

@@ -478,3 +478,60 @@ def test_pmi_separates_collocated_from_independent(spark, tmp_path):
     # cc,dd pairs: n_ab 5 -> ln(5*10/(10*5)) = 0; below-threshold pairs absent
     assert got[("cc", "dd")] == (5, 0.0)
     assert len(got) == 4
+
+
+def test_active_shipments_sweep_line(spark, tmp_path):
+    from investcloud_data_pipeline_spark.plans.temporal import (
+        lineitem_active_shipments,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0 + dt.timedelta(days=3)),
+        (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0 + dt.timedelta(days=3)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        str(r.day): (r.net_change, r.active)
+        for r in lineitem_active_shipments(spark, str(tmp_path)).collect()
+    }
+    # day0: +1 -> 1 active; day3: +2 -> 3; day7: first expires -> 2;
+    # day10: remaining two expire -> 0
+    assert got == {
+        "2024-01-01": (1, 1),
+        "2024-01-04": (2, 3),
+        "2024-01-08": (-1, 2),
+        "2024-01-11": (-2, 0),
+    }
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    from investcloud_data_pipeline_spark.plans.temporal import (
+        part_revenue_abc,
+    )
+
+    rows = part_revenue_abc(spark, sf_dir).collect()
+    assert rows
+    by_share = sorted(rows, key=lambda r: r.cum_share)
+    # cumulative share is monotone and ends at 1.0
+    assert abs(by_share[-1].cum_share - 1.0) < 1e-6
+    # class boundaries respect the 80/95 cuts
+    for r in rows:
+        if r.cum_share <= 0.80:
+            assert r.abc_class == "A"
+        elif r.cum_share <= 0.95:
+            assert r.abc_class == "B"
+        else:
+            assert r.abc_class == "C"
+    # revenue within class A rows dominates: every A row's revenue >=
+    # every C row's revenue (rank order by construction)
+    a_min = min((r.revenue for r in rows if r.abc_class == "A"), default=None)
+    c_max = max((r.revenue for r in rows if r.abc_class == "C"), default=None)
+    if a_min is not None and c_max is not None:
+        assert a_min >= c_max
