@@ -929,7 +929,74 @@ FROM c
 """
 
 
+
+# ---------- EWMA smoothing over bounded trailing windows ----------
+#
+# Exponentially-weighted moving average, truncated to the trailing 16
+# events and renormalized (weights (1-a)^(n-k) / sum) — the smoothing
+# pass a monitoring pipeline runs before thresholding. The textbook
+# recursive EWMA is not expressible as a window aggregate; the bounded
+# truncation IS, via collect_list over the frame + a JVM higher-order
+# fold — no Python, O(16) state per row, one shuffle on user_id.
+# Determinism: weighted terms round to 9dp DECIMAL and fold LEFT in
+# frame order on both engines (aggregate() folds in array order), so
+# the 6dp result can't flap.
+
+EWMA_ALPHA = 0.5
+EWMA_WINDOW = 16
+
+
+def event_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    a = EWMA_ALPHA
+    xs = F.collect_list("value").over(w)
+    expr = f"""
+round(CAST(aggregate(
+  zip_with(__xs, sequence(1, size(__xs)), (x, k) ->
+    CAST(round({a} * power({1-a}, size(__xs) - k) * x
+               / (1 - power({1-a}, size(__xs))), 9) AS DECIMAL(18,9))),
+  CAST(0 AS DECIMAL(28,9)),
+  (acc, v) -> CAST(acc + v AS DECIMAL(28,9))) AS DOUBLE), 6)
+"""
+    return (
+        e.select("event_id", "user_id", "ts", "value")
+        .withColumn("__xs", xs)
+        .drop("ts")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            F.expr(expr).alias("ewma"),
+        )
+    )
+
+
+EVENT_VALUE_EWMA_SQL = f"""
+WITH w AS (
+  SELECT event_id, user_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS xs
+  FROM events
+), e AS (
+  SELECT event_id, user_id, value, unnest(xs) AS xi,
+         generate_subscripts(xs, 1) AS k, len(xs) AS n
+  FROM w
+)
+SELECT event_id, user_id,
+       round(value, 6) AS value,
+       round(CAST(sum(CAST(round({EWMA_ALPHA} * power({1-EWMA_ALPHA}, n - k) * xi
+                  / (1 - power({1-EWMA_ALPHA}, n)), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS ewma
+FROM e GROUP BY event_id, user_id, value
+"""
+
+
 QUERIES = {
+    "event_value_ewma": (event_value_ewma, EVENT_VALUE_EWMA_SQL),
     "lineitem_active_shipments": (
         lineitem_active_shipments,
         LINEITEM_ACTIVE_SHIPMENTS_SQL,

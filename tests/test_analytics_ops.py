@@ -535,3 +535,34 @@ def test_abc_classes_partition_revenue(spark, sf_dir):
     c_max = max((r.revenue for r in rows if r.abc_class == "C"), default=None)
     if a_min is not None and c_max is not None:
         assert a_min >= c_max
+
+
+def test_ewma_hand_computed(spark, tmp_path):
+    from investcloud_data_pipeline_spark.plans.temporal import (
+        event_value_ewma,
+    )
+
+    t = dt.datetime(2024, 5, 1)
+    s = dt.timedelta(minutes=1)
+    rows = [(i, t + i * s, 1, "view", v) for i, v in enumerate([10.0, 20.0, 30.0])]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_id: r.ewma
+        for r in event_value_ewma(spark, str(tmp_path)).collect()
+    }
+
+    def ewma(vals, a=0.5):
+        n = len(vals)
+        terms = [
+            round(a * (1 - a) ** (n - k) * x / (1 - (1 - a) ** n), 9)
+            for k, x in enumerate(vals, start=1)
+        ]
+        return round(sum(terms), 6)
+
+    # truncated-renormalized EWMA: first row is the value itself
+    assert got[0] == 10.0
+    assert got[1] == ewma([10.0, 20.0])
+    assert got[2] == ewma([10.0, 20.0, 30.0])
