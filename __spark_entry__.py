@@ -49,6 +49,7 @@ ROWS_ONLY = {
     "multimodal_phash_dedup": "PNG codec round-trip + dHash bit voting (not SQL)",
     "multimodal_thumbnail": "PNG codec round-trip + pixel resample (not SQL)",
     "multimodal_wav_features": "WAV codec round-trip + numpy DSP (not SQL)",
+    "multimodal_wav_resample": "WAV codec round-trip + decimation (not SQL)",
     "text_bpe_encode": "greedy iterative merge application (not SQL; Python-reference tested)",
     "profile_orders": "HLL++ approx distincts are engine-specific (exact twin: profile_orders_exact)",
     "pydatasource_activity_profile": "generator-source input has no DuckDB-visible table",

@@ -799,3 +799,75 @@ def thumbnail_images(
         schema="id long, decoded boolean, width long, height long, "
         "thumb_bytes long, thumb_md5 string, thumb binary",
     )
+
+
+def resample_wav(
+    df: DataFrame,
+    factor: int = 4,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Audio downsample-by-decimation: decode PCM16 WAV, keep every
+    ``factor``-th sample, re-encode at rate/factor — the audio
+    counterpart of :func:`thumbnail_images` (the rate-normalization
+    stage an audio curation pipeline runs before featurization; plain
+    decimation aliases above the new Nyquist, which is acceptable for
+    the band-limited synthetic fixtures and keeps the kernel
+    backend-free and bit-deterministic). Same quarantine contract:
+    undecodable payloads become decoded=false rows.
+
+    Scale: Arrow-batched mapInPandas, one codec pass per payload; the
+    re-encoded bytes ride in the output (writeback shape), so
+    ``maxRecordsPerBatch`` bounds memory exactly like the image path."""
+    import hashlib
+
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[content_col]):
+                parsed = parse_wav(payload)
+                if parsed is None or parsed[3].size == 0:
+                    rows.append((i, False, None, None, None, None, None))
+                    continue
+                _, rate, _, x = parsed
+                out_rate = max(1, rate // factor)
+                y = x[::factor]
+                blob = encode_wav_pcm16(y, sample_rate=out_rate)
+                rows.append(
+                    (
+                        i,
+                        True,
+                        int(x.size),
+                        int(y.size),
+                        int(out_rate),
+                        hashlib.md5(blob).hexdigest(),
+                        blob,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "decoded",
+                    "n_samples_in",
+                    "n_samples_out",
+                    "out_rate",
+                    "wav_md5",
+                    "wav",
+                ],
+            ).astype(
+                {
+                    "n_samples_in": "Int64",
+                    "n_samples_out": "Int64",
+                    "out_rate": "Int64",
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        schema="id long, decoded boolean, n_samples_in long, "
+        "n_samples_out long, out_rate long, wav_md5 string, wav binary",
+    )

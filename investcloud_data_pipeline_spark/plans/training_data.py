@@ -2108,6 +2108,19 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.wav_features(with_audio)
 
 
+def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio rate-normalization end-to-end on real PCM16 payloads:
+    decode → decimate ×4 → re-encode at rate/4 → md5. Rows-only (WAV
+    codec round-trips aren't SQL); decimation identity, sample-count
+    law, round-trip and quarantine behavior are pytest-pinned."""
+    d = _docs(spark, sf_dir)
+    with_audio = MM.attach_wav_payload(d)
+    out = MM.resample_wav(with_audio, factor=4)
+    return out.select(
+        "id", "decoded", "n_samples_in", "n_samples_out", "out_rate", "wav_md5"
+    )
+
+
 def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line/document hygiene (terminal-punctuation lines,
     >= 5 words/line, javascript-line drop, brace / lorem-ipsum /
@@ -2670,6 +2683,7 @@ QUERIES = {
     "text_c4_filter": (text_c4_filter, TEXT_C4_FILTER_SQL),
     "text_gopher_gate": (text_gopher_gate, TEXT_GOPHER_GATE_SQL),
     "multimodal_wav_features": (multimodal_wav_features, None),  # rows-only
+    "multimodal_wav_resample": (multimodal_wav_resample, None),  # rows-only
     "corpus_quality_report": (corpus_quality_report, CORPUS_QUALITY_REPORT_SQL),
     "text_bpe_encode": (text_bpe_encode, None),  # rows-only (iterative)
     "text_html_strip": (text_html_strip, TEXT_HTML_STRIP_SQL),

@@ -521,3 +521,59 @@ class TestThumbnail:
             ).collect()
         }
         assert one == many
+
+
+class TestWavResample:
+    def test_decimation_laws_and_round_trip(self, spark):
+        import hashlib
+
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            encode_wav_pcm16,
+            parse_wav,
+            resample_wav,
+        )
+
+        rate = 8000
+        t = np.arange(rate) / rate  # 1s
+        sine = 0.5 * np.sin(2 * np.pi * 100 * t)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav_pcm16(sine, rate))), (2, None)],
+            "id long, content binary",
+        )
+        rows = {r.id: r for r in resample_wav(df, factor=4).collect()}
+        assert rows[2].decoded is False
+        r = rows[1]
+        assert r.decoded and r.n_samples_in == rate
+        assert r.n_samples_out == (rate + 3) // 4
+        assert r.out_rate == rate // 4
+        # re-encoded payload decodes and matches the declared law:
+        # y = x[::4] (within PCM16 quantization of the re-encode)
+        parsed = parse_wav(bytes(r.wav))
+        assert parsed is not None
+        _, out_rate, _, y = parsed
+        assert out_rate == rate // 4 and y.size == r.n_samples_out
+        x = parse_wav(bytes(encode_wav_pcm16(sine, rate)))[3]
+        assert np.max(np.abs(y - x[::4])) < 1.0 / 32767 + 1e-9
+        assert hashlib.md5(bytes(r.wav)).hexdigest() == r.wav_md5
+
+    def test_factor_one_is_identity_rate(self, spark):
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            encode_wav_pcm16,
+            resample_wav,
+        )
+
+        rate = 4000
+        x = 0.1 * np.ones(rate // 2)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav_pcm16(x, rate)))], "id long, content binary"
+        )
+        r = resample_wav(df, factor=1).collect()[0]
+        assert (r.out_rate, r.n_samples_in, r.n_samples_out) == (
+            rate,
+            x.size,
+            x.size,
+        )
