@@ -492,7 +492,10 @@ def text_term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair expansion is the per-doc bounded quadratic (distinct
     terms per doc, NOT raw tokens) via a co-partitioned self-join on
     doc_id — the copurchase shape on text; df is |vocabulary| rows,
-    broadcast twice. Determinism: the ln argument is a single division
+    broadcast twice (natural-language vocabularies plateau in the
+    ~1M-row / tens-of-MB range — within broadcast budget; for OPEN key
+    spaces, e.g. URLs-as-terms, drop the hint and let the join shuffle
+    on the term key). Determinism: the ln argument is a single division
     of two exact integer products — both engines see the identical
     double, and ln's ≤1-ulp wobble is 1e9× under the 6dp round."""
     from ..functions.text import tokens
