@@ -772,7 +772,9 @@ def supplier_part_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast(DEC)
         * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
     )
-    ps = l.groupBy("l_partkey", "l_suppkey").agg(rev.alias("rev_ps"))
+    # persisted: both the per-part rollup and the share join consume
+    # this relation — without it the lineitem aggregation runs twice
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(rev.alias("rev_ps")).persist()
     per_part = ps.groupBy("l_partkey").agg(
         F.count("*").cast("long").alias("n_suppliers"),
         F.sum("rev_ps").alias("rev_p"),
