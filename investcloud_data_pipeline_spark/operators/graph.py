@@ -632,3 +632,68 @@ def k_core(
             e_l.unpersist()
     e0.unpersist()
     return out
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    driver_edge_limit: int = 2_000_000,
+) -> DataFrame:
+    """Connected components with the same guarded two-path shape as the
+    k-means fit (`functions/vectors.py`): a graph small enough to hold
+    on the driver (≤ ``driver_edge_limit`` edges ≈ tens of MB) closes
+    with an in-memory union-find in one collect — iterative CC at toy
+    scale is pure scheduling overhead (measured on a 3.3k-edge
+    mutual-kNN graph: min-label 8.3s, star 34s, union-find <0.5s) —
+    while anything larger routes to ``connected_components_star``
+    (O(log² n) rounds, the 100 TB path). Labels are IDENTICAL on both
+    paths: component id = min member id.
+
+    The limit is a FALLBACK boundary, not a correctness guard — no
+    raise, the distributed path simply engages.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    n = e.count()
+    if n > driver_edge_limit:
+        out = connected_components_star(e)
+        e.unpersist()
+        return out
+
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = find(r.src), find(r.dst)
+        if a != b:
+            parent[b] = a
+    # min-label resolution: map every root to its component's min member
+    comp_min: dict = {}
+    nodes = {r.src for r in rows} | {r.dst for r in rows}
+    for v in nodes:
+        root = find(v)
+        if root not in comp_min or v < comp_min[root]:
+            comp_min[root] = v
+    spark = edges.sparkSession
+    node_type = e.schema["src"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", node_type, False),
+            StructField("component", node_type, False),
+        ]
+    )
+    out = spark.createDataFrame(
+        [(v, comp_min[find(v)]) for v in sorted(nodes)], schema
+    )
+    e.unpersist()
+    return out

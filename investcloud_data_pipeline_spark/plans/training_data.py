@@ -830,6 +830,109 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DF.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
+def dedup_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering WITHOUT a parametric fit: mutual-kNN graph +
+    connected components. Each vector keeps its top-5 neighbors (by
+    cosine, among candidates ≥ 0.35); an edge survives only if BOTH
+    endpoints keep each other (mutuality kills hub/chaining artifacts —
+    the classic failure of threshold-only linking); components of the
+    surviving graph are the clusters, singletons kept. The k-means-free
+    complement of `corpus_topic_clusters` / `dedup_semantic_pairs`, and
+    fully oracle-expressible (rank + mutual join + recursive CTE) where
+    those are rows-only.
+
+    Scale: the candidate relation is the SAME bucketed/near-dup pair
+    build as dedup_embedding_cosine (its scale posture applies); the
+    per-point top-k is a WindowGroupLimit heap on the pair relation,
+    the mutuality check a self-join on the (src, dst) key, and the CC
+    loop runs on a graph no bigger than 5n edges. Star contraction, not
+    min-label propagation: kNN graphs CHAIN (that is their point), so
+    the diameter — and with it the min-label round count — grows with
+    cluster size; round-based CC at toy scale is pure scheduling
+    overhead either way, so the AUTO path closes small graphs with the
+    guarded driver union-find and routes big ones to star contraction
+    (same two-path shape as the k-means fit)."""
+    from ..operators.graph import connected_components_auto
+
+    emb = _emb(spark, sf_dir)
+    # persisted: the symmetric union consumes the Arrow-matmul pair
+    # pipeline twice — once per orientation — without it
+    pairs = DF.embedding_near_dup_pairs(emb, threshold=0.35).persist()
+    sym = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst"), "cos"
+    ).union(
+        pairs.select(
+            F.col("id2").alias("src"), F.col("id1").alias("dst"), "cos"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    knn = (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("src", "dst")
+    ).persist()
+    k1, k2 = knn.alias("k1"), knn.alias("k2")
+    mutual = (
+        k1.join(
+            k2,
+            (F.col("k1.src") == F.col("k2.dst"))
+            & (F.col("k1.dst") == F.col("k2.src")),
+        )
+        .filter(F.col("k1.src") < F.col("k1.dst"))
+        .select(F.col("k1.src").alias("src"), F.col("k1.dst").alias("dst"))
+    )
+    comp = connected_components_auto(mutual)
+    labeled = (
+        emb.select(F.col("vec_id"))
+        .join(comp, emb.vec_id == comp.node, "left")
+        .select(
+            F.coalesce("component", F.col("vec_id")).alias("cluster_id")
+        )
+    )
+    out = labeled.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    knn.unpersist()
+    return out
+
+
+DEDUP_MUTUAL_KNN_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
+), sym AS (
+  SELECT id1 AS src, id2 AS dst, cos FROM pairs
+  UNION ALL SELECT id2, id1, cos FROM pairs
+), knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+    FROM sym
+  ) WHERE rnk <= 5
+), mutual AS (
+  SELECT k1.src, k1.dst
+  FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+  WHERE k1.src < k1.dst
+), edges AS (
+  SELECT src, dst FROM mutual UNION SELECT dst, src FROM mutual
+), reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+)
+SELECT coalesce(c.component, v.vec_id) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node
+GROUP BY 1
+"""
+
+
 def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cluster-scoped near-dup pairs — the k-independent-blocks
     scale path for embedding dedup; rows-only (seeded k-means). Cell
@@ -2733,6 +2836,10 @@ QUERIES = {
     "multimodal_phash_dedup": (multimodal_phash_dedup, None),  # rows-only
     "text_bpe_first_merges": (text_bpe_first_merges, TEXT_BPE_FIRST_MERGES_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+    "dedup_mutual_knn_clusters": (
+        dedup_mutual_knn_clusters,
+        DEDUP_MUTUAL_KNN_CLUSTERS_SQL,
+    ),
     "embedding_normalize": (embedding_normalize, EMBEDDING_NORMALIZE_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "winsorize_event_values": (winsorize_event_values, WINSORIZE_EVENT_VALUES_SQL),

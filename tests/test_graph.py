@@ -382,3 +382,52 @@ class TestKCore:
             (r.part, r.core_degree)
             for r in copurchase_kcore(spark, sf_dir).collect()
         }
+
+
+class TestAutoComponents:
+    EDGES = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (11, 12), (10, 12),    # triangle
+        (20, 21),                        # pair
+    ]
+
+    def _run(self, spark, fn, edges, schema="src long, dst long", **kw):
+        df = spark.createDataFrame(edges, schema)
+        return {r.node: r.component for r in fn(df, **kw).collect()}
+
+    def test_driver_path_matches_min_label(self, spark):
+        from investcloud_data_pipeline_spark.operators.graph import (
+            connected_components,
+            connected_components_auto,
+        )
+
+        assert self._run(spark, connected_components_auto, self.EDGES) == \
+            self._run(spark, connected_components, self.EDGES)
+
+    def test_fallback_path_is_identical(self, spark):
+        from investcloud_data_pipeline_spark.operators.graph import (
+            connected_components_auto,
+        )
+
+        small = self._run(spark, connected_components_auto, self.EDGES)
+        # limit of 1 edge forces the star-contraction fallback
+        big = self._run(
+            spark, connected_components_auto, self.EDGES,
+            driver_edge_limit=1,
+        )
+        assert small == big == {
+            1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20
+        }
+
+    def test_string_ids(self, spark):
+        from investcloud_data_pipeline_spark.operators.graph import (
+            connected_components_auto,
+        )
+
+        got = self._run(
+            spark,
+            connected_components_auto,
+            [("b", "a"), ("b", "c"), ("x", "y")],
+            schema="src string, dst string",
+        )
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
