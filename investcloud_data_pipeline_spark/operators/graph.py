@@ -660,7 +660,10 @@ def connected_components_auto(
         e.unpersist()
         return out
 
-    rows = e.collect()
+    # Arrow collect (not .collect()): 2M (long, long) edges are ~32MB
+    # as pandas columns vs ~400MB as driver Row objects
+    pdf = e.toPandas()
+    srcs, dsts = pdf["src"].tolist(), pdf["dst"].tolist()
     parent: dict = {}
 
     def find(x):
@@ -671,13 +674,13 @@ def connected_components_auto(
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        a, b = find(r.src), find(r.dst)
+    for a0, b0 in zip(srcs, dsts):
+        a, b = find(a0), find(b0)
         if a != b:
             parent[b] = a
     # min-label resolution: map every root to its component's min member
     comp_min: dict = {}
-    nodes = {r.src for r in rows} | {r.dst for r in rows}
+    nodes = set(srcs) | set(dsts)
     for v in nodes:
         root = find(v)
         if root not in comp_min or v < comp_min[root]:
