@@ -498,3 +498,28 @@ def test_new_text_ops_plan_shapes(spark, sf_dir):
     # tokenizer barrier (id) + digest window (gh) + island merge (id);
     # a 4th means the distinct/count/semi-join shape crept back
     assert spans.count("Exchange hashpartitioning") <= 3
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """A join against a FILTERED dim over a partition-keyed fact must
+    insert a dynamic-pruning subquery on the fact scan: at 100 TB this
+    is the difference between scanning one partition and all of them.
+    Asserted on the optimized plan (dynamicpruning expression present)
+    AND on the result (only the selected partition's rows survive)."""
+    fact = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("part_key"),
+        (F.col("id") * 2).alias("v"),
+    )
+    fact.write.partitionBy("part_key").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.createDataFrame(
+        [(i, "keep" if i == 3 else "drop") for i in range(10)],
+        "part_key long, tag string",
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    out = f.join(dim.filter(F.col("tag") == "keep"), "part_key")
+    qe = out._jdf.queryExecution().toString()
+    assert "dynamicpruning" in qe.lower()
+    assert out.count() == 1_000
