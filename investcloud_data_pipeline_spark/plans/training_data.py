@@ -785,6 +785,81 @@ FROM ex GROUP BY doc_id
 """
 
 
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy ledger as a STRICT-oracle query: for every exact
+    Jaccard-≥0.5 pair, the 12-hash MinHash estimate (matching signature
+    positions / 12) next to the exact value and the absolute error —
+    the number that justifies the LSH banding dial. Portable because
+    the signatures are salted-md5 mins (same expression in DuckDB), so
+    unlike the HLL/CMS sketches this estimator needs no TRUE-boolean
+    gating: the estimate itself cross-checks bit-for-bit.
+
+    Scale: the pair relation and the signature aggregate share the
+    shingle barrier (memoized); the signature join is two hash joins on
+    doc id against a |docs|-row relation."""
+    d = _docs(spark, sf_dir)
+    pairs = DF.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    sigs = DF.minhash_signatures(d, n=3, num_hashes=_NUM_HASHES)
+    s1 = sigs.select(
+        F.col("id").alias("id1"),
+        *[F.col(f"mh_{j}").alias(f"a{j}") for j in range(_NUM_HASHES)],
+    )
+    s2 = sigs.select(
+        F.col("id").alias("id2"),
+        *[F.col(f"mh_{j}").alias(f"b{j}") for j in range(_NUM_HASHES)],
+    )
+    matches = None
+    for j in range(_NUM_HASHES):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    est = matches / float(_NUM_HASHES)
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            "jaccard",
+            F.round(est, 6).alias("mh_estimate"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
+_MH_MATCHES = " + ".join(
+    f"(CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END)"
+    for j in range(_NUM_HASHES)
+)
+
+DEDUP_MINHASH_ACCURACY_SQL = f"""
+WITH {{SHINGLES}},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id1, id2,
+         round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
+),
+mh AS (
+  SELECT doc_id, {{MH_COLS}}
+  FROM ex GROUP BY doc_id
+)
+SELECT j.id1, j.id2, j.jaccard,
+       round(({_MH_MATCHES}) / {float(_NUM_HASHES)}, 6) AS mh_estimate,
+       round(abs(({_MH_MATCHES}) / {float(_NUM_HASHES)} - j.jaccard), 6) AS abs_err
+FROM jac j
+JOIN mh a ON j.id1 = a.doc_id
+JOIN mh b ON j.id2 = b.doc_id
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DF.minhash_lsh_candidates(
         _docs(spark, sf_dir), n=3, num_hashes=_NUM_HASHES, bands=_BANDS
@@ -802,6 +877,9 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
 )
 _MH_COLS = ",\n       ".join(
     f"min(md5('{j}:' || shingle)) AS mh_{j}" for j in range(_NUM_HASHES)
+)
+DEDUP_MINHASH_ACCURACY_SQL = DEDUP_MINHASH_ACCURACY_SQL.format(
+    SHINGLES=SHINGLES_CTE, MH_COLS=_MH_COLS
 )
 DEDUP_MINHASH_LSH_SQL = f"""
 WITH {SHINGLES_CTE},
@@ -2807,6 +2885,7 @@ QUERIES = {
     "text_repetition_stats": (text_repetition_stats, TEXT_REPETITION_STATS_SQL),
     "corpus_source_mix": (corpus_source_mix, CORPUS_SOURCE_MIX_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash_accuracy": (dedup_minhash_accuracy, DEDUP_MINHASH_ACCURACY_SQL),
     "dedup_ngram_containment": (
         dedup_ngram_containment,
         DEDUP_NGRAM_CONTAINMENT_SQL,

@@ -1095,3 +1095,32 @@ def test_quality_decile_lift_shape_and_monotonicity(spark, sf_dir):
     assert all(a >= b for a, b in zip(probs, probs[1:]))
     # keep_share is a probability
     assert all(0.0 <= r.keep_share <= 1.0 for r in rows)
+
+
+def test_minhash_accuracy_identical_docs_estimate_one(spark, tmp_path):
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        dedup_minhash_accuracy,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(1, text), (2, text), (3, "completely different content here")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    rows = dedup_minhash_accuracy(spark, str(tmp_path)).collect()
+    got = {(r.id1, r.id2): (r.jaccard, r.mh_estimate, r.abs_err) for r in rows}
+    # identical docs: identical shingle sets -> identical signatures
+    assert got == {(1, 2): (1.0, 1.0, 0.0)}
+
+
+def test_minhash_estimate_error_is_bounded_on_corpus(spark, sf_dir):
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        dedup_minhash_accuracy,
+    )
+
+    rows = dedup_minhash_accuracy(spark, sf_dir).collect()
+    if rows:
+        # 12 hashes -> granularity 1/12; everything at jaccard>=0.5
+        # should estimate within a few notches
+        assert all(r.abs_err <= 4 / 12 + 1e-9 for r in rows)
+        assert all(0.0 <= r.mh_estimate <= 1.0 for r in rows)
