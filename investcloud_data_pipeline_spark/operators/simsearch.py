@@ -384,3 +384,42 @@ def brp_lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", F.col("rk").cast("long").alias("rk"), "neighbor_id", "dist")
     )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by INNER PRODUCT (maximum-inner-product search) per
+    query — the retrieval objective of recommender / two-tower models,
+    where vector magnitude carries signal (popularity, confidence) that
+    cosine deliberately strips. Same physical shape as
+    :func:`brute_force_topk`: broadcast queries, one scan of the
+    corpus, per-query WindowGroupLimit heap, (score desc, id asc)
+    determinism. The scale path is the usual MIPS reduction — augment
+    corpus vectors with sqrt(M²−‖x‖²) and reuse any cosine/L2 index —
+    kept out of scope here; this is the exact reference ranking."""
+    from ..functions.vectors import dot, to_double_array
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", F.round(dot(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", F.col("rk").cast("long").alias("rk"),
+            "neighbor_id", "dot",
+        )
+    )

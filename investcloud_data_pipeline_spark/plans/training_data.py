@@ -1164,6 +1164,31 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.brute_force_topk(emb, _queries_subset(emb), k=5)
 
 
+def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-5 per query — magnitude-aware
+    ranking next to the cosine baseline (`ann_brute_force_topk`); the
+    two orders DIFFER wherever norms vary, which is the point."""
+    emb = _emb(spark, sf_dir)
+    return SS.mips_topk(emb, _queries_subset(emb), k=5)
+
+
+ANN_MIPS_TOPK_SQL = """
+SELECT query_id, rk, neighbor_id, dot FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])), 6) AS dot,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                    c.vec_id ASC
+         ) AS rk
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rk <= 5
+"""
+
+
 ANN_BRUTE_FORCE_TOPK_SQL = """
 SELECT query_id, rk, neighbor_id, cos FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2925,6 +2950,7 @@ QUERIES = {
     "dedup_embedding_cosine_fast": (dedup_embedding_cosine_fast, None),  # rows-only
     "dedup_semantic_pairs": (dedup_semantic_pairs, None),  # rows-only (kmeans)
     "ann_brute_force_topk": (ann_brute_force_topk, ANN_BRUTE_FORCE_TOPK_SQL),
+    "ann_mips_topk": (ann_mips_topk, ANN_MIPS_TOPK_SQL),
     "ann_lsh_bucketed_topk": (ann_lsh_bucketed_topk, ANN_LSH_BUCKETED_TOPK_SQL),
     "ann_multiband_lsh_topk": (ann_multiband_lsh_topk, ANN_MULTIBAND_LSH_TOPK_SQL),
     "ann_brp_lsh_topk": (ann_brp_lsh_topk, None),  # rows-only (ml randomness)

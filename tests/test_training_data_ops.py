@@ -1124,3 +1124,24 @@ def test_minhash_estimate_error_is_bounded_on_corpus(spark, sf_dir):
         # should estimate within a few notches
         assert all(r.abs_err <= 4 / 12 + 1e-9 for r in rows)
         assert all(0.0 <= r.mh_estimate <= 1.0 for r in rows)
+
+
+def test_mips_ranking_is_magnitude_aware(spark):
+    from investcloud_data_pipeline_spark.operators.simsearch import (
+        brute_force_topk,
+        mips_topk,
+    )
+
+    # neighbor 2 is aligned with the query but short; neighbor 3 is
+    # less aligned but long: cosine prefers 2, inner product prefers 3.
+    vecs = [
+        (1, [1.0, 0.0]),          # query
+        (2, [0.9, 0.0]),          # cos 1.0, dot 0.9
+        (3, [8.0, 6.0]),          # cos 0.8, dot 8.0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 1")
+    cos_first = brute_force_topk(df, q, k=1).collect()[0]
+    dot_first = mips_topk(df, q, k=1).collect()[0]
+    assert cos_first.neighbor_id == 2
+    assert dot_first.neighbor_id == 3 and dot_first.dot == 8.0
