@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from investcloud_data_pipeline_spark.functions import pandas_udfs as PU
+from investcloud_data_pipeline_spark.plans import analytics_ext as AX
 from investcloud_data_pipeline_spark.plans import lakehouse as LH
 from investcloud_data_pipeline_spark.plans import mining as MN
 from investcloud_data_pipeline_spark.plans import pipeline_queries as P
@@ -86,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **{name: fn for name, (fn, _) in LH.QUERIES.items()},
         # Analytics mining (YoY, market-basket, triangles, funnel)
         **{name: fn for name, (fn, _) in MN.QUERIES.items()},
+        # Extended analytics (proration, skyline, bloom semi-join,
+        # prefix-filter exact set-similarity, bounded BFS, RAKE, shuffle)
+        **{name: fn for name, (fn, _) in AX.QUERIES.items()},
         # Engine-native Python data source (rows-only: generator input,
         # no DuckDB-visible tables)
         "pydatasource_activity_profile": activity_source_profile,
@@ -107,4 +111,5 @@ def oracle_sql() -> dict[str, str]:
         **{name: sql for name, (_, sql) in PU.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in LH.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in MN.QUERIES.items() if sql},
+        **{name: sql for name, (_, sql) in AX.QUERIES.items() if sql},
     }

@@ -700,3 +700,68 @@ def connected_components_auto(
     )
     e.unpersist()
     return out
+
+
+def bounded_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source bounded BFS: minimum hop distance from ANY seed
+    node, truncated at ``max_hops`` — the reachability primitive behind
+    "catalog neighborhood" / blast-radius queries. Returns
+    ``(node, hops)`` for every node within the bound (seeds at 0).
+
+    Frontier expansion, not walk enumeration: each round joins the
+    CURRENT frontier (nodes first reached last round) to the edge
+    relation, then anti-joins the visited set, so per-round work is
+    O(frontier-degree sum) and a node is expanded exactly once — on a
+    cyclic graph a walk-based formulation (what a naive recursive CTE
+    does) enumerates exponentially many paths. The fixed round bound
+    keeps the operator oracle-expressible: the DuckDB mirror is a
+    recursive CTE over (node, hops) states with set-dedup UNION, whose
+    min-hops aggregate provably equals BFS under the same bound.
+
+    Same loop-session isolation and lazy-composition shape as
+    :func:`k_core`: on small graphs all rounds compose into one job;
+    the frontier is persisted per round on the large path where an
+    empty-frontier early exit saves real shuffles.
+    """
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e0 = (
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    n_edges = e0.count()
+    spark = edges.sparkSession
+    with _small_graph_loop_scope(spark, n_edges) as scope:
+        e_l = scope.to_loop(e0)
+        seeds_l = scope.to_loop(
+            seeds.select(F.col(seed_col).alias("node")).distinct()
+        )
+        visited = seeds_l.select("node", F.lit(0).alias("hops"))
+        frontier = seeds_l
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e_l, frontier["node"] == e_l["a"])
+                .select(F.col("b").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+            )
+            if scope.isolated:
+                nxt = nxt.localCheckpoint(eager=False)
+            else:
+                nxt = nxt.persist()
+                if nxt.count() == 0:
+                    break
+            visited = visited.union(nxt.select("node", F.lit(h).alias("hops")))
+            frontier = nxt
+        out = scope.to_parent(
+            visited.select("node", F.col("hops").cast("long").alias("hops"))
+        )
+    e0.unpersist()
+    return out

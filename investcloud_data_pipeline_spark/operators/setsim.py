@@ -1,0 +1,169 @@
+"""Exact set-similarity self-join by prefix filtering (SSJoin/PPJoin).
+
+The LSH family (``dedup_fuzzy``: minhash banding, simhash blocking)
+trades recall for scale; prefix filtering is the EXACT counterpart for
+the same candidate-economics. For shingle-set Jaccard >= a/b, any two
+qualifying documents must share at least one shingle among each
+document's first
+
+    p = n - ceil(a*n/b) + 1       (n = number of distinct shingles)
+
+shingles under a single GLOBAL order (proof: let e be the first
+common element in that order; if e sat outside x's prefix, the whole
+intersection would fit in x's last ceil(a*n/b)-1 elements, which is
+strictly fewer than the >= a*n/b elements a qualifying pair must
+share). Ordering by ASCENDING document frequency makes each prefix
+the document's RAREST shingles, so the candidate join keys on the
+cold tail of the shingle vocabulary — small buckets by construction —
+while the guarantee stays lossless: zero false negatives, and every
+candidate is verified with the exact Jaccard before it is emitted.
+Contrast with ``dedup_fuzzy.ngram_jaccard_pairs``, which joins on ALL
+shared shingles and counts them: identical output, but prefix
+filtering touches only prefix buckets and defers counting to an
+array-intersect over the candidate pairs — strictly fewer join rows
+at the same exactness.
+
+Threshold arithmetic is kept rational (a/b, integer ceil via
+``(a*n + b - 1) div b``; final filter ``b*|∩| >= a*|∪|``) so the
+boundary never depends on float rounding and the DuckDB oracle — the
+brute-force all-pairs join, i.e. a strictly independent formulation —
+matches bit-for-bit.
+
+100 TB posture: two shuffles build the df-ranked token relation
+(explode + vocabulary count), one shuffle keys candidates on rare
+prefix tokens, and the verify join is pair-keyed. Nothing is
+quadratic in the corpus — the only quadratic term is per-bucket
+candidate expansion, and buckets are rare-token buckets. Exact copies
+of a document would still inflate their shared buckets m²-fold, so the
+same duplicate-collapse used by the LSH operators applies: group
+identical token-set digests first, match on representatives, expand
+after (here the expansion is left to ``exact_dedup`` upstream, which a
+curation pipeline runs before any near-dup pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num: int = 1,
+    den: int = 2,
+) -> DataFrame:
+    """Exact shingle-Jaccard >= num/den pairs via prefix filtering.
+
+    Returns ``(id1, id2, n_common, jaccard)`` with id1 < id2 and
+    jaccard rounded to 6dp for display; the threshold itself is
+    enforced in integer arithmetic (``den*n_common >= num*n_union``)
+    so the boundary never depends on float rounding.
+    """
+    from .dedup_fuzzy import shingle_relation
+
+    ex = shingle_relation(docs, text_col, id_col, n).withColumnRenamed(
+        "shingle", "tok"
+    )
+    # Global order = (document frequency ASC, shingle ASC): a total
+    # order over the shingle vocabulary that puts rare shingles first.
+    # The df join is vocabulary-sized, not corpus-sized.
+    df_counts = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = ex.join(df_counts, "tok")
+
+    per_doc = ranked.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("ordered")
+    )
+    n = F.size("ordered")
+    # p = n - ceil(num*n/den) + 1, integer-exact.
+    plen = n - F.floor((F.lit(num) * n + F.lit(den - 1)) / F.lit(den)).cast(
+        "int"
+    ) + F.lit(1)
+    per_doc = per_doc.select(
+        "id",
+        F.transform("ordered", lambda s: s["tok"]).alias("toks"),
+        F.slice(F.transform("ordered", lambda s: s["tok"]), 1, plen).alias(
+            "prefix"
+        ),
+    ).persist()
+
+    pref = per_doc.select("id", F.explode("prefix").alias("tok"))
+    cands = (
+        pref.alias("a")
+        .join(pref.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+    t1 = per_doc.select(F.col("id").alias("id1"), F.col("toks").alias("t1"))
+    t2 = per_doc.select(F.col("id").alias("id2"), F.col("toks").alias("t2"))
+    verified = (
+        cands.join(t1, "id1")
+        .join(t2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("t1", "t2")).alias("n_common"),
+            (F.size("t1") + F.size("t2")).alias("n_total"),
+        )
+        .filter(
+            F.lit(den) * F.col("n_common")
+            >= F.lit(num) * (F.col("n_total") - F.col("n_common"))
+        )
+        .select(
+            "id1",
+            "id2",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common") / (F.col("n_total") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return verified
+
+
+def seeded_shuffle_assignment(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    epoch_seed: str = "ep1",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic seeded global shuffle for training-order
+    randomization: order key = md5(seed:doc_id), shard = leading hex
+    nibbles of the key (uniform), position = rank of the key within
+    the shard. Changing ``epoch_seed`` reshuffles globally with zero
+    coordination — the property a multi-epoch training job needs.
+
+    ``n_shards`` must be a power of 16 divisor of the keyspace here
+    (16 or 256) so shard extraction stays a pure substring → integer
+    map that the DuckDB oracle restates verbatim.
+
+    100 TB posture: one hash-partitioned sort per shard (the write is
+    ``repartition(shard_id).sortWithinPartitions(sort_key)``), no
+    global sort; shards are md5-uniform so no skew.
+    """
+    if n_shards not in (16, 256):
+        raise ValueError("n_shards must be 16 or 256")
+    width = 1 if n_shards == 16 else 2
+    key = F.md5(
+        F.concat(F.lit(f"{epoch_seed}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard_id").orderBy("sort_key", id_col)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            key.alias("sort_key"),
+        )
+        .withColumn(
+            "shard_id",
+            F.conv(F.substring("sort_key", 1, width), 16, 10).cast("int"),
+        )
+        .select(
+            "doc_id",
+            "shard_id",
+            F.row_number().over(w).cast("long").alias("shard_pos"),
+        )
+    )
