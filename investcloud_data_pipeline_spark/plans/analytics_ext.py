@@ -651,12 +651,16 @@ FROM delta GROUP BY 1, 2
 
 def orders_priority_status_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    # marginals and the total are SUMS OF THE JOINT — derive them from
+    # the one fact-table shuffle instead of re-scanning orders three
+    # more times (the joint relation is |priorities|×|statuses| rows,
+    # so the re-aggregations are free at any scale)
     joint = o.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("n_xy")
-    )
-    mx = o.groupBy("o_orderpriority").agg(F.count("*").alias("n_x"))
-    my = o.groupBy("o_orderstatus").agg(F.count("*").alias("n_y"))
-    tot = o.agg(F.count("*").alias("n"))
+    ).persist()
+    mx = joint.groupBy("o_orderpriority").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("o_orderstatus").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
     pmi = F.log(
         F.col("n_xy").cast("double")
         * F.col("n").cast("double")
@@ -1141,8 +1145,323 @@ GROUP BY o_orderstatus
 """
 
 
+# ---------- burst detection ----------
+#
+# Max event count in any trailing 10-minute window per user — the
+# rate-anomaly screen behind abuse/alerting rules. A RANGE frame over
+# epoch seconds (both engines FLOOR the timestamp to whole seconds, so
+# the frames agree exactly); state per key is bounded by the window
+# span, which is what makes the same construct feasible as a streaming
+# watermarked aggregate. Peers at the same second are handled by the
+# set semantics of RANGE — no tie-break needed.
+
+def event_burst_max_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("epoch"))
+        .rangeBetween(-600, 0)
+    )
+    return (
+        e.select("user_id", epoch.alias("epoch"))
+        .select("user_id", F.count("*").over(w).alias("burst"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("burst").cast("long").alias("max_burst_10min"),
+        )
+    )
+
+
+EVENT_BURST_MAX_10MIN_SQL = """
+WITH w AS (
+  SELECT user_id,
+         count(*) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS burst
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(burst) AS BIGINT) AS max_burst_10min
+FROM w GROUP BY user_id
+"""
+
+
+# ---------- Benford first-digit forensics ----------
+#
+# Data-forensics screen: the first-significant-digit distribution of
+# extended prices vs Benford's law, with the chi-square decomposition
+# per digit. The digit is extracted through integer/string arithmetic
+# (never log10 of the value, whose libm rounding could flip a boundary
+# power of ten); the nine expected shares are compile-time literals
+# shared by both engines; one 9-key aggregate — map-side partials do
+# all the work at any scale.
+
+import math as _math
+
+_BENFORD_SHARES = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def lineitem_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1)
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = l.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_observed")
+    )
+    tot = obs.agg(F.sum("n_observed").alias("n"))
+    share = F.create_map(
+        *[
+            x
+            for d, s in sorted(_BENFORD_SHARES.items())
+            for x in (F.lit(d), F.lit(s))
+        ]
+    )
+    exp_n = F.col("n").cast("double") * share[F.col("digit")]
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.col("n_observed").cast("long").alias("n_observed"),
+            F.round(share[F.col("digit")], 6).alias("expected_share"),
+            F.round(
+                (F.col("n_observed").cast("double") - exp_n)
+                * (F.col("n_observed").cast("double") - exp_n)
+                / exp_n,
+                6,
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+def _benford_sql() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {s!r}" for d, s in sorted(_BENFORD_SHARES.items())
+    )
+    # the CAST matters: DuckDB types a bare float literal as DECIMAL,
+    # and decimal arithmetic would diverge from Spark's double math
+    share = f"(CAST(CASE digit {cases} END AS DOUBLE))"
+    return f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit,
+         count(*) AS n_observed
+  FROM lineitem WHERE l_extendedprice >= 1
+  GROUP BY 1
+),
+tot AS (SELECT sum(n_observed) AS n FROM obs)
+SELECT CAST(digit AS BIGINT) AS digit,
+       CAST(n_observed AS BIGINT) AS n_observed,
+       round({share}, 6) AS expected_share,
+       round((CAST(n_observed AS DOUBLE) - CAST(n AS DOUBLE) * {share})
+             * (CAST(n_observed AS DOUBLE) - CAST(n AS DOUBLE) * {share})
+             / (CAST(n AS DOUBLE) * {share}), 6) AS chi2_contrib
+FROM obs CROSS JOIN tot
+"""
+
+
+# ---------- Zipf rank-frequency fit ----------
+#
+# The corpus-statistics law check: OLS of ln(frequency) on ln(rank)
+# over the vocabulary — a healthy natural-language corpus fits slope
+# ≈ −1; scraped boilerplate and template spam bend it. The regression
+# runs on the vocabulary relation (bounded, not corpus-sized); its
+# four OLS sums use the repo's 9dp-round → DECIMAL(28,9) idiom so no
+# float summation order exists anywhere; the rank window is a
+# vocabulary-sized sort, documented like the other dimension-bounded
+# windows.
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    wr = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    xy = vocab.select(
+        F.log(F.row_number().over(wr).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    dec = "decimal(28,9)"
+    sums = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.round(F.col("x"), 9).cast(dec)).cast("double").alias("sx"),
+        F.sum(F.round(F.col("y"), 9).cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
+TEXT_ZIPF_FIT_SQL = f"""
+WITH docs AS (SELECT {NORM_SQL} AS norm FROM documents),
+vocab AS (
+  SELECT word, count(*) AS freq
+  FROM docs, unnest(string_split(norm, ' ')) AS t(word)
+  WHERE norm <> ''
+  GROUP BY 1
+),
+xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, word) AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM vocab
+),
+sums AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM sums
+"""
+
+
+# ---------- label centroid geometry ----------
+#
+# Per-label embedding centroids and their pairwise cosines — the
+# "are my classes separable?" screen for labeled vector corpora. The
+# vector aggregation is EXACT: components are 9dp-rounded and summed
+# as DECIMAL(18,9) keyed by (label, position) — a distributed
+# elementwise mean with no float summation order — and the pairwise
+# dot/norm sums reuse the same position-keyed exact-sum shape. Scale:
+# everything after the one fact shuffle is |labels|·dims rows.
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dec = "decimal(18,9)"
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double"), 9).cast(dec)).alias("sx"),
+            F.count("*").alias("nv"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("sx").cast("double") / F.col("nv").cast("double")).alias(
+                "c"
+            ),
+            "nv",
+        )
+        .persist()
+    )
+    a = cent.select(
+        F.col("label").alias("label1"),
+        "pos",
+        F.col("c").alias("ca"),
+        F.col("nv").alias("n1"),
+    )
+    b = cent.select(
+        F.col("label").alias("label2"),
+        "pos",
+        F.col("c").alias("cb"),
+        F.col("nv").alias("n2"),
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label1") < F.col("label2"))
+        .groupBy("label1", "label2", "n1", "n2")
+        .agg(
+            F.sum(F.round(F.col("ca") * F.col("cb"), 9).cast(dec))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.round(F.col("c") * F.col("c"), 9).cast(dec))
+        .cast("double")
+        .alias("nrm")
+    )
+    na = norms.select(F.col("label").alias("label1"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label2"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label1")
+        .join(F.broadcast(nb), "label2")
+        .select(
+            F.col("label1").cast("long").alias("label1"),
+            F.col("label2").cast("long").alias("label2"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round(
+                F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
+EMBEDDING_LABEL_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cent AS (
+  SELECT label, pos,
+         CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS c,
+         count(*) AS nv
+  FROM ex GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.label AS label1, b.label AS label2, a.nv AS n1, b.nv AS n2,
+         CAST(sum(CAST(round(a.c * b.c, 9) AS DECIMAL(18,9))) AS DOUBLE)
+           AS dot
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2, 3, 4
+),
+norms AS (
+  SELECT label,
+         CAST(sum(CAST(round(c * c, 9) AS DECIMAL(18,9))) AS DOUBLE) AS nrm
+  FROM cent GROUP BY 1
+)
+SELECT CAST(label1 AS BIGINT) AS label1,
+       CAST(label2 AS BIGINT) AS label2,
+       CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       round(dot / sqrt(na.nrm * nb.nrm), 6) AS centroid_cosine
+FROM dots
+JOIN norms na ON dots.label1 = na.label
+JOIN norms nb ON dots.label2 = nb.label
+"""
+
+
 QUERIES = {
     "ivm_join_delta": (ivm_join_delta, IVM_JOIN_DELTA_SQL),
+    "event_burst_max_10min": (event_burst_max_10min, EVENT_BURST_MAX_10MIN_SQL),
+    "lineitem_benford_digits": (lineitem_benford_digits, _benford_sql()),
+    "text_zipf_fit": (text_zipf_fit, TEXT_ZIPF_FIT_SQL),
+    "embedding_label_centroids": (
+        embedding_label_centroids,
+        EMBEDDING_LABEL_CENTROIDS_SQL,
+    ),
     "sliding_week_distinct_users": (
         sliding_week_distinct_users,
         SLIDING_WEEK_DISTINCT_USERS_SQL,

@@ -460,3 +460,87 @@ def test_mad_hand_computed(spark):
     assert r.n_orders == 4
     assert r.median_price == 2.5
     assert r.mad_price == 1.0
+
+
+# ---------- burst detection ----------
+
+def test_burst_window_hand_computed(spark):
+    import datetime as dt
+
+    from investcloud_data_pipeline_spark.plans import analytics_ext as AX
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        # user 1: three events within 10 min, one far away
+        (1, base, 1),
+        (2, base + dt.timedelta(minutes=4), 1),
+        (3, base + dt.timedelta(minutes=9), 1),
+        (4, base + dt.timedelta(hours=5), 1),
+        # user 2: two events exactly 600s apart -> inclusive frame -> burst 2
+        (5, base, 2),
+        (6, base + dt.timedelta(seconds=600), 2),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    orig = AX.load_table
+    try:
+        AX.load_table = lambda spark, d, name: e  # noqa: ARG005
+        out = {
+            r.user_id: (r.n_events, r.max_burst_10min)
+            for r in AX.event_burst_max_10min(spark, "x").collect()
+        }
+    finally:
+        AX.load_table = orig
+    assert out == {1: (4, 3), 2: (2, 2)}
+
+
+# ---------- Benford ----------
+
+def test_benford_shares_and_chi2(spark, sf_dir):
+    from investcloud_data_pipeline_spark.plans.analytics_ext import (
+        lineitem_benford_digits,
+    )
+
+    rows = lineitem_benford_digits(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.expected_share for r in rows) - 1.0) < 1e-3
+    assert all(r.chi2_contrib >= 0 for r in rows)
+
+
+# ---------- Zipf ----------
+
+def test_zipf_slope_negative(spark, sf_dir):
+    from investcloud_data_pipeline_spark.plans.analytics_ext import text_zipf_fit
+
+    r = text_zipf_fit(spark, sf_dir).collect()[0]
+    assert r.n_vocab > 10
+    assert r.zipf_slope < 0, "rank-frequency slope must be negative"
+
+
+# ---------- label centroids ----------
+
+def test_label_centroids_hand_computed(spark):
+    from investcloud_data_pipeline_spark.plans import analytics_ext as AX
+
+    # label 0 vectors average to (1, 0); label 1 averages to (0, 2):
+    # centroid cosine = 0. label 2 averages to (2, 0): cosine with
+    # label 0 = 1.
+    emb = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0], 0),
+            (2, [0.0, 0.0], 0),
+            (3, [0.0, 1.0], 1),
+            (4, [0.0, 3.0], 1),
+            (5, [2.0, 0.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    orig = AX.load_table
+    try:
+        AX.load_table = lambda spark, d, name: emb  # noqa: ARG005
+        out = {
+            (r.label1, r.label2): r.centroid_cosine
+            for r in AX.embedding_label_centroids(spark, "x").collect()
+        }
+    finally:
+        AX.load_table = orig
+    assert out == {(0, 1): 0.0, (0, 2): 1.0, (1, 2): 0.0}

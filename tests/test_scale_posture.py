@@ -523,3 +523,43 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
     qe = out._jdf.queryExecution().toString()
     assert "dynamicpruning" in qe.lower()
     assert out.count() == 1_000
+
+
+def test_analytics_ext_plan_shapes(spark, sf_dir):
+    """Wave-2 extension operators: the scale-critical plan properties.
+
+    * bloom semi-join: the 1024-word filter is a BROADCAST join on the
+      probe side (never a shuffle of the fact), and no cartesian.
+    * proration: all three windows share ONE exchange on l_orderkey.
+    * prefix filter: no CartesianProduct — candidates come from the
+      prefix-token equi-join, and no row-at-a-time Python anywhere.
+    * global shuffle: the in-shard rank partitions by shard_id (hash
+      exchange), never a global sort of the corpus.
+    """
+    from investcloud_data_pipeline_spark.operators.setsim import (
+        prefix_filter_jaccard_pairs,
+        seeded_shuffle_assignment,
+    )
+    from investcloud_data_pipeline_spark.plans.analytics_ext import (
+        bloom_filter_semi_join,
+        order_proration_largest_remainder,
+    )
+
+    plan = _plan(bloom_filter_semi_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(order_proration_largest_remainder(spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan  # join + the shared window exchange
+    assert "BatchEvalPython" not in plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(prefix_filter_jaccard_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+    plan = _plan(seeded_shuffle_assignment(docs))
+    assert "Exchange hashpartitioning(shard_id" in plan
+    # rank sorts within shard partitions only — no global (rangepartitioning) sort
+    assert "rangepartitioning" not in plan
