@@ -1453,8 +1453,147 @@ JOIN norms nb ON dots.label2 = nb.label
 """
 
 
+# ---------- CUSUM changepoint ----------
+#
+# Level-shift detection over the daily revenue series: the CUSUM
+# statistic S_k = Σ_{d≤k}(x_d − x̄) peaks (in absolute value) at the
+# most likely changepoint. Determinism: the daily series is an exact
+# DECIMAL aggregate, its running sum is an exact decimal window, and
+# S_k needs exactly two float ops (one division for the mean, one
+# subtraction) — no float accumulation anywhere. The windowed stage
+# runs on the DAY relation (calendar-bounded, ~2.4k rows regardless of
+# fact size), the same dimension-bounded-window posture as the Pareto
+# frontier.
+
+def orders_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(
+        F.sum("rev").alias("total"), F.count("*").alias("n_days")
+    )
+    s = (
+        daily.select(
+            "day",
+            F.sum("rev").over(wcum).alias("cum"),
+            F.row_number().over(Window.orderBy("day")).alias("k"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_days",
+            (
+                F.col("cum").cast("double")
+                - F.col("k").cast("double")
+                * F.col("total").cast("double")
+                / F.col("n_days").cast("double")
+            ).alias("s_k"),
+        )
+    )
+    return (
+        s.orderBy(F.abs(F.col("s_k")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round(F.abs(F.col("s_k")), 6).alias("cusum_stat"),
+        )
+    )
+
+
+ORDERS_REVENUE_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(rev) AS total, count(*) AS n_days FROM daily),
+s AS (
+  SELECT day, n_days,
+         CAST(sum(rev) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+         - CAST(row_number() OVER (ORDER BY day) AS DOUBLE)
+           * CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS s_k
+  FROM daily CROSS JOIN tot
+)
+SELECT day AS change_day,
+       CAST(n_days AS BIGINT) AS n_days,
+       round(abs(s_k), 6) AS cusum_stat
+FROM s
+ORDER BY abs(s_k) DESC, day
+LIMIT 1
+"""
+
+
+# ---------- behavioral entropy ----------
+
+def event_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix, plus the
+    normalized form H/ln(k) — the behavioral-diversity profile
+    (bots concentrate, humans spread). One fact shuffle to (user,
+    type); entropy terms are 9dp-rounded and summed as DECIMAL(18,9)
+    per user, so no float summation order; single-type users define
+    normalized entropy as 0."""
+    e = _t(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n_e"))
+    per_u = ut.groupBy("user_id").agg(
+        F.sum("n_e").alias("n_u"), F.count("*").alias("n_types")
+    )
+    p = F.col("n_e").cast("double") / F.col("n_u").cast("double")
+    term = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    ent = (
+        ut.join(per_u, "user_id")
+        .groupBy("user_id", "n_u", "n_types")
+        .agg(F.sum(term).cast("double").alias("h"))
+    )
+    return ent.select(
+        "user_id",
+        F.col("n_u").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(F.col("h"), 6).alias("entropy"),
+        F.when(F.col("n_types") > 1, F.round(
+            F.col("h") / F.log(F.col("n_types").cast("double")), 6
+        )).otherwise(F.lit(0.0)).alias("norm_entropy"),
+    )
+
+
+EVENT_USER_ENTROPY_SQL = """
+WITH ut AS (
+  SELECT user_id, event_type, count(*) AS n_e
+  FROM events GROUP BY 1, 2
+),
+per_u AS (
+  SELECT user_id, sum(n_e) AS n_u, count(*) AS n_types FROM ut GROUP BY 1
+),
+ent AS (
+  SELECT user_id, n_u, n_types,
+         CAST(sum(CAST(round(-(CAST(n_e AS DOUBLE) / CAST(n_u AS DOUBLE))
+                              * ln(CAST(n_e AS DOUBLE) / CAST(n_u AS DOUBLE)), 9)
+                        AS DECIMAL(18,9))) AS DOUBLE) AS h
+  FROM ut JOIN per_u USING (user_id)
+  GROUP BY 1, 2, 3
+)
+SELECT user_id,
+       CAST(n_u AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       round(h, 6) AS entropy,
+       CASE WHEN n_types > 1
+            THEN round(h / ln(CAST(n_types AS DOUBLE)), 6)
+            ELSE 0.0 END AS norm_entropy
+FROM ent
+"""
+
+
 QUERIES = {
     "ivm_join_delta": (ivm_join_delta, IVM_JOIN_DELTA_SQL),
+    "orders_revenue_changepoint": (
+        orders_revenue_changepoint,
+        ORDERS_REVENUE_CHANGEPOINT_SQL,
+    ),
+    "event_user_entropy": (event_user_entropy, EVENT_USER_ENTROPY_SQL),
     "event_burst_max_10min": (event_burst_max_10min, EVENT_BURST_MAX_10MIN_SQL),
     "lineitem_benford_digits": (lineitem_benford_digits, _benford_sql()),
     "text_zipf_fit": (text_zipf_fit, TEXT_ZIPF_FIT_SQL),

@@ -544,3 +544,70 @@ def test_label_centroids_hand_computed(spark):
     finally:
         AX.load_table = orig
     assert out == {(0, 1): 0.0, (0, 2): 1.0, (1, 2): 0.0}
+
+
+# ---------- CUSUM changepoint ----------
+
+def test_changepoint_finds_level_shift(spark):
+    import datetime as dt
+
+    from investcloud_data_pipeline_spark.plans import analytics_ext as AX
+
+    # 10 days at 100, then 10 days at 200: CUSUM |S_k| peaks at the
+    # last low day (day 10)
+    rows = []
+    k = 1
+    for i in range(10):
+        rows.append((k, dt.datetime(2024, 1, 1 + i), 100.0)); k += 1
+    for i in range(10):
+        rows.append((k, dt.datetime(2024, 1, 11 + i), 200.0)); k += 1
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    orig = AX.load_table
+    try:
+        AX.load_table = lambda spark, d, name: o  # noqa: ARG005
+        r = AX.orders_revenue_changepoint(spark, "x").collect()[0]
+    finally:
+        AX.load_table = orig
+    assert r.change_day == dt.date(2024, 1, 10)
+    assert r.n_days == 20
+    # S_10 = 10*100 - 10*150 = -500
+    assert r.cusum_stat == 500.0
+
+
+# ---------- behavioral entropy ----------
+
+def test_entropy_hand_computed(spark):
+    import datetime as dt
+    import math
+
+    from investcloud_data_pipeline_spark.plans import analytics_ext as AX
+
+    ts = dt.datetime(2024, 1, 1)
+    e = spark.createDataFrame(
+        [
+            # user 1: 2 types, 50/50 -> H = ln 2, norm = 1
+            (1, ts, 1, "a", 0.0, "{}"),
+            (2, ts, 1, "b", 0.0, "{}"),
+            # user 2: single type -> H = 0, norm = 0
+            (3, ts, 2, "a", 0.0, "{}"),
+            (4, ts, 2, "a", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = AX.load_table
+    try:
+        AX.load_table = lambda spark, d, name: e  # noqa: ARG005
+        out = {
+            r.user_id: (r.n_events, r.n_types, r.entropy, r.norm_entropy)
+            for r in AX.event_user_entropy(spark, "x").collect()
+        }
+    finally:
+        AX.load_table = orig
+    assert out[2] == (2, 1, 0.0, 0.0)
+    n1 = out[1]
+    assert n1[0] == 2 and n1[1] == 2
+    assert abs(n1[2] - math.log(2)) < 1e-6
+    assert abs(n1[3] - 1.0) < 1e-6
