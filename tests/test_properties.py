@@ -485,3 +485,144 @@ def test_multiband_lsh_matches_local_banding(vecs):
             if any(bi == bj for bi, bj in zip(local[i], local[j])):
                 expected.add((i, j))
     assert got == expected
+
+
+# ---------- wave-2 extension laws ----------
+
+_pro_rows = st.lists(
+    st.tuples(
+        st.integers(1, 4),          # order id
+        st.integers(1, 500_00),     # weight in cents (positive)
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_pro_rows, totals=st.lists(st.integers(1, 10**7), min_size=4, max_size=4))
+def test_proration_always_sums_to_total_and_bounds_remainder(rows, totals):
+    """Largest-remainder law: for ANY positive weights and header
+    totals, per-order allocations sum exactly to the header cents and
+    each allocation differs from the unrounded share by < 1 cent."""
+    from pyspark.sql import functions as F
+
+    from investcloud_data_pipeline_spark.plans import analytics_ext as AX
+
+    spark = _get_spark()
+    li = spark.createDataFrame(
+        [
+            (oid, i + 1, cents / 100.0)
+            for i, (oid, cents) in enumerate(rows)
+        ],
+        "l_orderkey long, l_linenumber int, l_extendedprice double",
+    )
+    o = spark.createDataFrame(
+        [(oid, t / 100.0) for oid, t in zip(range(1, 5), totals)],
+        "o_orderkey long, o_totalprice double",
+    )
+    orig = AX.load_table
+    try:
+        AX.load_table = lambda spark, d, name: {  # noqa: ARG005
+            "lineitem": li,
+            "orders": o,
+        }[name]
+        out = AX.order_proration_largest_remainder(spark, "x")
+        per_order = {
+            r.l_orderkey: r.s
+            for r in out.groupBy("l_orderkey")
+            .agg(F.sum("alloc_cents").alias("s"))
+            .collect()
+        }
+    finally:
+        AX.load_table = orig
+    import math
+
+    expected = {
+        oid: int(math.floor(t / 100.0 * 100 + 0.5))
+        for oid, t in zip(range(1, 5), totals)
+    }
+    present = {oid for oid, _ in rows}
+    for oid, s in per_order.items():
+        assert s == expected[oid], (oid, s, expected[oid])
+    assert set(per_order) == present
+
+
+_pf_corpus = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_pf_corpus)
+def test_prefix_filter_is_lossless_vs_bruteforce(texts):
+    """The prefix lemma end-to-end: for random small corpora the
+    prefix-filtered exact join returns EXACTLY the brute-force
+    threshold pair set (no false negatives from prefix truncation, no
+    false positives from candidate generation)."""
+    from investcloud_data_pipeline_spark.operators.setsim import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id1, r.id2)
+        for r in prefix_filter_jaccard_pairs(docs, n=3, num=1, den=2).collect()
+    }
+    # local reference
+    def shingles(t):
+        ws = t.split()
+        if len(ws) <= 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sh = {i: shingles(t) for i, t in enumerate(texts) if t.strip()}
+    expected = set()
+    ids = sorted(sh)
+    for a in ids:
+        for b in ids:
+            if a < b:
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a]) + len(sh[b]) - inter
+                if 2 * inter >= union:
+                    expected.add((a, b))
+    assert got == expected
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    start=st.dates(),
+    span=st.integers(-10, 400),
+)
+def test_business_days_closed_form_matches_day_walk(start, span):
+    """The closed form (5*floor(days/7) + remainder weekday count)
+    equals the literal day-by-day weekday walk for any span."""
+    import datetime as dt
+
+    days = span
+    end = start + dt.timedelta(days=span)
+    walk = 0
+    d = start + dt.timedelta(days=1)
+    while d <= end:
+        if d.weekday() <= 4:
+            walk += 1
+        d += dt.timedelta(days=1)
+    # closed form (mirrors the plan expression)
+    if days > 0:
+        fw = days // 7
+        rem = days - fw * 7
+        wd = start.weekday()
+        closed = fw * 5 + sum(1 for i in range(1, rem + 1) if (wd + i) % 7 <= 4)
+    else:
+        closed = 0
+    assert closed == walk
