@@ -29,16 +29,16 @@ boundary never depends on float rounding and the DuckDB oracle — the
 brute-force all-pairs join, i.e. a strictly independent formulation —
 matches bit-for-bit.
 
-100 TB posture: two shuffles build the df-ranked token relation
+100 TB posture: two shuffles build the df-ranked shingle relation
 (explode + vocabulary count), one shuffle keys candidates on rare
-prefix tokens, and the verify join is pair-keyed. Nothing is
+prefix shingles, and the verify join is pair-keyed. Nothing is
 quadratic in the corpus — the only quadratic term is per-bucket
-candidate expansion, and buckets are rare-token buckets. Exact copies
-of a document would still inflate their shared buckets m²-fold, so the
-same duplicate-collapse used by the LSH operators applies: group
-identical token-set digests first, match on representatives, expand
-after (here the expansion is left to ``exact_dedup`` upstream, which a
-curation pipeline runs before any near-dup pass).
+candidate expansion, and buckets are rare-shingle buckets. Exact
+copies of a document would inflate their shared buckets m²-fold, so
+the operator applies the SAME duplicate-collapse armor as the LSH
+family (``dedup_fuzzy._exact_groups``): identical normalized content
+is collapsed to one representative before matching and the rep-level
+pairs are expanded back exactly afterward.
 """
 
 from __future__ import annotations
@@ -61,10 +61,24 @@ def prefix_filter_jaccard_pairs(
     jaccard rounded to 6dp for display; the threshold itself is
     enforced in integer arithmetic (``den*n_common >= num*n_union``)
     so the boundary never depends on float rounding.
-    """
-    from .dedup_fuzzy import shingle_relation
 
-    ex = shingle_relation(docs, text_col, id_col, n).withColumnRenamed(
+    Exact (normalized-content) duplicates are collapsed to one
+    representative BEFORE matching and expanded back afterward — the
+    same hot-bucket armor as the LSH family: m copies of a document
+    share ALL shingles including the rare prefix ones, so without the
+    collapse every prefix bucket they touch expands m²-fold. Identical
+    shingle sets imply identical scores, so rep-level pairs expand to
+    member-level pairs exactly (intra-group pairs score 1.0 with
+    n_common = the group's shingle count).
+    """
+    from .dedup_fuzzy import (
+        _exact_groups,
+        _expand_member_pairs,
+        shingle_relation,
+    )
+
+    reps, members = _exact_groups(docs, text_col, id_col)
+    ex = shingle_relation(reps, text_col, id_col, n).withColumnRenamed(
         "shingle", "tok"
     )
     # Global order = (document frequency ASC, shingle ASC): a total
@@ -122,7 +136,18 @@ def prefix_filter_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
-    return verified
+    sizes = per_doc.select(
+        F.col("id").alias("__rep"), F.size("toks").alias("n_sh")
+    )
+    return _expand_member_pairs(
+        verified,
+        members,
+        sizes,
+        intra_cols=[
+            F.col("x.n_sh").cast("long").alias("n_common"),
+            F.lit(1.0).alias("jaccard"),
+        ],
+    )
 
 
 def seeded_shuffle_assignment(

@@ -51,6 +51,17 @@ PROBE_QUERIES = [
     "multimodal_phash_dedup",
     "copurchase_clustering_coeff",
     "ann_brute_force_topk",
+    # wave-2 extension operators with scale-sensitive shapes: the
+    # duplicate-collapse in the prefix filter (replicas are exact
+    # duplicates), the per-order window in proration, the ×7 day
+    # expansion in sliding distinct, the position-keyed vector agg,
+    # the broadcast bloom probe, and the bounded-BFS loop
+    "dedup_prefix_filter_jaccard",
+    "order_proration_largest_remainder",
+    "sliding_week_distinct_users",
+    "embedding_label_centroids",
+    "bloom_filter_semi_join",
+    "copurchase_bfs_hops",
 ]
 
 FACT_OFFSETS = {
