@@ -1587,8 +1587,167 @@ FROM ent
 """
 
 
+# ---------- Flesch reading ease ----------
+#
+# Readability profiling per source: sentences from RAW punctuation
+# (normalization would erase it), words from the shared normalized
+# tokenizer, syllables approximated as vowel-group runs (the standard
+# heuristic) — one regexp_extract_all per word, all JVM/native. Per-doc
+# scores are a fixed double expression; the per-source mean uses the
+# 6dp-round → decimal-sum idiom. The explode is corpus-sized but
+# aggregates straight back to (source): one shuffle.
+
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    sentences = F.size(
+        F.filter(
+            F.split("text", r"[.!?]+"), lambda s: F.trim(s) != ""
+        )
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        F.greatest(sentences, F.lit(1)).alias("n_sent"),
+        tokens("text").alias("toks"),
+    ).filter(F.size("toks") > 0)
+    words = base.select(
+        "doc_id", "source", "n_sent",
+        F.size("toks").alias("n_words"),
+        F.explode("toks").alias("word"),
+    )
+    syl = F.greatest(
+        F.size(F.expr("regexp_extract_all(word, '[aeiouy]+', 0)")), F.lit(1)
+    )
+    per_doc = words.groupBy("doc_id", "source", "n_sent", "n_words").agg(
+        F.sum(syl).alias("n_syl")
+    )
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sent").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syl").cast("double") / F.col("n_words").cast("double"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.round(fre, 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_flesch"),
+        F.round(F.min(fre), 6).alias("min_flesch"),
+    )
+
+
+TEXT_READABILITY_FK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, text, {NORM_SQL} AS norm
+  FROM documents WHERE lang = 'en'
+),
+base AS (
+  SELECT doc_id, source,
+         greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                  s -> trim(s) <> '')), 1) AS n_sent,
+         string_split(norm, ' ') AS toks
+  FROM d WHERE norm <> ''
+),
+words AS (
+  SELECT doc_id, source, n_sent, len(toks) AS n_words,
+         unnest(toks) AS word
+  FROM base
+),
+per_doc AS (
+  SELECT doc_id, source, n_sent, n_words,
+         sum(greatest(len(regexp_extract_all(word, '[aeiouy]+')), 1)) AS n_syl
+  FROM words GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT source,
+         206.835
+         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+         - 84.6 * (CAST(n_syl AS DOUBLE) / CAST(n_words AS DOUBLE)) AS fre
+  FROM per_doc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(round(fre, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_flesch,
+       round(min(fre), 6) AS min_flesch
+FROM scored GROUP BY 1
+"""
+
+
+# ---------- power-law degree fit ----------
+
+def copurchase_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill MLE for the co-purchase degree distribution tail:
+    α = 1 + n_tail / Σ ln(d_i / d_min) over nodes with degree ≥ d_min
+    (= 2). The scale-free-network companion to the Zipf fit — a healthy
+    co-occurrence graph is heavy-tailed; a bot-stuffed one is not. The
+    ln sums use the 9dp-round decimal idiom; everything after the pair
+    build is |nodes| rows."""
+    pairs = copurchase_part_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("part1").alias("node"))
+        .union(pairs.select(F.col("part2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    dmin = 2
+    tail = deg.filter(F.col("d") >= dmin)
+    lnterm = F.round(
+        F.log(F.col("d").cast("double") / F.lit(float(dmin))), 9
+    ).cast("decimal(18,9)")
+    lnsum = F.sum(lnterm).cast("double")
+    # a degenerate tail (every degree == d_min) has no defined exponent
+    return tail.agg(
+        F.count("*").cast("long").alias("n_tail"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.when(
+            lnsum > 0,
+            F.round(F.lit(1.0) + F.count("*").cast("double") / lnsum, 6),
+        ).alias("alpha"),
+    )
+
+
+COPURCHASE_DEGREE_POWERLAW_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT part1 AS node FROM pairs
+    UNION ALL
+    SELECT part2 AS node FROM pairs
+  ) GROUP BY 1
+),
+tail AS (SELECT d FROM deg WHERE d >= 2)
+SELECT CAST(count(*) AS BIGINT) AS n_tail,
+       CAST(max(d) AS BIGINT) AS max_degree,
+       CASE WHEN CAST(sum(CAST(round(ln(CAST(d AS DOUBLE) / 2.0), 9)
+                              AS DECIMAL(18,9))) AS DOUBLE) > 0
+            THEN round(1.0 + CAST(count(*) AS DOUBLE)
+                       / CAST(sum(CAST(round(ln(CAST(d AS DOUBLE) / 2.0), 9)
+                                       AS DECIMAL(18,9))) AS DOUBLE), 6)
+            END AS alpha
+FROM tail
+"""
+
+
 QUERIES = {
     "ivm_join_delta": (ivm_join_delta, IVM_JOIN_DELTA_SQL),
+    "text_readability_fk": (text_readability_fk, TEXT_READABILITY_FK_SQL),
+    "copurchase_degree_powerlaw": (
+        copurchase_degree_powerlaw,
+        COPURCHASE_DEGREE_POWERLAW_SQL,
+    ),
     "orders_revenue_changepoint": (
         orders_revenue_changepoint,
         ORDERS_REVENUE_CHANGEPOINT_SQL,

@@ -611,3 +611,39 @@ def test_entropy_hand_computed(spark):
     assert n1[0] == 2 and n1[1] == 2
     assert abs(n1[2] - math.log(2)) < 1e-6
     assert abs(n1[3] - 1.0) < 1e-6
+
+
+# ---------- readability ----------
+
+def test_flesch_hand_computed(spark):
+    from investcloud_data_pipeline_spark.plans import analytics_ext as AX
+
+    # 6 one-syllable words, 2 sentences:
+    # FRE = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran.", "en", "s1", 25)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = AX.load_table
+    try:
+        AX.load_table = lambda spark, d, name: docs  # noqa: ARG005
+        r = AX.text_readability_fk(spark, "x").collect()[0]
+    finally:
+        AX.load_table = orig
+    assert r.source == "s1" and r.n_docs == 1
+    assert abs(r.avg_flesch - 119.19) < 1e-6
+    assert r.avg_flesch == r.min_flesch
+
+
+# ---------- power-law degree fit ----------
+
+def test_powerlaw_tail_guard_and_range(spark, sf_dir):
+    from investcloud_data_pipeline_spark.plans.analytics_ext import (
+        copurchase_degree_powerlaw,
+    )
+
+    r = copurchase_degree_powerlaw(spark, sf_dir).collect()[0]
+    assert r.n_tail >= 0
+    # alpha is either undefined (degenerate tail: all degrees == d_min)
+    # or a Hill exponent strictly above 1
+    assert r.alpha is None or r.alpha > 1.0
