@@ -289,6 +289,12 @@ def copurchase_weighted_sssp(
             F.expr("CAST(1000000 DIV support AS BIGINT)").alias("ecost"),
         )
     )
+    # The adjacency is probed once per relaxation round; without a
+    # persist the lazy 4-round unroll RE-AGGREGATES the co-purchase
+    # pairs every round (plan audit measured 50 exchanges vs 14 with
+    # the persist — at 100 TB that is four redundant fact-table
+    # shuffles). Same persist discipline as PageRank / k-core.
+    und = und.persist()
     nodes = und.select(F.col("src").alias("node")).distinct()
     sources = nodes.orderBy("node").limit(SSSP_SOURCES)
     dist = sources.select(
@@ -296,6 +302,13 @@ def copurchase_weighted_sssp(
         F.lit(0).cast("long").alias("cost"),
         F.lit(0).cast("int").alias("hops"),
     )
+    # Each relaxation reads dist TWICE (keep-branch + relax-branch), so
+    # a fully lazy unroll doubles the plan tree per round — 2^rounds
+    # copies of the seed subtree (the audit measured 511 Exchange nodes
+    # in the lazy string). localCheckpoint(eager=False) per round
+    # truncates the lineage without forcing a per-round job; the final
+    # noop write executes the whole chain once. Same discipline as
+    # label propagation (operators/graph.py).
     for _ in range(SSSP_ROUNDS):
         relaxed = dist.join(und, dist.node == und.src).select(
             F.col("dst").alias("node"),
@@ -311,6 +324,7 @@ def copurchase_weighted_sssp(
                 F.col("b.cost").alias("cost"),
                 F.col("b.hops").alias("hops"),
             )
+            .localCheckpoint(eager=False)
         )
     return dist.select("node", "cost", "hops")
 
