@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from investcloud_data_pipeline_spark.functions import pandas_udfs as PU
 from investcloud_data_pipeline_spark.plans import analytics_ext as AX
 from investcloud_data_pipeline_spark.plans import analytics_ext3 as AX3
+from investcloud_data_pipeline_spark.plans import analytics_ext4 as AX4
 from investcloud_data_pipeline_spark.plans import lakehouse as LH
 from investcloud_data_pipeline_spark.plans import mining as MN
 from investcloud_data_pipeline_spark.plans import pipeline_queries as P
@@ -94,6 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Extended analytics wave 3 (streaks, link prediction, weighted
         # SSSP, Gini, closed-form OLS, autocorrelation)
         **{name: fn for name, (fn, _) in AX3.QUERIES.items()},
+        # Extended analytics wave 4 (Misra-Gries heavy hitters,
+        # inverted index, aggregate IVM, chi-square independence)
+        **{name: fn for name, (fn, _) in AX4.QUERIES.items()},
         # Engine-native Python data source (rows-only: generator input,
         # no DuckDB-visible tables)
         "pydatasource_activity_profile": activity_source_profile,
@@ -117,4 +121,5 @@ def oracle_sql() -> dict[str, str]:
         **{name: sql for name, (_, sql) in MN.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in AX.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in AX3.QUERIES.items() if sql},
+        **{name: sql for name, (_, sql) in AX4.QUERIES.items() if sql},
     }
