@@ -563,3 +563,54 @@ def test_analytics_ext_plan_shapes(spark, sf_dir):
     assert "Exchange hashpartitioning(shard_id" in plan
     # rank sorts within shard partitions only — no global (rangepartitioning) sort
     assert "rangepartitioning" not in plan
+
+
+def test_wave3_wave4_plan_shapes(spark, sf_dir):
+    """Wave-3/4 operators: the scale-critical plan properties.
+
+    * streaks: exactly TWO hash exchanges — the map-combined distinct
+      on (user_id, day), then the user window over the ALREADY
+      COLLAPSED relation. (A single repartition(user_id) would be one
+      exchange but moves every raw row; the distinct's partial
+      aggregation makes the two-exchange plan the cheaper one at scale.)
+    * link prediction: top-k is TakeOrderedAndProject (never a global
+      sort), no cartesian, no Python.
+    * MG heavy hitters: the exact-verify join is BROADCAST (the raw key
+      space is never shuffled), and the candidate pass is the only
+      Python node (ArrowEvalPython/MapInPandas, never BatchEvalPython).
+    * OLS: zero joins, zero windows — one aggregate, no exchange beyond
+      the group-by's own.
+    * chi-square: marginals ride broadcast joins; the only hash
+      exchange of fact rows is the cell aggregate.
+    """
+    from investcloud_data_pipeline_spark.plans.analytics_ext3 import (
+        copurchase_link_prediction,
+        lineitem_ols_price,
+        user_activity_streaks,
+    )
+    from investcloud_data_pipeline_spark.plans.analytics_ext4 import (
+        customer_segment_nation_chisq,
+        event_heavy_hitters_mg,
+    )
+
+    plan = _plan(user_activity_streaks(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan
+
+    plan = _plan(copurchase_link_prediction(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+    plan = _plan(event_heavy_hitters_mg(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+
+    plan = _plan(lineitem_ols_price(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+    plan = _plan(customer_segment_nation_chisq(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
