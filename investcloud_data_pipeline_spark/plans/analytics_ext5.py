@@ -1,0 +1,252 @@
+"""Extended analytics operators, wave 5: curriculum training order,
+a language-id confusion-matrix evaluation, and reorder-gap survival
+curves.
+
+These compose existing strict-oracle building blocks (the quality
+score, the stopword language guesser) into the evaluation/ordering
+operators a training-data pipeline runs after its filters: "in what
+order do we feed the surviving documents?", "how good is the lang-id
+gate?", "how long do customers survive between orders?". Each oracle
+reuses the building block's OWN DuckDB twin as a CTE, so the
+composition is checked end to end, not just the last stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import text as TX
+from ..sources.batch import load_table
+from .training_data import TEXT_LANGUAGE_ID_SQL, TEXT_QUALITY_SCORE_SQL
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------- curriculum training order ----------
+#
+# Deterministic curriculum for the packed corpus: rank documents into
+# quality deciles (best decile = bin 1, fed first), then SHUFFLE within
+# each decile with the seeded-md5 key the global-shuffle operator uses
+# — curriculum across bins, decorrelation within bins, and an epoch
+# seed swap re-shuffles every bin with zero coordination. Output is
+# (doc_id, curriculum_bin, pos_in_bin): the feed order is bin-major.
+#
+# Scale posture: ntile is an exact global rank — the scored relation
+# is NARROW (doc_id, score: ~16 bytes/row), which is the same
+# documented posture as the RFM segments and decile-lift queries; the
+# approximate path at extreme scale is percentile_approx bin edges.
+# The within-bin shuffle partitions by bin (10 partitions of equal
+# size by construction).
+
+CURRICULUM_BINS = 10
+CURRICULUM_SEED = "epoch0"
+
+
+def corpus_curriculum_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = TX.quality_score(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", "quality_score")
+    wb = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    binned = scored.withColumn(
+        "curriculum_bin", F.ntile(CURRICULUM_BINS).over(wb)
+    )
+    key = F.md5(
+        F.concat(
+            F.lit(CURRICULUM_SEED + ":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    wp = Window.partitionBy("curriculum_bin").orderBy(
+        key.asc(), F.col("doc_id").asc()
+    )
+    return binned.select(
+        "doc_id",
+        F.col("curriculum_bin").cast("long").alias("curriculum_bin"),
+        F.row_number().over(wp).cast("long").alias("pos_in_bin"),
+    )
+
+
+CORPUS_CURRICULUM_ORDER_SQL = f"""
+WITH q AS ({TEXT_QUALITY_SCORE_SQL}),
+binned AS (
+  SELECT doc_id,
+         ntile({CURRICULUM_BINS}) OVER (
+           ORDER BY quality_score DESC, doc_id ASC) AS curriculum_bin
+  FROM q
+)
+SELECT doc_id, curriculum_bin,
+       row_number() OVER (
+         PARTITION BY curriculum_bin
+         ORDER BY md5('{CURRICULUM_SEED}:' || CAST(doc_id AS VARCHAR)) ASC,
+                  doc_id ASC) AS pos_in_bin
+FROM binned
+"""
+
+
+# ---------- language-id confusion matrix ----------
+#
+# Evaluate the stopword language guesser against the labeled lang
+# column: the full confusion matrix plus per-cell recall share
+# (cell / label total) and precision share (cell / guess total) — the
+# numbers that say WHICH languages the gate confuses, not just how
+# often. Totals derive from the same aggregated cell relation (the
+# chi-square/MI discipline — one pass over predictions, no re-scan).
+#
+# Scale: the prediction pass is pure column expressions (JVM,
+# codegen); the matrix is |langs|^2 rows after one cell aggregate.
+
+
+def text_langid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pred = TX.language_id(_t(spark, sf_dir, "documents"))
+    cells = pred.groupBy("labeled_lang", "guessed_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    cells = cells.persist()
+    label_tot = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").alias("label_total")
+    )
+    guess_tot = cells.groupBy("guessed_lang").agg(
+        F.sum("n_docs").alias("guess_total")
+    )
+    return (
+        cells.join(F.broadcast(label_tot), "labeled_lang")
+        .join(F.broadcast(guess_tot), "guessed_lang")
+        .select(
+            "labeled_lang",
+            "guessed_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("label_total").cast("double"),
+                6,
+            ).alias("recall_share"),
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("guess_total").cast("double"),
+                6,
+            ).alias("precision_share"),
+        )
+    )
+
+
+TEXT_LANGID_CONFUSION_SQL = f"""
+WITH pred AS ({TEXT_LANGUAGE_ID_SQL}),
+cells AS (
+  SELECT labeled_lang, guessed_lang, count(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+), lt AS (
+  SELECT labeled_lang, sum(n_docs) AS label_total FROM cells GROUP BY 1
+), gt AS (
+  SELECT guessed_lang, sum(n_docs) AS guess_total FROM cells GROUP BY 1
+)
+SELECT c.labeled_lang, c.guessed_lang, c.n_docs,
+       round(CAST(c.n_docs AS DOUBLE) / CAST(l.label_total AS DOUBLE), 6)
+         AS recall_share,
+       round(CAST(c.n_docs AS DOUBLE) / CAST(g.guess_total AS DOUBLE), 6)
+         AS precision_share
+FROM cells c
+JOIN lt l USING (labeled_lang)
+JOIN gt g USING (guessed_lang)
+"""
+
+
+# ---------- reorder-gap survival curve ----------
+#
+# Customer-retention survival: for each consecutive-order gap (lag
+# over each customer's order history), what share of gaps exceeds t
+# days, for t in SURVIVAL_DAYS? The discrete survival curve S(t) a
+# retention model is calibrated against. Gaps are exact integer day
+# differences; one division per threshold, rounded to 6dp.
+#
+# Scale: ONE window shuffle on o_custkey over a two-column projection;
+# the thresholds explode each gap row into |SURVIVAL_DAYS| tiny rows
+# AFTER the gap relation is computed (bounded x5), and the final
+# aggregate is 5 rows.
+
+SURVIVAL_DAYS = (7, 14, 30, 60, 90)
+
+
+def customer_reorder_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_d", F.lag("d").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .select(F.datediff("d", "prev_d").alias("gap_days"))
+    )
+    t = F.explode(
+        F.array(*[F.lit(x) for x in SURVIVAL_DAYS])
+    ).alias("threshold_days")
+    return (
+        gaps.select("gap_days", t)
+        .groupBy("threshold_days")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum(
+                F.when(F.col("gap_days") > F.col("threshold_days"), 1)
+                .otherwise(0)
+            ).alias("n_surviving"),
+        )
+        .select(
+            "threshold_days",
+            "n_gaps",
+            "n_surviving",
+            F.round(
+                F.col("n_surviving").cast("double")
+                / F.col("n_gaps").cast("double"),
+                6,
+            ).alias("survival_share"),
+        )
+    )
+
+
+CUSTOMER_REORDER_SURVIVAL_SQL = f"""
+WITH gaps AS (
+  SELECT date_diff('day', prev_d, d) AS gap_days
+  FROM (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           lag(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+    FROM orders
+  )
+  WHERE prev_d IS NOT NULL
+)
+SELECT t.threshold_days,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(CASE WHEN gap_days > t.threshold_days THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_surviving,
+       round(CAST(sum(CASE WHEN gap_days > t.threshold_days THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS survival_share
+FROM gaps
+CROSS JOIN (VALUES {", ".join(f"({x})" for x in SURVIVAL_DAYS)})
+  AS t(threshold_days)
+GROUP BY t.threshold_days
+"""
+
+
+QUERIES = {
+    "corpus_curriculum_order": (
+        corpus_curriculum_order,
+        CORPUS_CURRICULUM_ORDER_SQL,
+    ),
+    "text_langid_confusion": (
+        text_langid_confusion,
+        TEXT_LANGID_CONFUSION_SQL,
+    ),
+    "customer_reorder_survival": (
+        customer_reorder_survival,
+        CUSTOMER_REORDER_SURVIVAL_SQL,
+    ),
+}

@@ -1,0 +1,152 @@
+"""Unit tests for the wave-5 analytics extensions: curriculum order,
+lang-id confusion matrix, and reorder-gap survival."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from investcloud_data_pipeline_spark.plans import analytics_ext5 as AX5
+
+
+def _patched(monkeypatch, tables):
+    monkeypatch.setattr(
+        AX5, "load_table", lambda spark, d, name: tables[name]
+    )
+
+
+# ---------- curriculum order ----------
+
+def test_curriculum_bins_balanced_and_positions_dense(spark, sf_dir):
+    out = AX5.corpus_curriculum_order(spark, sf_dir).persist()
+    n = out.count()
+    sizes = {
+        r.curriculum_bin: r.c
+        for r in out.groupBy("curriculum_bin")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert set(sizes) == set(range(1, AX5.CURRICULUM_BINS + 1))
+    # ntile balance: sizes differ by at most 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # positions within each bin are dense 1..size
+    maxpos = {
+        r.curriculum_bin: r.m
+        for r in out.groupBy("curriculum_bin")
+        .agg(F.max("pos_in_bin").alias("m"))
+        .collect()
+    }
+    assert maxpos == sizes
+    assert n == sum(sizes.values())
+    out.unpersist()
+
+
+def test_curriculum_better_bins_have_better_quality(spark, sf_dir):
+    from investcloud_data_pipeline_spark.operators.text import quality_score
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    out = AX5.corpus_curriculum_order(spark, sf_dir)
+    q = quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    per_bin = (
+        out.join(q, "doc_id")
+        .groupBy("curriculum_bin")
+        .agg(
+            F.min("quality_score").alias("lo"),
+            F.max("quality_score").alias("hi"),
+        )
+        .orderBy("curriculum_bin")
+        .collect()
+    )
+    # bin k's worst doc is at least as good as bin k+1's best doc
+    for a, b in zip(per_bin, per_bin[1:]):
+        assert a.lo >= b.hi
+
+
+def test_curriculum_seed_changes_within_bin_order_only(spark, sf_dir, monkeypatch):
+    base = AX5.corpus_curriculum_order(spark, sf_dir)
+    bins0 = {r.doc_id: r.curriculum_bin for r in base.collect()}
+    monkeypatch.setattr(AX5, "CURRICULUM_SEED", "epoch1")
+    swapped = AX5.corpus_curriculum_order(spark, sf_dir)
+    bins1 = {r.doc_id: r.curriculum_bin for r in swapped.collect()}
+    assert bins0 == bins1  # bins are seed-independent
+    pos0 = {r.doc_id: r.pos_in_bin for r in base.collect()}
+    pos1 = {r.doc_id: r.pos_in_bin for r in swapped.collect()}
+    assert pos0 != pos1  # the within-bin order reshuffled
+
+
+# ---------- lang-id confusion ----------
+
+def test_confusion_shares_sum_to_one(spark, sf_dir):
+    out = AX5.text_langid_confusion(spark, sf_dir).persist()
+    rec = (
+        out.groupBy("labeled_lang")
+        .agg(F.round(F.sum("recall_share"), 4).alias("s"))
+        .filter(F.col("s") != 1.0)
+        .count()
+    )
+    prec = (
+        out.groupBy("guessed_lang")
+        .agg(F.round(F.sum("precision_share"), 4).alias("s"))
+        .filter(F.col("s") != 1.0)
+        .count()
+    )
+    assert rec == 0 and prec == 0
+    out.unpersist()
+
+
+def test_confusion_counts_match_prediction_pass(spark, sf_dir):
+    from investcloud_data_pipeline_spark.operators.text import language_id
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    out = AX5.text_langid_confusion(spark, sf_dir)
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert total == n_docs
+    # spot-check one cell against a direct count
+    pred = language_id(load_table(spark, sf_dir, "documents"))
+    cell = pred.filter(
+        (F.col("labeled_lang") == "en") & (F.col("guessed_lang") == "en")
+    ).count()
+    got = out.filter(
+        (F.col("labeled_lang") == "en") & (F.col("guessed_lang") == "en")
+    ).collect()
+    assert got and got[0].n_docs == cell
+
+
+# ---------- reorder survival ----------
+
+def test_survival_crafted_gaps(spark, monkeypatch):
+    # one customer, orders at days 0, 10, 50: gaps 10 and 40.
+    # t=7 -> 2/2 survive; t=14 -> 1/2; t=30 -> 1/2; t=60/90 -> 0/2
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 1.0, "1995-01-01", "1-URGENT"),
+            (2, 1, "O", 1.0, "1995-01-11", "1-URGENT"),
+            (3, 1, "O", 1.0, "1995-02-20", "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string,"
+        " o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    _patched(monkeypatch, {"orders": orders})
+    out = {
+        r.threshold_days: (r.n_gaps, r.n_surviving, r.survival_share)
+        for r in AX5.customer_reorder_survival(spark, "x").collect()
+    }
+    assert out[7] == (2, 2, 1.0)
+    assert out[14] == (2, 1, 0.5)
+    assert out[30] == (2, 1, 0.5)
+    assert out[60] == (2, 0, 0.0)
+    assert out[90] == (2, 0, 0.0)
+
+
+def test_survival_monotone_nonincreasing(spark, sf_dir):
+    rows = sorted(
+        AX5.customer_reorder_survival(spark, sf_dir).collect(),
+        key=lambda r: r.threshold_days,
+    )
+    assert len(rows) == len(AX5.SURVIVAL_DAYS)
+    for a, b in zip(rows, rows[1:]):
+        assert a.survival_share >= b.survival_share
+        assert a.n_gaps == b.n_gaps
