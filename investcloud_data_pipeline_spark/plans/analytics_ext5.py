@@ -250,3 +250,138 @@ QUERIES = {
         CUSTOMER_REORDER_SURVIVAL_SQL,
     ),
 }
+
+
+# ---------- product quantization codes ----------
+#
+# The ANN-compression path real vector stores run (FAISS-style PQ):
+# split each 64-dim embedding into PQ_SUBSPACES contiguous subvectors
+# and store, per subspace, only the index of the nearest codebook
+# entry — 64 floats become PQ_SUBSPACES small ints. The codebook here
+# is a SEEDED SAMPLE: the PQ_CODEBOOK vectors with the smallest
+# md5(seed:vec_id) are the centers (deterministic, coordination-free;
+# the k-means-refined codebook is the quality upgrade and would be
+# rows-only — the sampled one keeps the whole operator strict-oracle).
+#
+# Cross-engine exactness: subspace distances are fixed-order left
+# folds of (x-y)^2 in double over float32 inputs (bit-identical ops in
+# both engines), ROUNDED TO 9dp BEFORE the argmin — a 1-ulp fold
+# divergence can never flip a code — with center rank as the tie-break;
+# the reconstruction error sums the 8 rounded subspace distances as
+# DECIMAL (order-independent) and rounds once at 6dp.
+#
+# Scale: assignment is the textbook O(N x K x M) PQ cost — a broadcast
+# of K=16 centers against the vector table, the x(K*M) expansion
+# happening AFTER the slice projection; no shuffle of the vectors at
+# all until the per-vector regroup (one hash exchange on vec_id).
+
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8
+PQ_CODEBOOK = 16
+PQ_SEED = "pq0"
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    key = F.md5(
+        F.concat(F.lit(PQ_SEED + ":"), F.col("vec_id").cast("string"))
+    )
+    centers = (
+        emb.select("vec_id", "embedding", key.alias("k"))
+        .orderBy("k", "vec_id")
+        .limit(PQ_CODEBOOK)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("k", "vec_id"))
+            .alias("crank"),
+            F.col("embedding").alias("cemb"),
+        )
+    )
+    pairs = emb.crossJoin(F.broadcast(centers))
+    s = F.explode(
+        F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))
+    ).alias("s")
+    dist = F.round(
+        F.expr(
+            f"""
+aggregate(
+  zip_with(slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),
+           slice(cemb,      s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),
+           (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                   * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+  CAST(0 AS DOUBLE), (acc, e) -> acc + e)
+"""
+        ),
+        9,
+    )
+    scored = pairs.select(
+        "vec_id", "crank", "embedding", "cemb", s
+    ).select("vec_id", "s", "crank", dist.alias("d"))
+    best = (
+        scored.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "crank")).alias("b"))
+        .select(
+            "vec_id",
+            "s",
+            (F.col("b.crank") - 1).alias("code"),
+            F.col("b.d").cast("decimal(18,9)").alias("d"),
+        )
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("s", "code"))
+                    ),
+                    lambda p: p["code"].cast("string"),
+                ),
+                ",",
+            ).alias("pq_codes"),
+            F.round(F.sum("d").cast("double"), 6).alias("recon_err"),
+        )
+    )
+
+
+EMBEDDING_PQ_CODES_SQL = f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5('{PQ_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS crank
+  FROM embeddings
+), centers AS (
+  SELECT crank, embedding AS cemb FROM ranked WHERE crank <= {PQ_CODEBOOK}
+), sub AS (SELECT unnest(range({PQ_SUBSPACES})) AS s),
+scored AS (
+  SELECT v.vec_id, sub.s, c.crank,
+         round(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), i ->
+           (CAST(v.embedding[CAST(sub.s * {PQ_SUBDIM} AS INT) + i] AS DOUBLE)
+            - CAST(c.cemb[CAST(sub.s * {PQ_SUBDIM} AS INT) + i] AS DOUBLE))
+           * (CAST(v.embedding[CAST(sub.s * {PQ_SUBDIM} AS INT) + i] AS DOUBLE)
+              - CAST(c.cemb[CAST(sub.s * {PQ_SUBDIM} AS INT) + i] AS DOUBLE)))),
+           9) AS d
+  FROM embeddings v CROSS JOIN centers c CROSS JOIN sub
+), best AS (
+  SELECT vec_id, s,
+         min(d) AS d,
+         CAST(min(crank) FILTER (WHERE d = mind) - 1 AS BIGINT) AS code
+  FROM (
+    SELECT vec_id, s, crank, d,
+           min(d) OVER (PARTITION BY vec_id, s) AS mind
+    FROM scored
+  )
+  GROUP BY 1, 2
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS pq_codes,
+       round(CAST(sum(CAST(d AS DECIMAL(18,9))) AS DOUBLE), 6) AS recon_err
+FROM best GROUP BY vec_id
+"""
+
+
+QUERIES["embedding_pq_codes"] = (
+    embedding_pq_codes,
+    EMBEDDING_PQ_CODES_SQL,
+)

@@ -150,3 +150,70 @@ def test_survival_monotone_nonincreasing(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a.survival_share >= b.survival_share
         assert a.n_gaps == b.n_gaps
+
+
+# ---------- product quantization ----------
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    out = AX5.embedding_pq_codes(spark, sf_dir).persist()
+    n_emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    )
+    assert out.count() == n_emb
+    bad = out.filter(
+        (F.size(F.split("pq_codes", ",")) != AX5.PQ_SUBSPACES)
+        | (F.col("recon_err") < 0)
+    ).count()
+    assert bad == 0
+    # every emitted code is a valid codebook index
+    codes = out.select(
+        F.explode(F.split("pq_codes", ",")).alias("c0")
+    ).select(F.col("c0").cast("int").alias("c"))
+    assert codes.filter(
+        (F.col("c") < 0) | (F.col("c") >= AX5.PQ_CODEBOOK)
+    ).count() == 0
+    out.unpersist()
+
+
+def test_pq_codebook_members_reconstruct_exactly(spark, sf_dir):
+    # a vector that IS a codebook entry is its own nearest center in
+    # every subspace -> reconstruction error exactly 0
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = F.md5(
+        F.concat(F.lit(AX5.PQ_SEED + ":"), F.col("vec_id").cast("string"))
+    )
+    member_ids = [
+        r.vec_id
+        for r in emb.select("vec_id", key.alias("k"))
+        .orderBy("k", "vec_id")
+        .limit(AX5.PQ_CODEBOOK)
+        .collect()
+    ]
+    out = AX5.embedding_pq_codes(spark, sf_dir)
+    errs = {
+        r.vec_id: r.recon_err
+        for r in out.filter(F.col("vec_id").isin(member_ids)).collect()
+    }
+    assert len(errs) == AX5.PQ_CODEBOOK
+    assert all(e == 0.0 for e in errs.values())
+
+
+def test_pq_partitioning_invariant(spark, sf_dir):
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    base = {
+        (r.vec_id, r.pq_codes, r.recon_err)
+        for r in AX5.embedding_pq_codes(spark, sf_dir).collect()
+    }
+    orig = AX5.load_table
+    try:
+        AX5.load_table = lambda s, d, n: load_table(s, d, n).repartition(11)
+        rep = {
+            (r.vec_id, r.pq_codes, r.recon_err)
+            for r in AX5.embedding_pq_codes(spark, sf_dir).collect()
+        }
+    finally:
+        AX5.load_table = orig
+    assert base == rep

@@ -62,6 +62,17 @@ PROBE_QUERIES = [
     "embedding_label_centroids",
     "bloom_filter_semi_join",
     "copurchase_bfs_hops",
+    # wave-3/4/5 operators with scale-sensitive shapes: the two-window
+    # streak islands, the wedge join in link prediction, the per-round
+    # relaxation in weighted SSSP, the map-only MG candidate pass, the
+    # (term, doc) shuffle in the inverted index, and the global ntile
+    # in the curriculum order (its documented exact-rank posture)
+    "user_activity_streaks",
+    "copurchase_link_prediction",
+    "copurchase_weighted_sssp",
+    "event_heavy_hitters_mg",
+    "documents_inverted_index",
+    "corpus_curriculum_order",
 ]
 
 FACT_OFFSETS = {
