@@ -73,6 +73,7 @@ PROBE_QUERIES = [
     "event_heavy_hitters_mg",
     "documents_inverted_index",
     "corpus_curriculum_order",
+    "embedding_pq_codes",
 ]
 
 FACT_OFFSETS = {
