@@ -115,7 +115,10 @@ SELECT user_id,
          AS share
 FROM events
 GROUP BY user_id
-HAVING count(*) > (SELECT CAST(CAST(n AS DOUBLE) * {HH_PHI} AS BIGINT) FROM tot)
+HAVING count(*) > (
+  -- floor, not a bare CAST: DuckDB's double->BIGINT cast ROUNDS while
+  -- Python's int() truncates; floor matches int() for positive totals
+  SELECT CAST(floor(CAST(n AS DOUBLE) * {HH_PHI}) AS BIGINT) FROM tot)
 """
 
 
