@@ -148,11 +148,16 @@ def documents_inverted_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    # split on ASCII letters BEFORE lowercasing: lower() of a pure-ASCII
+    # token is identical in every engine, while lower() of the full text
+    # can expand non-ASCII codepoints differently (Turkish dotted-I) and
+    # shift the token boundaries between engines.
     toks = d.select(
         "doc_id",
         F.explode(
             F.expr(
-                r"filter(split(lower(text), '[^a-z]+'), t -> length(t) >= 3)"
+                r"transform(filter(split(text, '[^a-zA-Z]+'),"
+                r" t -> length(t) >= 3), t -> lower(t))"
             )
         ).alias("term"),
     ).distinct()
@@ -175,9 +180,9 @@ def documents_inverted_index(
 
 DOCUMENTS_INVERTED_INDEX_SQL = f"""
 WITH toks AS (
-  SELECT DISTINCT doc_id, t.term
+  SELECT DISTINCT doc_id, lower(t.term) AS term
   FROM documents,
-       unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+       unnest(string_split_regex(text, '[^a-zA-Z]+')) AS t(term)
   WHERE length(t.term) >= 3
 )
 SELECT term,
