@@ -72,3 +72,43 @@ def distinct_via_sketch_merge(
         shard_sketches(df, value_col, group_cols, shard_col, lgk=lgk),
         group_cols,
     )
+
+
+def mg_merge(
+    counters: dict[int, int],
+    pairs,
+    k: int,
+) -> dict[int, int]:
+    """Fold (key, count) pairs into a Misra-Gries summary of at most
+    ``k`` counters, batch-amortized: inserting a key when the summary
+    is full decrements ALL counters by the overflow (dropping zeros)
+    before the remainder is installed — the standard MG step, applied
+    count-at-a-time instead of one-at-a-time.
+
+    Guarantee (what both the batch heavy-hitter pass and the streaming
+    sketch rely on): after folding n total occurrences, every counter
+    undercounts its key by at most n/(k+1), so any key with true
+    frequency > n/(k+1) is present. Shared by
+    ``plans/analytics_ext4.event_heavy_hitters_mg`` (per-partition
+    kernel) and ``streaming/stateful.streaming_heavy_hitters``
+    (per-shard state)."""
+    for key, cnt in pairs:
+        key, cnt = int(key), int(cnt)
+        if key in counters:
+            counters[key] += cnt
+        elif len(counters) < k:
+            counters[key] = cnt
+        else:
+            dec = cnt
+            while dec > 0 and len(counters) >= k:
+                m = min(counters.values())
+                step = min(dec, m)
+                counters = {
+                    c: v - step
+                    for c, v in counters.items()
+                    if v - step > 0
+                }
+                dec -= step
+            if dec > 0:
+                counters[key] = dec
+    return counters

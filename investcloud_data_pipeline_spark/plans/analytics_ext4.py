@@ -58,28 +58,13 @@ HH_SKETCH_K = 256  # >> 1/phi, so per-partition survival is comfortable
 def _mg_partition(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
+    from ..operators.sketches import mg_merge
+
     counters: dict[int, int] = {}
     for pdf in batches:
-        for key, cnt in pdf.groupby("user_id").size().items():
-            k = int(key)
-            if k in counters:
-                counters[k] += int(cnt)
-            elif len(counters) < HH_SKETCH_K:
-                counters[k] = int(cnt)
-            else:
-                # decrement-all step, amortized over the batch count
-                dec = int(cnt)
-                while dec > 0 and len(counters) >= HH_SKETCH_K:
-                    m = min(counters.values())
-                    step = min(dec, m)
-                    counters = {
-                        c: v - step
-                        for c, v in counters.items()
-                        if v - step > 0
-                    }
-                    dec -= step
-                if dec > 0:
-                    counters[k] = dec
+        counters = mg_merge(
+            counters, pdf.groupby("user_id").size().items(), HH_SKETCH_K
+        )
     yield pd.DataFrame({"user_id": list(counters.keys())})
 
 

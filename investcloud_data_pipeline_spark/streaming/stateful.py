@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -201,4 +202,98 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# ---------- streaming heavy hitters: an MG sketch in the state store ----------
+#
+# The streaming twin of the batch two-pass heavy-hitter query
+# (plans/analytics_ext4.py): keys are sharded with pmod(xxhash64) into
+# HH_STREAM_SHARDS groups, and each shard's STATE is a Misra-Gries
+# summary of at most HH_STREAM_K counters (stored as parallel
+# keys/counts arrays plus the shard's lifetime row total) — bounded
+# state for an UNBOUNDED key space, which per-key exact counting
+# cannot give. Every key lives in exactly one shard, so the MG
+# guarantee applies per shard: after n_shard rows, any key with shard
+# frequency > n_shard/(K+1) is present in that shard's summary, and
+# each reported count is a LOWER bound undercounting by at most
+# n_shard/(K+1).
+#
+# Each batch the shard re-emits its full current summary (<= K rows per
+# shard per batch, append mode): downstream picks the latest emission
+# per shard via max(n_shard_rows) and applies the exact-verify pass if
+# exact counts are needed (the batch query shows that join).
+
+HH_STREAM_SHARDS = 16
+HH_STREAM_K = 64
+
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("user_id", LongType()),
+        StructField("lb_count", LongType()),
+        StructField("n_shard_rows", LongType()),
+    ]
+)
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_rows", LongType()),
+    ]
+)
+
+
+def _update_hh_sketch(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from ..operators.sketches import mg_merge
+
+    if state.exists:
+        keys, counts, n_rows = state.get
+        counters = dict(zip(keys, counts))
+    else:
+        counters, n_rows = {}, 0
+    for pdf in batches:
+        n_rows += len(pdf)
+        counters = mg_merge(
+            counters,
+            pdf.groupby("user_id").size().items(),
+            HH_STREAM_K,
+        )
+    state.update(
+        (list(counters.keys()), list(counters.values()), n_rows)
+    )
+    yield pd.DataFrame(
+        {
+            "shard": [int(key[0])] * len(counters),
+            "user_id": list(counters.keys()),
+            "lb_count": list(counters.values()),
+            "n_shard_rows": [n_rows] * len(counters),
+        }
+    )
+
+
+def streaming_heavy_hitters(events_stream: DataFrame) -> DataFrame:
+    """Streaming heavy-hitter candidates with bounded per-shard state.
+
+    Input: a streaming DataFrame with (user_id long). Output: per batch
+    and shard, the shard's full current MG summary — (shard, user_id,
+    lb_count lower bound, n_shard_rows lifetime total). Append mode."""
+    from pyspark.sql import functions as F
+
+    sharded = events_stream.select(
+        F.pmod(F.xxhash64("user_id"), F.lit(HH_STREAM_SHARDS))
+        .cast("long")
+        .alias("shard"),
+        "user_id",
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _update_hh_sketch,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -59,3 +59,86 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     # user 1 emitted in both drains (2 then 3 events)
     u1 = sorted(r.n_events for r in rows if r.user_id == 1)
     assert u1 == [2, 3]
+
+
+def test_streaming_heavy_hitters_bounded_state_guarantee(spark, tmp_path):
+    """The MG-in-state sketch must (a) carry state across batches,
+    (b) keep every reported count a lower bound of the true count, and
+    (c) retain every key whose shard frequency beats the n/(K+1) bar —
+    checked against exact counts computed batch-side."""
+    import pyspark.sql.functions as F
+
+    from investcloud_data_pipeline_spark.streaming import stateful as SF
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    schema = T.StructType([T.StructField("user_id", T.LongType())])
+
+    def drain() -> None:
+        stream = SF.streaming_heavy_hitters(
+            spark.readStream.schema(schema).parquet(src)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: user 7 dominates; batch 2: user 7 keeps dominating and a
+    # long tail churns the small summaries
+    os.makedirs(src, exist_ok=True)
+    rows1 = [(7,)] * 400 + [(i,) for i in range(100, 400)]
+    rows2 = [(7,)] * 300 + [(i,) for i in range(400, 900)]
+    pd.DataFrame(rows1, columns=["user_id"]).to_parquet(
+        f"{src}/b1.parquet", index=False
+    )
+    drain()
+    pd.DataFrame(rows2, columns=["user_id"]).to_parquet(
+        f"{src}/b2.parquet", index=False
+    )
+    drain()
+
+    emitted = spark.read.parquet(out)
+    # keep each shard's LATEST emission (max lifetime rows)
+    latest_n = emitted.groupBy("shard").agg(
+        F.max("n_shard_rows").alias("n_shard_rows")
+    )
+    final = emitted.join(latest_n, ["shard", "n_shard_rows"]).collect()
+
+    # exact truth, sharded the same way
+    all_rows = pd.DataFrame(rows1 + rows2, columns=["user_id"])
+    truth = spark.createDataFrame(all_rows).select(
+        F.pmod(F.xxhash64("user_id"), F.lit(SF.HH_STREAM_SHARDS))
+        .cast("long")
+        .alias("shard"),
+        "user_id",
+    )
+    exact = {
+        (r.shard, r.user_id): r.c
+        for r in truth.groupBy("shard", "user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    shard_totals: dict[int, int] = {}
+    for (sh, _u), c in exact.items():
+        shard_totals[sh] = shard_totals.get(sh, 0) + c
+
+    got = {(r.shard, r.user_id): r.lb_count for r in final}
+    # (a) state carried: user 7's lower bound reflects BOTH batches
+    u7 = [v for (sh, u), v in got.items() if u == 7]
+    assert u7 and u7[0] > 400  # more than batch 1 alone
+    # (b) every report is a true lower bound
+    for k, lb in got.items():
+        assert lb <= exact[k]
+    # (c) the MG retention bar, per shard
+    for (sh, u), c in exact.items():
+        if c > shard_totals[sh] / (SF.HH_STREAM_K + 1):
+            assert (sh, u) in got, (sh, u, c, shard_totals[sh])
+    # per-shard summaries respect the K bound
+    sizes: dict[int, int] = {}
+    for (sh, _u) in got:
+        sizes[sh] = sizes.get(sh, 0) + 1
+    assert all(v <= SF.HH_STREAM_K for v in sizes.values())
