@@ -21,6 +21,7 @@ from investcloud_data_pipeline_spark.plans import analytics_ext as AX
 from investcloud_data_pipeline_spark.plans import analytics_ext3 as AX3
 from investcloud_data_pipeline_spark.plans import analytics_ext4 as AX4
 from investcloud_data_pipeline_spark.plans import analytics_ext5 as AX5
+from investcloud_data_pipeline_spark.plans import analytics_ext6 as AX6
 from investcloud_data_pipeline_spark.plans import lakehouse as LH
 from investcloud_data_pipeline_spark.plans import mining as MN
 from investcloud_data_pipeline_spark.plans import pipeline_queries as P
@@ -102,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Extended analytics wave 5 (curriculum order, lang-id
         # confusion evaluation, reorder survival)
         **{name: fn for name, (fn, _) in AX5.QUERIES.items()},
+        # Extended analytics wave 6 (cohort LTV, seasonality profile,
+        # interarrival burstiness)
+        **{name: fn for name, (fn, _) in AX6.QUERIES.items()},
         # Engine-native Python data source (rows-only: generator input,
         # no DuckDB-visible tables)
         "pydatasource_activity_profile": activity_source_profile,
@@ -127,4 +131,5 @@ def oracle_sql() -> dict[str, str]:
         **{name: sql for name, (_, sql) in AX3.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in AX4.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in AX5.QUERIES.items() if sql},
+        **{name: sql for name, (_, sql) in AX6.QUERIES.items() if sql},
     }
