@@ -298,49 +298,60 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = emb.crossJoin(F.broadcast(centers))
-    s = F.explode(
-        F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))
-    ).alias("s")
-    dist = F.round(
-        F.expr(
-            f"""
+
+    # All PQ_SUBSPACES distances computed per (vector, center) row in
+    # one projection, then 8 independent min(struct) aggregates per
+    # vector — ONE hash exchange total (map-side partial mins), no x8
+    # row explosion, and no intermediate (vec, subspace) shuffle.
+    def dist_s(s: int):
+        a = s * PQ_SUBDIM + 1
+        return F.round(
+            F.expr(
+                f"""
 aggregate(
-  zip_with(slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),
-           slice(cemb,      s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),
+  zip_with(slice(embedding, {a}, {PQ_SUBDIM}),
+           slice(cemb,      {a}, {PQ_SUBDIM}),
            (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
                    * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
   CAST(0 AS DOUBLE), (acc, e) -> acc + e)
 """
-        ),
-        9,
-    )
+            ),
+            9,
+        )
+
     scored = pairs.select(
-        "vec_id", "crank", "embedding", "cemb", s
-    ).select("vec_id", "s", "crank", dist.alias("d"))
-    best = (
-        scored.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d", "crank")).alias("b"))
-        .select(
-            "vec_id",
-            "s",
-            (F.col("b.crank") - 1).alias("code"),
-            F.col("b.d").cast("decimal(18,9)").alias("d"),
-        )
+        "vec_id",
+        "crank",
+        *[dist_s(s).alias(f"d{s}") for s in range(PQ_SUBSPACES)],
     )
-    return (
-        best.groupBy("vec_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("s", "code"))
-                    ),
-                    lambda p: p["code"].cast("string"),
-                ),
-                ",",
-            ).alias("pq_codes"),
-            F.round(F.sum("d").cast("double"), 6).alias("recon_err"),
-        )
+    best = scored.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(
+                    F.col(f"d{s}").alias("d"), F.col("crank").alias("crank")
+                )
+            ).alias(f"b{s}")
+            for s in range(PQ_SUBSPACES)
+        ]
+    )
+    codes = F.concat_ws(
+        ",",
+        *[
+            (F.col(f"b{s}.crank") - 1).cast("string")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    err = sum(
+        (
+            F.col(f"b{s}.d").cast("decimal(18,9)")
+            for s in range(PQ_SUBSPACES)
+        ),
+        F.lit(0).cast("decimal(18,9)"),
+    )
+    return best.select(
+        "vec_id",
+        codes.alias("pq_codes"),
+        F.round(err.cast("double"), 6).alias("recon_err"),
     )
 
 

@@ -614,3 +614,42 @@ def test_wave3_wave4_plan_shapes(spark, sf_dir):
     plan = _plan(customer_segment_nation_chisq(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_wave5_wave6_plan_shapes(spark, sf_dir):
+    """Wave-5/6 operators: the scale-critical plan properties.
+
+    * PQ: the 16-center codebook joins as a broadcast nested loop (a
+      16-row cross join), never a shuffled join of the vectors; exactly
+      ONE hash exchange (the per-vector regroup); no Python.
+    * cohort LTV: the cohort-size join is broadcast; the cumulative
+      window partitions by cohort (no global sort).
+    * seasonality: the total rides a broadcast 1-row fold — one hash
+      exchange of fact rows (the cell aggregate).
+    * interarrival: one hash exchange (the event_type window); the
+      per-type aggregate reuses it.
+    """
+    from investcloud_data_pipeline_spark.plans.analytics_ext5 import (
+        embedding_pq_codes,
+    )
+    from investcloud_data_pipeline_spark.plans.analytics_ext6 import (
+        customer_cohort_ltv,
+        event_hourly_seasonality,
+        event_interarrival_stats,
+    )
+
+    plan = _plan(embedding_pq_codes(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = _plan(customer_cohort_ltv(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan
+
+    plan = _plan(event_hourly_seasonality(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+    plan = _plan(event_interarrival_stats(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
