@@ -516,10 +516,14 @@ def lineitem_ols_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2y = dd("s2y") - n * m2 * my
     cyy = dd("syy") - n * my * my
     det = c11 * c22 - c12 * c12
-    b1 = (c22 * c1y - c12 * c2y) / det
-    b2 = (c11 * c2y - c12 * c1y) / det
+    # Degenerate groups (collinear or constant features -> det = 0;
+    # constant y -> cyy = 0) must yield NULLs, not an ANSI
+    # divide-by-zero job crash — found by the planted-plane hypothesis
+    # law with b1 = b2 = 0.
+    b1 = F.when(det != 0, (c22 * c1y - c12 * c2y) / det)
+    b2 = F.when(det != 0, (c11 * c2y - c12 * c1y) / det)
     b0 = my - b1 * m1 - b2 * m2
-    r2 = (b1 * c1y + b2 * c2y) / cyy
+    r2 = F.when(cyy > 0, (b1 * c1y + b2 * c2y) / cyy)
     return agg.select(
         "l_returnflag",
         F.col("n").alias("n_rows"),
@@ -555,11 +559,16 @@ SELECT l_returnflag, n AS n_rows,
        round(my - b1 * m1 - b2 * m2, 6) AS intercept,
        round(b1, 6) AS beta_quantity,
        round(b2, 6) AS beta_discount,
-       round((b1 * c1y + b2 * c2y) / cyy, 6) AS r_squared
+       round(CASE WHEN cyy > 0 THEN (b1 * c1y + b2 * c2y) / cyy END, 6)
+         AS r_squared
 FROM (
   SELECT l_returnflag, n, m1, m2, my, c1y, c2y, cyy,
-         (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
-         (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+         CASE WHEN c11 * c22 - c12 * c12 != 0
+              THEN (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12)
+         END AS b1,
+         CASE WHEN c11 * c22 - c12 * c12 != 0
+              THEN (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)
+         END AS b2
   FROM (
     SELECT l_returnflag, n, m1, m2, my,
            CAST(s11 AS DOUBLE) - CAST(n AS DOUBLE) * m1 * m1 AS c11,

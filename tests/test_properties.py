@@ -626,3 +626,161 @@ def test_business_days_closed_form_matches_day_walk(start, span):
     else:
         closed = 0
     assert closed == walk
+
+
+# ---------- Misra-Gries merge laws (wave 4) ----------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    stream=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(1, 8),
+)
+def test_mg_merge_no_miss_and_lower_bound(stream, k):
+    """After folding n occurrences into a K-counter MG summary: every
+    key with true frequency > n/(K+1) is present, and every counter is
+    a lower bound of its key's true count."""
+    from investcloud_data_pipeline_spark.operators.sketches import mg_merge
+
+    summary = mg_merge({}, stream, k)
+    truth: dict[int, int] = {}
+    for key, c in stream:
+        truth[key] = truth.get(key, 0) + c
+    n = sum(truth.values())
+    assert len(summary) <= k
+    for key, lb in summary.items():
+        assert lb <= truth[key]
+        # undercount bound
+        assert truth[key] - lb <= n / (k + 1)
+    for key, c in truth.items():
+        if c > n / (k + 1):
+            assert key in summary, (key, c, n, k, summary)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    a=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(1, 30)),
+        min_size=1,
+        max_size=30,
+    ),
+    b=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(1, 30)),
+        min_size=0,
+        max_size=30,
+    ),
+    k=st.integers(2, 6),
+)
+def test_mg_merge_incremental_equals_one_shot(a, b, k):
+    """Folding stream A then stream B into the same summary (the
+    streaming state path) keeps the guarantee for the CONCATENATED
+    stream — the property the state-store sketch relies on."""
+    from investcloud_data_pipeline_spark.operators.sketches import mg_merge
+
+    summary = mg_merge(mg_merge({}, a, k), b, k)
+    truth: dict[int, int] = {}
+    for key, c in a + b:
+        truth[key] = truth.get(key, 0) + c
+    n = sum(truth.values())
+    for key, c in truth.items():
+        if c > n / (k + 1):
+            assert key in summary
+    for key, lb in summary.items():
+        assert lb <= truth[key]
+
+
+# ---------- Gini reference model + scale invariance (wave 3) ----------
+
+def _gini_reference(revenues):
+    xs = sorted(revenues)
+    n = len(xs)
+    total = sum(xs)
+    iw = sum((i + 1) * x for i, x in enumerate(xs))
+    return round(2.0 * iw / (n * total) - (n + 1) / n, 6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    revenues=st.lists(st.integers(1, 500), min_size=2, max_size=12),
+    scale=st.sampled_from([1, 3, 10]),
+)
+def test_gini_matches_reference_and_is_scale_invariant(revenues, scale):
+    import pyspark.sql.functions as F
+
+    from investcloud_data_pipeline_spark.plans import analytics_ext3 as AX3
+
+    spark = _get_spark()
+    orders = spark.createDataFrame(
+        [
+            (i + 1, i + 1, "O", float(rev * scale), "1995-01-01",
+             "1-URGENT")
+            for i, rev in enumerate(revenues)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string,"
+        " o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    customer = spark.createDataFrame(
+        [(i + 1, f"c{i}", 0, 0.0, "B") for i in range(len(revenues))],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    nation = spark.createDataFrame(
+        [(0, "Z", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    orig = AX3.load_table
+    try:
+        AX3.load_table = lambda s, d, n: {
+            "orders": orders, "customer": customer, "nation": nation
+        }[n]
+        got = AX3.customer_revenue_gini(spark, "x").collect()[0].gini
+    finally:
+        AX3.load_table = orig
+    # Gini is invariant under scaling every revenue by the same factor,
+    # so the unscaled reference must match
+    assert got == _gini_reference(revenues)
+
+
+# ---------- OLS planted-coefficient recovery (wave 3) ----------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    b0=st.integers(-5, 5),
+    b1=st.integers(-4, 4),
+    b2=st.integers(-4, 4),
+)
+def test_ols_recovers_planted_plane(b0, b1, b2):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from investcloud_data_pipeline_spark.plans import analytics_ext3 as AX3
+
+    spark = _get_spark()
+    # non-collinear grid of (x1, x2) with exact 2dp values
+    pts = [(1.0, 0.0), (2.0, 0.25), (3.0, 0.5), (4.0, 0.0),
+           (5.0, 0.75), (6.0, 0.25), (7.0, 0.5), (8.0, 0.75)]
+    rows = [
+        (1, i + 1, i + 1, x1, b0 + b1 * x1 + b2 * x2, x2, 0.0,
+         "N", "O", "1995-01-01")
+        for i, (x1, x2) in enumerate(pts)
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    )
+    orig = AX3.load_table
+    try:
+        AX3.load_table = lambda s, d, n: li
+        r = AX3.lineitem_ols_price(spark, "x").collect()[0]
+    finally:
+        AX3.load_table = orig
+    assert r.intercept == float(b0)
+    assert r.beta_quantity == float(b1)
+    assert r.beta_discount == float(b2)
