@@ -281,12 +281,13 @@ PQ_CODEBOOK = 16
 PQ_SEED = "pq0"
 
 
-def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def _pq_centers(emb: DataFrame) -> DataFrame:
+    """The seeded-sample codebook: the PQ_CODEBOOK vectors with the
+    smallest md5(seed:vec_id), ranked (crank 1..K)."""
     key = F.md5(
         F.concat(F.lit(PQ_SEED + ":"), F.col("vec_id").cast("string"))
     )
-    centers = (
+    return (
         emb.select("vec_id", "embedding", key.alias("k"))
         .orderBy("k", "vec_id")
         .limit(PQ_CODEBOOK)
@@ -297,34 +298,40 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("cemb"),
         )
     )
-    pairs = emb.crossJoin(F.broadcast(centers))
 
-    # All PQ_SUBSPACES distances computed per (vector, center) row in
-    # one projection, then 8 independent min(struct) aggregates per
-    # vector — ONE hash exchange total (map-side partial mins), no x8
-    # row explosion, and no intermediate (vec, subspace) shuffle.
-    def dist_s(s: int):
-        a = s * PQ_SUBDIM + 1
-        return F.round(
-            F.expr(
-                f"""
+
+def _pq_dist_s(s: int, left: str = "embedding", right: str = "cemb"):
+    """Subspace-s squared L2 between two 64-dim array columns: a
+    fixed-order double fold rounded to 9dp (the cross-engine argmin
+    discipline)."""
+    a = s * PQ_SUBDIM + 1
+    return F.round(
+        F.expr(
+            f"""
 aggregate(
-  zip_with(slice(embedding, {a}, {PQ_SUBDIM}),
-           slice(cemb,      {a}, {PQ_SUBDIM}),
+  zip_with(slice({left}, {a}, {PQ_SUBDIM}),
+           slice({right}, {a}, {PQ_SUBDIM}),
            (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
                    * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
   CAST(0 AS DOUBLE), (acc, e) -> acc + e)
 """
-            ),
-            9,
-        )
+        ),
+        9,
+    )
 
+
+def _pq_best(emb: DataFrame, centers: DataFrame) -> DataFrame:
+    """Per vector: the argmin (d, crank) struct per subspace, computed
+    with all PQ_SUBSPACES distances in one projection over the
+    broadcast codebook and 8 independent min(struct) aggregates — ONE
+    hash exchange total (map-side partial mins), no x8 row explosion."""
+    pairs = emb.crossJoin(F.broadcast(centers))
     scored = pairs.select(
         "vec_id",
         "crank",
-        *[dist_s(s).alias(f"d{s}") for s in range(PQ_SUBSPACES)],
+        *[_pq_dist_s(s).alias(f"d{s}") for s in range(PQ_SUBSPACES)],
     )
-    best = scored.groupBy("vec_id").agg(
+    return scored.groupBy("vec_id").agg(
         *[
             F.min(
                 F.struct(
@@ -334,6 +341,11 @@ aggregate(
             for s in range(PQ_SUBSPACES)
         ]
     )
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    best = _pq_best(emb, _pq_centers(emb))
     codes = F.concat_ws(
         ",",
         *[
@@ -396,3 +408,179 @@ QUERIES["embedding_pq_codes"] = (
     embedding_pq_codes,
     EMBEDDING_PQ_CODES_SQL,
 )
+
+
+# ---------- ANN via PQ asymmetric distance (ADC) ----------
+#
+# The search half of product quantization: rank the whole collection
+# against each query using only the CODES — the asymmetric distance
+# ADC(q, v) = sum over subspaces of d(q_sub, center[code_s(v)]).
+# Per query the work is a K x M lookup table (distances from the
+# query's subvectors to every codebook entry) plus one table-scan of
+# the codes; the vectors themselves are never touched at query time,
+# which is the PQ memory/bandwidth win.
+#
+# Plan: the (query, crank, subspace) lookup table is 10 x 16 x 8 rows
+# — broadcast; vector codes unpivot to (vec_id, s, crank) and join the
+# lookup on (s, crank); the per-(query, vector) decimal sum is one
+# hash exchange; top-5 per query via WindowGroupLimit. Exactness:
+# distances are the same 9dp-rounded folds as the code assignment, the
+# ADC sum is a decimal sum of rounded terms, ties break on vec_id —
+# strict-oracle like the rest of the PQ family. Recall vs the exact
+# ranking is recorded in ANN_RECALL (the seeded-sample codebook trades
+# recall for oracle-exactness; the IVF/k-means path is the quality
+# upgrade).
+
+PQ_ADC_K = 5
+
+
+def pq_adc_topk(
+    emb: DataFrame, queries: DataFrame, k: int = PQ_ADC_K
+) -> DataFrame:
+    """ADC top-k of ``queries`` (qid, qemb) against the PQ codes of
+    ``emb`` (vec_id, embedding). Shared by the registry query and the
+    recall-ledger tool."""
+    centers = _pq_centers(emb)
+    best = _pq_best(emb, centers)
+    codes = best.select(
+        "vec_id",
+        F.expr(
+            "stack("
+            + str(PQ_SUBSPACES)
+            + ", "
+            + ", ".join(
+                f"{s}, b{s}.crank" for s in range(PQ_SUBSPACES)
+            )
+            + ") AS (s, crank)"
+        ),
+    )
+    qc = queries.crossJoin(F.broadcast(centers)).select(
+        "qid",
+        "crank",
+        *[
+            _pq_dist_s(s, left="qemb").alias(f"qd{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    lookup = qc.select(
+        "qid",
+        "crank",
+        F.expr(
+            "stack("
+            + str(PQ_SUBSPACES)
+            + ", "
+            + ", ".join(f"{s}, qd{s}" for s in range(PQ_SUBSPACES))
+            + ") AS (s, qd)"
+        ),
+    )
+    adc = (
+        codes.join(F.broadcast(lookup), ["s", "crank"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(F.col("qd").cast("decimal(18,9)")).alias("dec_adc")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dec_adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "rank",
+            "vec_id",
+            F.round(F.col("dec_adc").cast("double"), 6).alias(
+                "adc_dist"
+            ),
+        )
+    )
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+    )
+    return pq_adc_topk(emb, queries, k=PQ_ADC_K)
+
+
+def _pq_adc_sql() -> str:
+    sub_dists = lambda l, r: ",\n         ".join(
+        f"""round(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), i ->
+           (CAST({l}[{s * PQ_SUBDIM} + i] AS DOUBLE)
+            - CAST({r}[{s * PQ_SUBDIM} + i] AS DOUBLE))
+           * (CAST({l}[{s * PQ_SUBDIM} + i] AS DOUBLE)
+              - CAST({r}[{s * PQ_SUBDIM} + i] AS DOUBLE)))), 9) AS d{s}"""
+        for s in range(PQ_SUBSPACES)
+    )
+    code_stack = ", ".join(
+        f"({s}, b{s})" for s in range(PQ_SUBSPACES)
+    )
+    qd_stack = ", ".join(f"({s}, qd{s})" for s in range(PQ_SUBSPACES))
+    best_cols = ",\n         ".join(
+        f"min(crank) FILTER (WHERE d{s} = min(d{s}) OVER ()) AS b{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    # argmin per subspace: window-min per vec_id then filtered min(crank)
+    best_inner = ",\n           ".join(
+        f"min(d{s}) OVER (PARTITION BY vec_id) AS m{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    best_outer = ",\n         ".join(
+        f"min(crank) FILTER (WHERE d{s} = m{s}) AS c{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    return f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5('{PQ_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS crank
+  FROM embeddings
+), centers AS (
+  SELECT crank, embedding AS cemb FROM ranked WHERE crank <= {PQ_CODEBOOK}
+), scored AS (
+  SELECT v.vec_id, c.crank,
+         {sub_dists('v.embedding', 'c.cemb')}
+  FROM embeddings v CROSS JOIN centers c
+), with_min AS (
+  SELECT vec_id, crank,
+         {", ".join(f"d{s}" for s in range(PQ_SUBSPACES))},
+           {best_inner}
+  FROM scored
+), best AS (
+  SELECT vec_id,
+         {best_outer}
+  FROM with_min GROUP BY vec_id
+), codes AS (
+  {" UNION ALL ".join(f"SELECT vec_id, {s} AS s, c{s} AS crank FROM best" for s in range(PQ_SUBSPACES))}
+), qdists AS (
+  SELECT q.vec_id AS qid, c.crank,
+         {sub_dists('q.embedding', 'c.cemb')}
+  FROM embeddings q CROSS JOIN centers c
+  WHERE q.vec_id < 10
+), lookup AS (
+  {" UNION ALL ".join(f"SELECT qid, crank, {s} AS s, d{s} AS qd FROM qdists" for s in range(PQ_SUBSPACES))}
+), adc AS (
+  SELECT l.qid, c.vec_id,
+         sum(CAST(l.qd AS DECIMAL(18,9))) AS dec_adc
+  FROM codes c JOIN lookup l ON l.s = c.s AND l.crank = c.crank
+  WHERE c.vec_id != l.qid
+  GROUP BY 1, 2
+)
+SELECT qid, rank, vec_id,
+       round(CAST(dec_adc AS DOUBLE), 6) AS adc_dist
+FROM (
+  SELECT qid, vec_id, dec_adc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dec_adc ASC, vec_id ASC) AS rank
+  FROM adc
+)
+WHERE rank <= {PQ_ADC_K}
+"""
+
+
+QUERIES["ann_pq_adc_topk"] = (ann_pq_adc_topk, _pq_adc_sql())

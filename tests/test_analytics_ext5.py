@@ -217,3 +217,37 @@ def test_pq_partitioning_invariant(spark, sf_dir):
     finally:
         AX5.load_table = orig
     assert base == rep
+
+
+def test_pq_adc_topk_shape_and_monotone(spark, sf_dir):
+    out = AX5.ann_pq_adc_topk(spark, sf_dir).persist()
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r.vec_id != r.qid  # never returns the query itself
+        assert r.adc_dist >= 0
+        by_q.setdefault(r.qid, []).append((r.rank, r.adc_dist, r.vec_id))
+    assert set(by_q) == set(range(10))
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == list(range(1, AX5.PQ_ADC_K + 1))
+        dists = [d for _, d, _ in lst]
+        assert dists == sorted(dists)  # ADC nondecreasing with rank
+    out.unpersist()
+
+
+def test_pq_adc_identical_codes_distance_symmetry(spark, sf_dir):
+    # a query vector's ADC distance to ANY vector sharing all 8 codes
+    # equals the sum of the query's lookup entries for those codes —
+    # i.e., same codes => same ADC distance. Check: rows with equal
+    # adc_dist within a query are adjacent ranks (tie block intact).
+    out = AX5.ann_pq_adc_topk(spark, sf_dir)
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in out.collect():
+        by_q[r.qid].append((r.rank, r.adc_dist))
+    for q, lst in by_q.items():
+        lst.sort()
+        for (r1, d1), (r2, d2) in zip(lst, lst[1:]):
+            assert d2 >= d1

@@ -75,6 +75,52 @@ def measure(sf_dir: str, k: int, n_queries: int) -> dict:
             "queries_answered": sum(1 for q in exact if approx.get(q)),
             "wall_s": wall,
         }
+    # PQ ADC ranks by L2, so its recall is measured against the exact
+    # L2 top-k (not cosine): same queries, same k. The seeded-SAMPLE
+    # 16-entry codebook trades recall for oracle-exactness on this
+    # near-orthogonal random corpus — recorded honestly, like the
+    # single-band sign-LSH row; the k-means codebook is the upgrade.
+    from pyspark.sql import Window
+
+    from investcloud_data_pipeline_spark.plans import analytics_ext5 as AX5
+
+    base = emb.select("vec_id", "embedding")
+    qs = queries.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    pairs = base.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(embedding, qemb,"
+        " (x,y)->(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))"
+        "*(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (a,e)->a+e)"
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("l2").asc(), F.col("vec_id").asc())
+    exact_l2_df = (
+        pairs.select("qid", "vec_id", l2.alias("l2"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= k)
+    )
+    exact_l2: dict = {}
+    for r in exact_l2_df.collect():
+        exact_l2.setdefault(r.qid, set()).add(r.vec_id)
+    t0 = time.time()
+    adc_df = AX5.pq_adc_topk(base, qs, k=k)
+    adc: dict = {}
+    for r in adc_df.collect():
+        adc.setdefault(r.qid, set()).add(r.vec_id)
+    per_q = [
+        len(adc.get(q, set()) & ex) / k for q, ex in exact_l2.items()
+    ]
+    results["pq_adc_vs_exact_l2"] = {
+        "recall_at_k": round(sum(per_q) / len(per_q), 4),
+        "min_query_recall": round(min(per_q), 4),
+        "queries_answered": sum(1 for q in exact_l2 if adc.get(q)),
+        "wall_s": round(time.time() - t0, 2),
+    }
+
     emb.unpersist()
     return {
         "metric": f"recall@{k}",
