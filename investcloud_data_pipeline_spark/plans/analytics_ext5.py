@@ -435,12 +435,20 @@ PQ_ADC_K = 5
 
 
 def pq_adc_topk(
-    emb: DataFrame, queries: DataFrame, k: int = PQ_ADC_K
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = PQ_ADC_K,
+    centers: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k of ``queries`` (qid, qemb) against the PQ codes of
     ``emb`` (vec_id, embedding). Shared by the registry query and the
-    recall-ledger tool."""
-    centers = _pq_centers(emb)
+    recall-ledger tool. ``centers`` overrides the seeded-sample
+    codebook with a caller-built (crank, cemb) frame — the per-subspace
+    slices of each cemb row are independent, so independently fitted
+    per-subspace codebooks pack into PQ_CODEBOOK synthetic full-width
+    vectors (the k-means upgrade path the recall tool measures)."""
+    if centers is None:
+        centers = _pq_centers(emb)
     best = _pq_best(emb, centers)
     codes = best.select(
         "vec_id",

@@ -251,3 +251,77 @@ def test_pq_adc_identical_codes_distance_symmetry(spark, sf_dir):
         lst.sort()
         for (r1, d1), (r2, d2) in zip(lst, lst[1:]):
             assert d2 >= d1
+
+
+def test_pq_adc_recall_sanity_and_kmeans_upgrade(spark, sf_dir):
+    """PQ-ADC is structurally low-recall with a 16-entry sampled
+    codebook on near-orthogonal random vectors (measured 0.127 @ sf0.1
+    in ANN_RECALL_r6.json) — the floor here is a breakage detector
+    (> 0), plus the ordering law the recall ledger demonstrates: the
+    k-means codebook must not be WORSE than the sampled one."""
+    import numpy as np
+
+    from investcloud_data_pipeline_spark.functions.vectors import (
+        seeded_kmeans_centers,
+    )
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).persist()
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    pairs = emb.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(embedding, qemb,"
+        " (x,y)->(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))"
+        "*(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (a,e)->a+e)"
+    )
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("qid").orderBy(F.col("l2").asc(), "vec_id")
+    exact = {}
+    for r in (
+        pairs.select("qid", "vec_id", l2.alias("l2"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter("r <= 5")
+        .collect()
+    ):
+        exact.setdefault(r.qid, set()).add(r.vec_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.qid, set()).add(r.vec_id)
+        return sum(
+            len(got.get(q, set()) & s) / 5 for q, s in exact.items()
+        ) / len(exact)
+
+    r_sampled = recall(AX5.ann_pq_adc_topk(spark, sf_dir))
+    assert r_sampled > 0.0, r_sampled
+
+    slices = []
+    for s in range(AX5.PQ_SUBSPACES):
+        sl = emb.select(
+            F.slice(
+                "embedding", s * AX5.PQ_SUBDIM + 1, AX5.PQ_SUBDIM
+            ).alias("v")
+        )
+        c = seeded_kmeans_centers(sl, "v", AX5.PQ_CODEBOOK, seed=42 + s)
+        assert c is not None
+        slices.append(c)
+    full = np.hstack(slices)
+    km_centers = spark.createDataFrame(
+        [
+            (i + 1, [float(x) for x in full[i]])
+            for i in range(AX5.PQ_CODEBOOK)
+        ],
+        "crank int, cemb array<float>",
+    )
+    r_kmeans = recall(AX5.pq_adc_topk(emb, qs, k=5, centers=km_centers))
+    emb.unpersist()
+    assert r_kmeans >= r_sampled - 0.05, (r_kmeans, r_sampled)
