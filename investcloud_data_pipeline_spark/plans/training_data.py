@@ -51,9 +51,18 @@ def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
+        # localCheckpoint, not persist: the duplicate-collapse armor
+        # made the pair lineage LARGE, and downstream consumers that
+        # reference this frame several times (the triangle query's two
+        # broadcast probe sides) re-ANALYZE that whole subtree per
+        # reference even though execution reads the cache — measured
+        # 0.42s -> 1.2s on dedup_triangle_stats from planning alone.
+        # The eager checkpoint collapses the plan to an RDD scan (the
+        # relation is thresholded-pair tiny), so every consumer plans
+        # against a leaf.
         df = DF.ngram_jaccard_pairs(
             _docs(spark, sf_dir), n=3, threshold=0.5
-        ).persist()
+        ).localCheckpoint(eager=True)
         _PAIRS_CACHE[key] = df
     return df
 
