@@ -42,8 +42,18 @@ SF0001 = "/root/testdata/sf0.001"
 ROWS_ONLY = {
     "ann_brp_lsh_topk": "random-hyperplane LSH buckets (seeded RNG, not SQL)",
     "ann_ivf_topk": "k-means cell assignment (iterative fit, not SQL)",
+    "ann_pq_adc_kmeans_topk": (
+        "per-subspace k-means codebook (iterative fit, not SQL); "
+        "strict twin with the seeded-sample codebook: ann_pq_adc_topk"
+    ),
     "ann_vectorized_topk": "numpy blocked-matmul summation order",
     "approx_aggregates": "HLL++/KLL sketch estimates are engine-specific",
+    "corpus_curriculum_order_approx": (
+        "percentile_approx bin edges are a Spark-side mergeable sketch "
+        "(engine-specific); boolean-gated strict twin: "
+        "corpus_curriculum_bins_approx; exact-ntile strict twin: "
+        "corpus_curriculum_order"
+    ),
     "corpus_stratified_sample": "per-stratum Bernoulli sampling is engine-specific",
     "dedup_embedding_cosine_fast": "numpy blocked-matmul summation order",
     "corpus_topic_clusters": "k-means clustering (iterative fit, not SQL)",

@@ -27,14 +27,25 @@ IP_POOL = (
 ANCHOR = datetime(2024, 3, 1, 0, 0, 0)
 
 
+HOT_USER = "user_00007"
+
+
 def make_activity_frame(
     rows: int,
     seed: int = 42,
     dup_fraction: float = 0.1,
     dup_cap: int = 500,
     dirty_fraction: float = 0.0,
+    hot_user_fraction: float = 0.0,
 ) -> pd.DataFrame:
-    """One file's worth of activity rows as pandas (generator-shaped)."""
+    """One file's worth of activity rows as pandas (generator-shaped).
+
+    ``hot_user_fraction`` > 0 reassigns that share of rows to ONE user
+    (``HOT_USER``) — the adversarial hot-key shape for the streaming
+    skew benchmark (one user owning ~50% of the stream), leaving log_id
+    / ip / timestamp distributions untouched so the DQ and dedup layers
+    see the same workload.
+    """
     rng = np.random.default_rng(seed)
     log_ids = np.array([f"log_{n:09d}" for n in rng.integers(0, 10**9, rows)])
     ts = [
@@ -50,6 +61,9 @@ def make_activity_frame(
             "watch_time(min)": rng.integers(1, 120, rows).astype("int64"),
         }
     )
+    if hot_user_fraction:
+        hot_idx = rng.random(rows) < hot_user_fraction
+        df.loc[hot_idx, "user_id"] = HOT_USER
     n_dups = min(int(rows * dup_fraction), dup_cap)
     if n_dups and rows > 1:
         # Overwrite a suffix with full copies of prefix rows — exact
@@ -83,6 +97,7 @@ def write_activity_files(
     fmt: str = "parquet",
     dirty_fraction: float = 0.0,
     start_index: int = 0,
+    hot_user_fraction: float = 0.0,
 ) -> list[str]:
     """Write N activity files (csv or parquet) into ``out_dir``.
 
@@ -99,7 +114,10 @@ def write_activity_files(
     paths = []
     for i in range(num_files):
         df = make_activity_frame(
-            rows_per_file, seed=seed + i, dirty_fraction=dirty_fraction
+            rows_per_file,
+            seed=seed + i,
+            dirty_fraction=dirty_fraction,
+            hot_user_fraction=hot_user_fraction,
         )
         path = os.path.join(out_dir, f"activity_{start_index + i:04d}.{fmt}")
         if fmt == "csv":

@@ -1,0 +1,69 @@
+"""Approximate quantile binning — the extreme-scale alternative to the
+exact ``ntile()`` global-order window.
+
+``ntile(n) OVER (ORDER BY score)`` is an exact global rank: Spark plans
+it as ``Exchange SinglePartition`` + one ``WindowExec`` sort, i.e. every
+row funnels through ONE task. That is acceptable for a narrow scored
+relation at benchmark scale (the documented posture of the exact
+curriculum / RFM / decile-lift queries) and fatal at 10^11 rows.
+
+``approx_quantile_bins`` replaces the global sort with the mergeable
+sketch Spark already ships: ``percentile_approx`` computes the n-1 bin
+edges as map-side partial sketches plus one tiny final merge (no global
+sort, no single-partition exchange anywhere), the 1-row edge array is
+broadcast, and each row's bin is a pure JVM ``filter``/``size``
+expression over that array. Bin populations are equal only up to sketch
+accuracy — the right trade for curriculum ordering and decile scoring,
+whose semantics tolerate edge wobble but not a single-task sort.
+
+Reference parity note: the reference has no binning operator at all
+(its gold layer is plain grouped aggregation, `03_gold_layer:31`); this
+is part of the training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_EDGES = "_approx_bin_edges"
+
+
+def approx_quantile_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int,
+    *,
+    descending: bool = False,
+    accuracy: int = 10000,
+    bin_col: str = "qbin",
+) -> DataFrame:
+    """Assign every row to one of ``n_bins`` approximate quantile bins
+    of ``score_col``.
+
+    ``descending=True`` gives bin 1 = highest scores (the curriculum
+    convention, matching ``ntile`` over ``ORDER BY score DESC``);
+    ``descending=False`` gives bin 1 = lowest (plain ``ntile`` over
+    ``ORDER BY score ASC``). Boundary ties go to the later bin in both
+    orientations, so the assignment is deterministic.
+
+    Plan shape (pinned by tests/test_scale_posture.py): one
+    ObjectHashAggregate pair for the sketch, one broadcast of the 1-row
+    edge relation — NO ``Exchange SinglePartition`` and no ``ntile``.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = df.agg(
+        F.percentile_approx(
+            F.col(score_col).cast("double"), qs, accuracy
+        ).alias(_EDGES)
+    )
+    s = f"CAST({score_col} AS DOUBLE)"
+    cmp = f"e >= {s}" if descending else f"e < {s}"
+    bin_expr: Column = F.expr(f"1 + size(filter({_EDGES}, e -> {cmp}))")
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .withColumn(bin_col, bin_expr.cast("long"))
+        .drop(_EDGES)
+    )

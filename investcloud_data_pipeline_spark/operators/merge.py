@@ -49,6 +49,7 @@ def apply_cdc(
     key_cols: list[str],
     seq_col: str,
     op_col: str = "op",
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """MERGE semantics: ``changes`` rows carry ``op`` = 'U' (upsert) or
     'D' (delete), a sequence column, and the full payload. The result is
@@ -59,8 +60,22 @@ def apply_cdc(
       unmatched change, op 'U'   → inserted
       base rows without a change → unchanged
 
-    Payload column set must equal base's columns.
+    Payload column set must equal base's columns — unless
+    ``evolve_schema`` is set, which applies Delta's automatic schema
+    evolution rule for ``MERGE WITH SCHEMA EVOLUTION`` (reference's
+    Delta tables evolve this way, `01_bronze_layer_ingestion.py:68`):
+    payload columns NOT in the base are ADDED to the target schema, and
+    pre-existing base rows read NULL for them. Narrowing (payload
+    missing a base column) stays an error in both modes — dropping a
+    column via MERGE is not an evolution Delta performs either.
     """
+    if evolve_schema:
+        payload = [c for c in changes.columns if c not in (op_col, seq_col)]
+        for c in payload:
+            if c not in base.columns:
+                base = base.withColumn(
+                    c, F.lit(None).cast(changes.schema[c].dataType)
+                )
     last = latest_per_key(changes, key_cols, seq_col)
     upserts = last.filter(F.col(op_col) == "U").select(*base.columns)
     touched = last.select(*key_cols)

@@ -50,22 +50,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # map-only (no shuffle), pass 2 shuffles only rows matching
 # candidates after a broadcast semi-join — the full key space is never
 # shuffled, which is the whole point at billions of distinct keys.
+#
+# phi calibration: the driver's events table is UNIFORM over a user
+# population that scales with sf (15 / 150 / 1500 users; max per-user
+# share 8.8% / 0.86% / 0.099%), so any phi above 0.00099 emits ZERO
+# rows at sf0.1 and the strict oracle only ever confirms "both engines
+# find nothing" (round-6 verdict, item 1). phi = 0.0005 emits rows at
+# ALL tested scale factors (15 / 150 / 1478), so the threshold
+# arithmetic, the verify join, and the share column are compared on
+# real rows; K = 2048 preserves K + 1 >= 1/phi = 2000. On this uniform
+# data the per-partition key count stays below K so the decrement path
+# never fires here — that path is exercised by the hypothesis laws in
+# tests/test_properties.py and the crafted-skew end-to-end test in
+# tests/test_analytics_ext4.py (small K forcing evictions, exactness
+# asserted against a brute-force groupBy).
 
-HH_PHI = 0.01
-HH_SKETCH_K = 256  # >> 1/phi, so per-partition survival is comfortable
+HH_PHI = 0.0005
+HH_SKETCH_K = 2048  # K + 1 >= 1/phi, so per-partition survival is guaranteed
 
 
-def _mg_partition(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    from ..operators.sketches import mg_merge
+def _mg_partition_fn(k: int):
+    # Closure factory: the partition kernel is pickled BY VALUE with k
+    # captured at plan-build time. A module-level function would be
+    # pickled by reference and re-resolve HH_SKETCH_K on the worker,
+    # silently ignoring driver-side overrides (tests monkeypatch K to
+    # force the eviction path inside real executors).
+    def _mg_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from ..operators.sketches import mg_merge
 
-    counters: dict[int, int] = {}
-    for pdf in batches:
-        counters = mg_merge(
-            counters, pdf.groupby("user_id").size().items(), HH_SKETCH_K
-        )
-    yield pd.DataFrame({"user_id": list(counters.keys())})
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            counters = mg_merge(
+                counters, pdf.groupby("user_id").size().items(), k
+            )
+        yield pd.DataFrame({"user_id": list(counters.keys())})
+
+    return _mg_partition
 
 
 def event_heavy_hitters_mg(
@@ -73,21 +95,34 @@ def event_heavy_hitters_mg(
 ) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("user_id")
     candidates = (
-        e.mapInPandas(_mg_partition, "user_id long").distinct()
+        e.mapInPandas(_mg_partition_fn(HH_SKETCH_K), "user_id long")
+        .distinct()
     )
-    total = e.count()
-    threshold = int(total * HH_PHI)
+    # total stays IN-PLAN (broadcast 1-row aggregate, cross-joined onto
+    # the exact counts) so constructing this DataFrame is lazy like
+    # every other registry builder — no e.count() action at build time
+    # (plan audits / explain dumps / entry smoke pay no table scan).
+    # floor() matches the oracle's CAST(floor(...)) for positive totals.
+    tot = e.groupBy().agg(F.count("*").alias("_hh_total"))
     exact = (
         e.join(F.broadcast(candidates), "user_id")
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
-        .filter(F.col("n_events") > threshold)
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n_events")
+            > F.floor(
+                F.col("_hh_total").cast("double") * F.lit(HH_PHI)
+            ).cast("long")
+        )
     )
     return exact.select(
         "user_id",
         "n_events",
         F.round(
-            F.col("n_events").cast("double") / F.lit(float(total)), 6
+            F.col("n_events").cast("double")
+            / F.col("_hh_total").cast("double"),
+            6,
         ).alias("share"),
     )
 

@@ -36,10 +36,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #
 # Scale posture: ntile is an exact global rank — the scored relation
 # is NARROW (doc_id, score: ~16 bytes/row), which is the same
-# documented posture as the RFM segments and decile-lift queries; the
-# approximate path at extreme scale is percentile_approx bin edges.
-# The within-bin shuffle partitions by bin (10 partitions of equal
-# size by construction).
+# documented posture as the RFM segments and decile-lift queries. The
+# extreme-scale path is IMPLEMENTED below (`corpus_curriculum_order_
+# approx` / `corpus_curriculum_bins_approx` on operators/binning.py's
+# percentile_approx bin edges — no single-partition WindowExec
+# anywhere, plan-pinned); this exact variant stays as the strict
+# oracle twin. The within-bin shuffle partitions by bin (10
+# partitions of equal size by construction).
 
 CURRICULUM_BINS = 10
 CURRICULUM_SEED = "epoch0"
@@ -85,6 +88,101 @@ SELECT doc_id, curriculum_bin,
          ORDER BY md5('{CURRICULUM_SEED}:' || CAST(doc_id AS VARCHAR)) ASC,
                   doc_id ASC) AS pos_in_bin
 FROM binned
+"""
+
+
+# ---------- curriculum order, extreme-scale (approximate bins) ----------
+#
+# The same curriculum contract as corpus_curriculum_order, with the
+# exact ntile (Exchange SinglePartition + one WindowExec sort of the
+# whole scored corpus) replaced by percentile_approx bin edges +
+# broadcast bin assignment (operators/binning.py). At 100 TB the exact
+# query as written funnels every document through one task; this path
+# has NO single-partition exchange anywhere (plan-pinned in
+# tests/test_scale_posture.py) — the within-bin position window
+# partitions by curriculum_bin.
+#
+# Correctness strategy: percentile_approx is a Spark-side mergeable
+# sketch with no DuckDB equivalent, so the per-document ordering is
+# rows-only (justified in __spark_entry__.ROWS_ONLY) and the companion
+# query `corpus_curriculum_bins_approx` carries the STRICT oracle: it
+# emits per-bin population-bound booleans plus the total document
+# count, and DuckDB asserts the booleans as literal TRUE and the total
+# exactly — a sketch regression that skews any bin past ±50% of the
+# ideal population, drops a document, or empties a bin (rowcount)
+# fails the ledger. The exact ntile variant above remains the strict
+# per-document oracle twin of the curriculum semantics themselves.
+
+CURRICULUM_POP_SLACK = 0.5  # each bin within ±50% of n/bins
+
+
+def _curriculum_binned_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.binning import approx_quantile_bins
+
+    scored = TX.quality_score(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", "quality_score")
+    return approx_quantile_bins(
+        scored,
+        "quality_score",
+        CURRICULUM_BINS,
+        descending=True,
+        bin_col="curriculum_bin",
+    )
+
+
+def corpus_curriculum_order_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    binned = _curriculum_binned_approx(spark, sf_dir)
+    key = F.md5(
+        F.concat(
+            F.lit(CURRICULUM_SEED + ":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    wp = Window.partitionBy("curriculum_bin").orderBy(
+        key.asc(), F.col("doc_id").asc()
+    )
+    return binned.select(
+        "doc_id",
+        F.col("curriculum_bin").cast("long").alias("curriculum_bin"),
+        F.row_number().over(wp).cast("long").alias("pos_in_bin"),
+    )
+
+
+def corpus_curriculum_bins_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    binned = _curriculum_binned_approx(spark, sf_dir)
+    per_bin = binned.groupBy("curriculum_bin").agg(
+        F.count("*").alias("_n_docs")
+    )
+    tot = binned.groupBy().agg(F.count("*").alias("docs_total"))
+    ideal = F.col("docs_total").cast("double") / F.lit(
+        float(CURRICULUM_BINS)
+    )
+    lo = F.floor(ideal * (1.0 - CURRICULUM_POP_SLACK))
+    hi = F.ceil(ideal * (1.0 + CURRICULUM_POP_SLACK))
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("curriculum_bin").cast("long").alias("curriculum_bin"),
+            (
+                (F.col("_n_docs") >= lo) & (F.col("_n_docs") <= hi)
+            ).alias("pop_ok"),
+            F.col("docs_total").cast("long").alias("docs_total"),
+        )
+    )
+
+
+CORPUS_CURRICULUM_BINS_APPROX_SQL = f"""
+SELECT CAST(t.b AS BIGINT) AS curriculum_bin,
+       TRUE AS pop_ok,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS docs_total
+FROM range(1, {CURRICULUM_BINS} + 1) AS t(b)
 """
 
 
@@ -240,6 +338,14 @@ QUERIES = {
     "corpus_curriculum_order": (
         corpus_curriculum_order,
         CORPUS_CURRICULUM_ORDER_SQL,
+    ),
+    "corpus_curriculum_order_approx": (
+        corpus_curriculum_order_approx,
+        None,  # percentile_approx edges are engine-specific; see ROWS_ONLY
+    ),
+    "corpus_curriculum_bins_approx": (
+        corpus_curriculum_bins_approx,
+        CORPUS_CURRICULUM_BINS_APPROX_SQL,
     ),
     "text_langid_confusion": (
         text_langid_confusion,
@@ -592,3 +698,83 @@ WHERE rank <= {PQ_ADC_K}
 
 
 QUERIES["ann_pq_adc_topk"] = (ann_pq_adc_topk, _pq_adc_sql())
+
+
+# ---------- ANN via PQ ADC, k-means codebook (the quality path) ----------
+#
+# Same ADC search as ann_pq_adc_topk, but with the codebook FITTED:
+# per-subspace k-means (K=64) instead of the seeded 16-vector sample.
+# The recall ladder (ANN_RECALL: sampled-16 0.127 → kmeans-16 0.179 →
+# kmeans-64 0.283 on random near-orthogonal 64-d vectors) shows the
+# codebook is the recall knob; this registers the fitted variant as a
+# first-class query so the honest-but-low sampled number is the
+# documented floor, not the shipped default. Rows-only oracle (k-means
+# is an iterative fit, like IVF); tools/ann_recall.py records its
+# recall and tests/test_analytics_ext5.py pins a recall floor so a
+# codebook regression fails CI.
+#
+# Scale: the per-subspace fits run over 8-dim slices (n×96 bytes) under
+# the same 256 MB driver guard as IVF/SemDeDup, falling back to
+# distributed Spark ML KMeans per subspace above it (the 100 TB path,
+# where 8 sequential fits amortize against the corpus scan); the search
+# half is unchanged — codes + broadcast lookup, never the vectors.
+
+PQ_KM_CODEBOOK = 64
+PQ_KM_SEED = 142
+
+
+def _pq_kmeans_centers(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(crank, cemb) codebook from independent per-subspace k-means
+    fits, packed into synthetic full-width vectors (subspace slices are
+    independent in ADC, so packing loses nothing)."""
+    import numpy as np
+
+    from ..functions.vectors import seeded_kmeans_centers, to_double_array
+
+    slices = []
+    for s in range(PQ_SUBSPACES):
+        sl = emb.select(
+            F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v")
+        )
+        c = seeded_kmeans_centers(
+            sl, "v", PQ_KM_CODEBOOK, seed=PQ_KM_SEED + s
+        )
+        if c is None:
+            # above the driver-fit guard: distributed KMeans per subspace
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            sl_vec = sl.withColumn(
+                "features", array_to_vector(to_double_array("v"))
+            )
+            model = KMeans(
+                k=PQ_KM_CODEBOOK,
+                seed=PQ_KM_SEED + s,
+                maxIter=8,
+                featuresCol="features",
+            ).fit(sl_vec)
+            c = np.asarray([list(cc) for cc in model.clusterCenters()])
+        slices.append(c)
+    full = np.hstack(slices)
+    return spark.createDataFrame(
+        [
+            (i + 1, [float(x) for x in full[i]])
+            for i in range(PQ_KM_CODEBOOK)
+        ],
+        "crank int, cemb array<float>",
+    )
+
+
+def ann_pq_adc_kmeans_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centers = _pq_kmeans_centers(spark, emb)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+    )
+    return pq_adc_topk(emb, queries, k=PQ_ADC_K, centers=centers)
+
+
+QUERIES["ann_pq_adc_kmeans_topk"] = (ann_pq_adc_kmeans_topk, None)

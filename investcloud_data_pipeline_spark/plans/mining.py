@@ -828,9 +828,10 @@ ORDER BY m.event_type
 # order, so quartile boundaries are deterministic and engine-portable.
 # The global ntile is a SinglePartition window over the CUSTOMER
 # aggregate — fine to ~10^8 rows; past that swap exact ntile for
-# broadcast percentile thresholds (approx_percentile on the aggregate,
-# then a comparison-only projection: no global sort, same 4 buckets up
-# to estimation error at the boundaries).
+# operators/binning.approx_quantile_bins (percentile_approx edges +
+# broadcast bin assignment: no global sort, same 4 buckets up to
+# estimation error at the boundaries — implemented and plan-pinned by
+# the corpus_curriculum_*_approx queries).
 
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")

@@ -43,12 +43,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triangle stats). In production it is computed once and written; here
 # the session-scoped memo gives the same write-once economics — every
 # family member after the first reuses the persisted frame. Keyed by
-# session id so a new session (or sf_dir) rebuilds.
+# applicationId (stable and unique per SparkContext lifetime — id()
+# can be REUSED by a new session allocated at a dead session's
+# address, which would hand out a frame whose checkpointed RDD blocks
+# belong to the stopped context). The eager localCheckpoint below is
+# non-reliable by design: blocks lost on executor loss are not
+# recomputable, so the cached frame MUST NOT outlive its session —
+# which the applicationId key now guarantees.
 _PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _session_key(spark: SparkSession, sf_dir: str) -> tuple:
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
 def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _session_key(spark, sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
         # localCheckpoint, not persist: the duplicate-collapse armor
@@ -79,7 +89,7 @@ def components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``jaccard_pairs_cached``; the iterative CC job never reruns."""
     from ..operators.graph import connected_components
 
-    key = (id(spark), sf_dir)
+    key = _session_key(spark, sf_dir)
     df = _COMP_CACHE.get(key)
     if df is None:
         df = connected_components(
@@ -416,8 +426,10 @@ def text_quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture matches customer_rfm_segments: the windowed input is
     the NARROW scored relation (id + a few doubles), and an exact
     global decile cut is inherently a total order — at 100 TB the
-    report would swap ntile for approx-quantile boundaries + a bucket
-    join; the exact form is what the oracle can mirror strictly."""
+    report swaps ntile for operators/binning.approx_quantile_bins
+    (percentile_approx edges + broadcast assignment, implemented and
+    plan-pinned by the corpus_curriculum_*_approx queries); the exact
+    form is what the oracle can mirror strictly."""
     scored = text_quality_classifier(spark, sf_dir)
     from pyspark.sql import Window
 

@@ -39,16 +39,34 @@ def apply_cdc_batch(
     batch_df: DataFrame,
     epoch_id: int,
     retain: int = 1,
+    evolve_schema: bool = False,
 ) -> None:
-    """Merge one change micro-batch into the versioned snapshot."""
+    """Merge one change micro-batch into the versioned snapshot.
+
+    ``evolve_schema`` reads the committed snapshot with its OWN stored
+    schema (not the caller's ``base_schema``) and lets ``apply_cdc``
+    widen it with any new payload columns the batch carries — the
+    versioned-snapshot form of Delta's MERGE schema evolution. Each
+    snapshot version then carries the schema that was current at its
+    epoch, exactly like Delta's per-version schema log.
+    """
     last_epoch, current = read_committed(snapshot_root)
     if epoch_id <= last_epoch:
         return  # replayed batch — already merged
     if current is not None:
-        base = spark.read.schema(base_schema).parquet(current)
+        if evolve_schema:
+            base = spark.read.parquet(current)
+        else:
+            base = spark.read.schema(base_schema).parquet(current)
     else:
         base = spark.createDataFrame([], base_schema)
-    merged = apply_cdc(base, batch_df, key_cols=key_cols, seq_col=seq_col)
+    merged = apply_cdc(
+        base,
+        batch_df,
+        key_cols=key_cols,
+        seq_col=seq_col,
+        evolve_schema=evolve_schema,
+    )
     new_dir = version_path(snapshot_root, epoch_id)
     merged.write.mode("overwrite").parquet(new_dir)
     commit_version(snapshot_root, epoch_id, new_dir)

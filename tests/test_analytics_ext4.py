@@ -19,21 +19,27 @@ def _patched(monkeypatch, tables):
 
 # ---------- Misra-Gries heavy hitters ----------
 
-def test_mg_partition_kernel_keeps_heavy_key(monkeypatch):
+def test_mg_partition_kernel_keeps_heavy_key():
     # force a tiny sketch so the decrement path actually runs
-    monkeypatch.setattr(AX4, "HH_SKETCH_K", 2)
     batches = [
         pd.DataFrame({"user_id": [1] * 60 + [2] * 5 + [3] * 5}),
         pd.DataFrame({"user_id": [1] * 40 + [4] * 3 + [5] * 2}),
     ]
-    out = list(AX4._mg_partition(iter(batches)))[0]
+    out = list(AX4._mg_partition_fn(2)(iter(batches)))[0]
     # key 1 holds 100 of 115 rows; MG with K=2 must retain it
     assert 1 in set(out["user_id"])
     assert len(out) <= 2
 
 
 def test_heavy_hitters_match_exact_counts(spark, monkeypatch):
-    # one user owns ~50% of rows; result must be the EXACT count
+    # One user owns ~50% of rows, 400 cold users share the rest, and the
+    # sketch is forced small enough that the decrement path FIRES inside
+    # real partitions (per-partition distinct keys ~200 > K=120) while
+    # still honoring the guarantee (K+1 = 121 >= 1/phi = 100). This is
+    # the end-to-end eviction proof: exactness must survive evictions,
+    # not just the no-eviction uniform driver data.
+    monkeypatch.setattr(AX4, "HH_PHI", 0.01)
+    monkeypatch.setattr(AX4, "HH_SKETCH_K", 120)
     rows = [(i, 1) for i in range(500)] + [
         (500 + i, 2 + (i % 400)) for i in range(500)
     ]
@@ -42,8 +48,17 @@ def test_heavy_hitters_match_exact_counts(spark, monkeypatch):
          for i, u in rows],
         "event_id long, ts string, user_id long, event_type string,"
         " value double, props string",
-    ).withColumn("ts", F.to_timestamp("ts")).repartition(13)
+    ).withColumn("ts", F.to_timestamp("ts")).repartition(2)
     _patched(monkeypatch, {"events": e})
+    # prove evictions actually happened: the candidate union is smaller
+    # than the 401 distinct keys (2 partitions x K=120 caps it at 240)
+    n_candidates = (
+        e.select("user_id")
+        .mapInPandas(AX4._mg_partition_fn(120), "user_id long")
+        .distinct()
+        .count()
+    )
+    assert n_candidates < 401, "sketch never evicted; test lost its point"
     out = {
         r.user_id: r.n_events
         for r in AX4.event_heavy_hitters_mg(spark, "x").collect()
@@ -56,6 +71,16 @@ def test_heavy_hitters_match_exact_counts(spark, monkeypatch):
     }
     for u, n in out.items():
         assert exact[u] == n and n > 10  # 1% of 1000
+
+
+def test_heavy_hitters_emit_rows_on_driver_data(spark, sf_dir):
+    # Regression for the round-6 vacuous-oracle finding: at the shipped
+    # HH_PHI the query must emit rows on the uniform driver data so the
+    # strict oracle compares real thresholds/shares, not empty sets.
+    out = AX4.event_heavy_hitters_mg(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 < r.share <= 1.0
 
 
 def test_heavy_hitters_partitioning_invariant(spark, sf_dir):

@@ -323,5 +323,12 @@ def test_pq_adc_recall_sanity_and_kmeans_upgrade(spark, sf_dir):
         "crank int, cemb array<float>",
     )
     r_kmeans = recall(AX5.pq_adc_topk(emb, qs, k=5, centers=km_centers))
-    emb.unpersist()
     assert r_kmeans >= r_sampled - 0.05, (r_kmeans, r_sampled)
+
+    # The REGISTRY kmeans-codebook query (K=64, round-7 verdict task
+    # #5): the fitted codebook must beat the sampled-16 floor outright —
+    # a banding/codebook regression that guts its recall fails here.
+    r_km64 = recall(AX5.ann_pq_adc_kmeans_topk(spark, sf_dir))
+    emb.unpersist()
+    assert r_km64 >= r_sampled, (r_km64, r_sampled)
+    assert r_km64 > 0.0

@@ -653,3 +653,44 @@ def test_wave5_wave6_plan_shapes(spark, sf_dir):
 
     plan = _plan(event_interarrival_stats(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_curriculum_approx_has_no_single_partition_window(spark, sf_dir):
+    """Round-7 verdict task #2: the approximate-bin curriculum path must
+    plan with NO single-partition exchange anywhere — percentile_approx
+    edges (mergeable sketch: partial_percentile_approx then one final
+    merge) + broadcast bin assignment replace exact ntile's global sort.
+    The exact variant's SinglePartition funnel is asserted too, so this
+    test also documents WHY the approx path exists."""
+    from investcloud_data_pipeline_spark.plans.analytics_ext5 import (
+        corpus_curriculum_bins_approx,
+        corpus_curriculum_order,
+        corpus_curriculum_order_approx,
+    )
+
+    exact = _plan(corpus_curriculum_order(spark, sf_dir))
+    assert "SinglePartition" in exact  # the documented exact-path funnel
+    assert "ntile(" in exact
+
+    for fn in (corpus_curriculum_order_approx, corpus_curriculum_bins_approx):
+        plan = _plan(fn(spark, sf_dir))
+        assert "ntile(" not in plan, plan
+        assert "percentile_approx" in plan  # the sketch actually engaged
+        assert "BatchEvalPython" not in plan
+        # Every SinglePartition exchange must be the sketch's final
+        # merge (one row of partial sketch state per map task) — NEVER
+        # a funnel of data rows into a global Sort/Window. The child of
+        # an Exchange prints on the following line.
+        # Every SinglePartition exchange must feed from a map-side
+        # (partial) aggregate — i.e. it moves ONE row per map task of
+        # sketch/count state, never data rows into a global Sort or
+        # WindowExec (the exact-ntile funnel this path exists to avoid).
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                child = lines[i + 1]
+                assert "HashAggregate" in child, plan
+                assert "Sort" not in child and "Window" not in child, plan
+        # the per-document window rides a partitioned exchange
+        if "Window" in plan:
+            assert "Exchange hashpartitioning(curriculum_bin" in plan, plan

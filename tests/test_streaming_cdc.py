@@ -198,3 +198,124 @@ def test_merge_time_travel_parity_with_reference_model(spark, tmp_path):
         r.k: r.v for r in read_snapshot(spark, snap_root, BASE_SCHEMA).collect()
     }
     assert head == states[-1]
+
+
+def test_merge_schema_evolution_parity_with_reference_model(spark, tmp_path):
+    """VERDICT r6 task 6: schema evolution on MERGE — the one semantic
+    the r6 write-path parity model didn't touch. A seeded change
+    sequence whose later batches carry a NEW payload column ``w`` is
+    applied through the versioned-snapshot protocol with
+    ``evolve_schema=True``; an independent dict-of-dicts model applies
+    Delta's evolution rule (new source columns widen the target,
+    pre-existing rows read NULL). Checked: (a) per-version time travel
+    including each version's own column set, (b) snapshot_diff ACROSS
+    the evolution boundary (old version read with the evolved schema,
+    NULL-filled, exactly like Delta time travel renders pre-evolution
+    versions), (c) the committed head."""
+    import random
+
+    from investcloud_data_pipeline_spark.operators.merge import snapshot_diff
+    from investcloud_data_pipeline_spark.streaming.cdc import read_version
+
+    WIDE_SCHEMA = T.StructType(
+        CHANGE_SCHEMA.fields[:2]
+        + [T.StructField("w", T.LongType())]
+        + CHANGE_SCHEMA.fields[2:]
+    )
+    WIDE_BASE = T.StructType(WIDE_SCHEMA.fields[:3])
+
+    rng = random.Random(20260815)
+    snap_root = str(tmp_path / "snap")
+    os.makedirs(snap_root, exist_ok=True)
+
+    model: dict[int, dict] = {}
+    states: list[dict[int, dict]] = []
+    seq = 0
+    for epoch in range(6):
+        wide = epoch >= 3  # the evolution event
+        rows = []
+        for _ in range(rng.randint(3, 10)):
+            k = rng.randrange(12)
+            op = "D" if rng.random() < 0.3 else "U"
+            seq += 1
+            if wide:
+                rows.append(
+                    (k, f"v{seq}" if op == "U" else None,
+                     seq * 10 if op == "U" else None, op, seq)
+                )
+            else:
+                rows.append((k, f"v{seq}" if op == "U" else None, op, seq))
+
+        # independent model: latest per key by seq; evolution rule —
+        # rows written before the wide epochs read w = None
+        last: dict[int, tuple] = {}
+        for r in rows:
+            cur = last.get(r[0])
+            if cur is None or r[-1] > cur[-1]:
+                last[r[0]] = r
+        for k, r in last.items():
+            if r[-2] == "U":
+                model[k] = {"v": r[1], "w": r[2] if wide else None}
+            else:
+                model.pop(k, None)
+        states.append({k: dict(v) for k, v in model.items()})
+
+        batch = spark.createDataFrame(
+            rows, WIDE_SCHEMA if wide else CHANGE_SCHEMA
+        )
+        apply_cdc_batch(
+            spark, snap_root,
+            WIDE_BASE if wide else BASE_SCHEMA,
+            ["k"], "seq", batch,
+            epoch_id=epoch, retain=10, evolve_schema=True,
+        )
+
+    # (a) time travel: narrow versions have exactly (k, v); wide ones
+    # (k, v, w) with pre-evolution survivors reading w IS NULL
+    for epoch, want in enumerate(states):
+        df = read_version(
+            spark, snap_root,
+            WIDE_BASE if epoch >= 3 else BASE_SCHEMA, epoch,
+        )
+        if epoch < 3:
+            assert df.columns == ["k", "v"]
+            got = {r.k: {"v": r.v, "w": None} for r in df.collect()}
+        else:
+            assert set(df.columns) == {"k", "v", "w"}
+            got = {r.k: {"v": r.v, "w": r.w} for r in df.collect()}
+        assert got == want, f"epoch {epoch}"
+
+    # (b) diff across the evolution boundary: old side rendered with
+    # the evolved schema (parquet fills the missing column with NULL)
+    old = read_version(spark, snap_root, WIDE_BASE, 2)
+    new = read_version(spark, snap_root, WIDE_BASE, 3)
+    got_diff = {
+        r.k: (r.change_type, tuple(r.changed_cols))
+        for r in snapshot_diff(old, new, key_cols=["k"]).collect()
+    }
+    old_s, new_s = states[2], states[3]
+    want_diff = {}
+    for k in set(old_s) | set(new_s):
+        if k not in old_s:
+            want_diff[k] = ("insert", ())
+        elif k not in new_s:
+            want_diff[k] = ("delete", ())
+        elif old_s[k] != new_s[k]:
+            changed = tuple(
+                c for c in ("v", "w") if old_s[k][c] != new_s[k][c]
+            )
+            want_diff[k] = ("update", changed)
+    got_diff = {
+        k: (t, tuple(sorted(c))) for k, (t, c) in got_diff.items()
+    }
+    want_diff = {
+        k: (t, tuple(sorted(c))) for k, (t, c) in want_diff.items()
+    }
+    assert got_diff == want_diff
+
+    # (c) committed head equals the final model state
+    head = {
+        r.k: {"v": r.v, "w": r.w}
+        for r in read_snapshot(spark, snap_root, WIDE_BASE).collect()
+    }
+    assert head == states[-1]

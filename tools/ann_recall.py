@@ -168,38 +168,26 @@ def measure(sf_dir: str, k: int, n_queries: int) -> dict:
         }
 
     # Codebook size is the real recall knob (production PQ uses K=256
-    # per subspace); measure the K=64 k-means codebook too.
-    slices64 = []
-    for s in range(PQ_SUBSPACES):
-        sl = base.select(
-            F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v")
-        )
-        c = seeded_kmeans_centers(sl, "v", 64, seed=142 + s)
-        if c is None:
-            slices64 = None
-            break
-        slices64.append(c)
-    if slices64 is not None:
-        full = np.hstack(slices64)
-        km64_centers = adc_df.sparkSession.createDataFrame(
-            [(i + 1, [float(x) for x in full[i]]) for i in range(64)],
-            "crank int, cemb array<float>",
-        )
-        t0 = time.time()
-        km64_df = AX5.pq_adc_topk(base, qs, k=k, centers=km64_centers)
-        km64: dict = {}
-        for r in km64_df.collect():
-            km64.setdefault(r.qid, set()).add(r.vec_id)
-        per_q = [
-            len(km64.get(q, set()) & ex) / k
-            for q, ex in exact_l2.items()
-        ]
-        results["pq_adc_kmeans64_vs_exact_l2"] = {
-            "recall_at_k": round(sum(per_q) / len(per_q), 4),
-            "min_query_recall": round(min(per_q), 4),
-            "queries_answered": sum(1 for q in exact_l2 if km64.get(q)),
-            "wall_s": round(time.time() - t0, 2),
-        }
+    # per subspace); the K=64 k-means codebook is now the SHIPPED
+    # registry query ann_pq_adc_kmeans_topk — measure it through the
+    # exact same builder so this ledger row is the operator's number.
+    t0 = time.time()
+    km64_centers = AX5._pq_kmeans_centers(adc_df.sparkSession, base)
+    km64_df = AX5.pq_adc_topk(base, qs, k=k, centers=km64_centers)
+    km64: dict = {}
+    for r in km64_df.collect():
+        km64.setdefault(r.qid, set()).add(r.vec_id)
+    per_q = [
+        len(km64.get(q, set()) & ex) / k
+        for q, ex in exact_l2.items()
+    ]
+    results["pq_adc_kmeans64_vs_exact_l2"] = {
+        "recall_at_k": round(sum(per_q) / len(per_q), 4),
+        "min_query_recall": round(min(per_q), 4),
+        "queries_answered": sum(1 for q in exact_l2 if km64.get(q)),
+        "wall_s": round(time.time() - t0, 2),
+        "registry_query": "ann_pq_adc_kmeans_topk",
+    }
 
     emb.unpersist()
     return {

@@ -21,6 +21,13 @@ Usage:
     python tools/bench_streaming.py [out.json]
         SPARK_GRAFT_STREAM_FILES=20 SPARK_GRAFT_STREAM_ROWS=50000
         SPARK_GRAFT_STREAM_FMT=csv
+        SPARK_GRAFT_STREAM_SKEW=0.5   # one user owns this share of rows
+
+``SPARK_GRAFT_STREAM_SKEW`` (round-7 verdict task #4) drives the SAME
+pipeline with a hot user owning that fraction of the stream — the
+adversarial shape for the gold per-user merge (the silver dedup keys
+on log_id, which stays uniform by construction). The artifact records
+the skew so uniform/skewed runs are comparable side by side.
 
 Prints ONE JSON line and (optionally) writes the full artifact to
 ``out.json``.
@@ -64,6 +71,7 @@ def main() -> int:
     # stateful one, so the provider choice shows up in its drain rate;
     # recording both makes the RocksDB 100 TB posture a measured number.
     provider = os.environ.get("SPARK_GRAFT_STREAM_STATE", "hdfs")
+    hot_frac = float(os.environ.get("SPARK_GRAFT_STREAM_SKEW", "0"))
 
     from investcloud_data_pipeline_spark.config import PipelinePaths
     from investcloud_data_pipeline_spark.datagen import (
@@ -91,6 +99,7 @@ def main() -> int:
             rows_per_file=rows_per_file,
             fmt=fmt,
             dirty_fraction=0.02,
+            hot_user_fraction=hot_frac,
         )
         n_raw = n_files * rows_per_file
         raw_bytes = sum(
@@ -147,6 +156,7 @@ def main() -> int:
         result = {
             "metric": "streaming_pipeline_drain",
             "state_store": provider,
+            "hot_user_fraction": hot_frac,
             "unit": "rows/sec",
             "value": round(n_raw / total_wall, 1),
             "total_wall_s": total_wall,
@@ -165,6 +175,19 @@ def main() -> int:
         # Sanity: conservation through the DQ split; dedup only shrinks.
         assert n_bronze + n_quarantine == n_raw, (n_bronze, n_quarantine, n_raw)
         assert n_silver <= n_bronze
+        if hot_frac:
+            # the skew actually reached the stateful layers
+            from pyspark.sql import functions as SF
+
+            from investcloud_data_pipeline_spark.datagen import HOT_USER
+
+            n_hot = (
+                spark.read.parquet(paths.silver)
+                .filter(SF.col("user_id") == HOT_USER)
+                .count()
+            )
+            result["hot_user_silver_rows"] = n_hot
+            assert n_hot >= 0.8 * hot_frac * n_silver, (n_hot, n_silver)
         if out_json:
             with open(out_json, "w") as fh:
                 json.dump(result, fh, indent=1, sort_keys=True)

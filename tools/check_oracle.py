@@ -145,7 +145,22 @@ def main() -> int:
             ledger[name] = {"mode": "oracle", "status": "PASS",
                             "rows": len(srows),
                             "secs": round(time.time() - t0, 1)}
-    print(f"\n{'ALL PASS' if not failures else f'{failures} FAILURES'}")
+    # Vacuous-pass guard (round-6 verdict, item 1): an oracle query that
+    # returns 0 rows "passes" by only ever confirming that both engines
+    # find nothing — its thresholds, joins and computed columns have
+    # never been compared on an emitted row. Surface every such query
+    # loudly and record the list in the ledger so an empty-at-every-sf
+    # oracle can't hide again.
+    empty = sorted(
+        n for n, v in ledger.items()
+        if v.get("status") == "PASS" and v.get("rows") == 0
+    )
+    for n in empty:
+        print(f"WARN {n}: PASSED WITH 0 ROWS — the "
+              f"{ledger[n]['mode']} comparison is vacuous at this sf")
+    print(f"\n{'ALL PASS' if not failures else f'{failures} FAILURES'}"
+          + (f" ({len(empty)} vacuous 0-row passes: {', '.join(empty)})"
+             if empty else ""))
     if json_out:
         import json
 
@@ -155,6 +170,8 @@ def main() -> int:
             "n_oracle": sum(1 for v in ledger.values() if v["mode"] == "oracle"),
             "n_rows_only": sum(1 for v in ledger.values() if v["mode"] == "rows-only"),
             "n_fail": failures,
+            "n_empty_pass": len(empty),
+            "empty_pass": empty,
             "queries": dict(sorted(ledger.items())),
         }
         with open(json_out, "w") as fh:

@@ -32,6 +32,11 @@ def main() -> int:
     for line in text.splitlines():
         if line.startswith("## Recorded BASELINE"):
             in_table = True
+            continue
+        # stop at the next section heading so a later pipe-table in
+        # BASELINE.md can't be silently absorbed into the baseline dict
+        if in_table and line.startswith("## "):
+            break
         if not in_table:
             continue
         m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
@@ -59,11 +64,15 @@ def main() -> int:
             improvements.append((name, b, now, ratio))
 
     new = sorted(set(bench) - set(base))
-    print(
-        f"common queries: {sum(1 for n in base if n in bench)}; "
-        f"baseline total {common_base:.1f}s -> now {common_now:.1f}s "
-        f"({common_now / common_base:.2f}x)"
-    )
+    if common_base:
+        print(
+            f"common queries: {sum(1 for n in base if n in bench)}; "
+            f"baseline total {common_base:.1f}s -> now {common_now:.1f}s "
+            f"({common_now / common_base:.2f}x)"
+        )
+    else:
+        print("no baselined query overlaps BENCH_DETAIL.json — "
+              "nothing to compare")
     print(f"unbaselined new queries: {len(new)}")
     if regressions:
         print(f"\nREGRESSIONS (> {threshold}x):")
