@@ -22,6 +22,7 @@ from investcloud_data_pipeline_spark.plans import analytics_ext3 as AX3
 from investcloud_data_pipeline_spark.plans import analytics_ext4 as AX4
 from investcloud_data_pipeline_spark.plans import analytics_ext5 as AX5
 from investcloud_data_pipeline_spark.plans import analytics_ext6 as AX6
+from investcloud_data_pipeline_spark.plans import analytics_ext7 as AX7
 from investcloud_data_pipeline_spark.plans import lakehouse as LH
 from investcloud_data_pipeline_spark.plans import mining as MN
 from investcloud_data_pipeline_spark.plans import pipeline_queries as P
@@ -116,6 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Extended analytics wave 6 (cohort LTV, seasonality profile,
         # interarrival burstiness)
         **{name: fn for name, (fn, _) in AX6.QUERIES.items()},
+        # Extended analytics wave 7 (growth accounting, naive-Bayes
+        # lang-id, dimension-truncation retrieval evaluation)
+        **{name: fn for name, (fn, _) in AX7.QUERIES.items()},
         # Engine-native Python data source (rows-only: generator input,
         # no DuckDB-visible tables)
         "pydatasource_activity_profile": activity_source_profile,
@@ -142,4 +146,5 @@ def oracle_sql() -> dict[str, str]:
         **{name: sql for name, (_, sql) in AX4.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in AX5.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in AX6.QUERIES.items() if sql},
+        **{name: sql for name, (_, sql) in AX7.QUERIES.items() if sql},
     }
