@@ -62,6 +62,8 @@ ROWS_ONLY = {
     "dedup_simhash_candidates": "64-bit simhash bit voting (not portable SQL)",
     "embedding_pca_project": "eigendecomposition of the covariance (not SQL)",
     "multimodal_byte_histogram": "binary payload histogram (no binary tables in DuckDB views)",
+    "multimodal_image_patches": "PNG codec round-trip + patch grid explode (not SQL)",
+    "multimodal_wav_segments": "WAV codec round-trip + windowed-RMS VAD (not SQL)",
     "multimodal_phash_dedup": "PNG codec round-trip + dHash bit voting (not SQL)",
     "multimodal_thumbnail": "PNG codec round-trip + pixel resample (not SQL)",
     "multimodal_wav_features": "WAV codec round-trip + numpy DSP (not SQL)",

@@ -115,6 +115,20 @@ def seeded_kmeans_centers(
         [r[0] for r in df.select(to_double_array(vec_col)).collect()],
         dtype=np.float64,
     )
+    return kmeans_fit_local(mat, k, seed, n_iter)
+
+
+def kmeans_fit_local(mat, k: int, seed: int, n_iter: int = 8):
+    """Driver-side seeded k-means over an already-collected (n, dim)
+    float64 matrix — the fit kernel of ``seeded_kmeans_centers``,
+    exposed so callers that fit SEVERAL codebooks over slices of one
+    vector set (per-subspace PQ) can collect once and fit locally
+    instead of paying count/first/collect jobs per subspace."""
+    import numpy as np
+
+    n = len(mat)
+    if n == 0 or n < k:
+        return None
     # Canonicalize row order before seeding: collect() returns rows in
     # PARTITION order, so without this the seeded RNG indexes a
     # layout-dependent matrix and a mere repartition() changes the fit

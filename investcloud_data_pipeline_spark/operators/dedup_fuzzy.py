@@ -375,6 +375,82 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_incremental_candidates(
+    base: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup candidates: dedup a NEW batch (``delta``)
+    against an already-deduplicated corpus (``base``) — the production
+    ingestion shape, where the base's band relation is the stored dedup
+    index and each day's batch only pays
+
+        |delta bands| ⋈ |base bands|   ∪   |delta bands| ⋈ itself
+
+    — NEVER base × base (those pairs were resolved when the base was
+    built). Output equals the full-corpus ``minhash_lsh_candidates``
+    (base ∪ delta) RESTRICTED to pairs touching a delta doc, which is
+    what the strict oracle checks.
+
+    Exact-duplicate collapse runs per side (the same hot-bucket armor);
+    cross-side identical content needs no special casing — identical
+    text ⇒ identical signature ⇒ the two reps meet in every band
+    bucket, and the member expansion then emits every base×delta copy
+    pair. Intra-group pairs are expanded for DELTA groups only (base
+    internal duplicates are by definition already handled).
+
+    100 TB posture: the base band relation is written once, bucketed on
+    (band_idx, band_key); each incremental run shuffles only the
+    delta's bands and probes the stored buckets — per-batch cost is
+    |delta| + matched buckets, independent of corpus size.
+    """
+    base_rep, base_members = _exact_groups(base, text_col, id_col)
+    delta_rep, delta_members = _exact_groups(delta, text_col, id_col)
+    banded_base = minhash_band_relation(
+        base_rep, text_col, id_col, n, num_hashes, bands
+    )
+    banded_delta = minhash_band_relation(
+        delta_rep, text_col, id_col, n, num_hashes, bands
+    )
+    d, b = banded_delta.alias("d"), banded_base.alias("b")
+    cross = (
+        d.join(
+            b,
+            (F.col("d.band_idx") == F.col("b.band_idx"))
+            & (F.col("d.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.least(F.col("d.id"), F.col("b.id")).alias("id1"),
+            F.greatest(F.col("d.id"), F.col("b.id")).alias("id2"),
+        )
+    )
+    a, b2 = banded_delta.alias("a"), banded_delta.alias("b2")
+    intra_delta = (
+        a.join(
+            b2,
+            (F.col("a.band_idx") == F.col("b2.band_idx"))
+            & (F.col("a.band_key") == F.col("b2.band_key"))
+            & (F.col("a.id") < F.col("b2.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b2.id").alias("id2"))
+    )
+    rep_pairs = cross.unionByName(intra_delta).distinct()
+    members_all = base_members.unionByName(delta_members)
+    # exact-duplicate expansion: cross pairs over BOTH sides' groups,
+    # intra pairs only for delta-side groups (their reps are the banded
+    # delta ids — a base rep never appears there)
+    return _expand_member_pairs(
+        rep_pairs,
+        members_all,
+        banded_delta.select(F.col("id").alias("__rep")).distinct(),
+        intra_cols=[],
+    )
+
+
 def simhash64(pdf_iter, text_col: str = "text", id_col: str = "doc_id"):
     """mapInPandas kernel: 64-bit SimHash over word shingle md5 digests.
 

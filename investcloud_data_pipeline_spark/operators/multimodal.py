@@ -871,3 +871,164 @@ def resample_wav(
         schema="id long, decoded boolean, n_samples_in long, "
         "n_samples_out long, out_rate long, wav_md5 string, wav binary",
     )
+
+
+def image_patches(
+    df: DataFrame,
+    patch: int = 8,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """ViT-style patch extraction: decode the binary payload and explode
+    each image into its non-overlapping ``patch``×``patch`` grid — one
+    output row per patch with grid coordinates, the raw patch bytes
+    (row-major uint8, the tensor-feed shape) and their md5. Images whose
+    dimensions aren't multiples of ``patch`` are zero-padded bottom/right
+    (the standard ViT convention) so the grid always covers every pixel.
+    Undecodable payloads keep the quarantine contract: ONE
+    decoded=false row with NULL patch fields, never an exception.
+
+    Scale: Arrow-batched ``mapInPandas``; the fan-out is (h/p)·(w/p)
+    rows per image — bounded by the decode batch size exactly like the
+    thumbnail path, and each patch row is p² bytes, so downstream
+    repartitioning (e.g. shuffling patches into training shards) moves
+    fixed-size units. Deterministic: pure numpy slicing, no codec in
+    the output path.
+    """
+    import hashlib
+
+    if patch < 1:
+        raise ValueError("patch must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[content_col]):
+                arr = _decode_pixels(
+                    bytes(payload) if payload is not None else None
+                )
+                if arr is None:
+                    rows.append(
+                        (i, False, None, None, None, None, None, None)
+                    )
+                    continue
+                gray = arr[:, :, 0] if arr.ndim == 3 else arr
+                h, w = gray.shape
+                ph = -(-h // patch) * patch
+                pw = -(-w // patch) * patch
+                padded = np.zeros((ph, pw), dtype=np.uint8)
+                padded[:h, :w] = gray
+                for pr in range(ph // patch):
+                    for pc in range(pw // patch):
+                        blob = padded[
+                            pr * patch : (pr + 1) * patch,
+                            pc * patch : (pc + 1) * patch,
+                        ].tobytes()
+                        rows.append(
+                            (
+                                i,
+                                True,
+                                pr * (pw // patch) + pc,
+                                pr,
+                                pc,
+                                len(blob),
+                                hashlib.md5(blob).hexdigest(),
+                                blob,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "decoded", "patch_idx", "patch_row",
+                    "patch_col", "patch_bytes", "patch_md5", "patch",
+                ],
+            ).astype(
+                {
+                    "patch_idx": "Int64",
+                    "patch_row": "Int64",
+                    "patch_col": "Int64",
+                    "patch_bytes": "Int64",
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        schema="id long, decoded boolean, patch_idx long, patch_row long,"
+        " patch_col long, patch_bytes long, patch_md5 string, patch binary",
+    )
+
+
+def wav_energy_segments(
+    df: DataFrame,
+    window: int = 160,
+    threshold: float = 0.05,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Energy-based activity segmentation (the VAD-shaped screen an
+    audio curation pipeline runs before ASR): windowed RMS over
+    ``window``-sample frames (20 ms at 8 kHz), a frame is ACTIVE when
+    its RMS exceeds ``threshold``; per clip, emit frame totals, the
+    active share, the number of contiguous active segments and the
+    longest active run — the silence-trim statistics. The trailing
+    partial frame is dropped (standard framing). Quarantine contract
+    unchanged: undecodable payloads → decoded=false rows.
+
+    Scale: Arrow-batched mapInPandas; the per-clip output is one fixed
+    row regardless of duration, and the framing is one numpy reshape —
+    no Python loop over frames.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[content_col]):
+                parsed = parse_wav(payload)
+                if parsed is None or parsed[3].size < window:
+                    rows.append((i, False, None, None, None, None, None))
+                    continue
+                _, rate, _, x = parsed
+                n_frames = x.size // window
+                frames = x[: n_frames * window].reshape(n_frames, window)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                active = rms > threshold
+                # contiguous active runs: transitions from 0 -> 1
+                starts = int(
+                    np.count_nonzero(np.diff(active.astype(np.int8)) == 1)
+                ) + int(bool(active[0]))
+                longest = 0
+                run = 0
+                for a in active:  # n_frames is small (duration/20ms)
+                    run = run + 1 if a else 0
+                    longest = max(longest, run)
+                rows.append(
+                    (
+                        i,
+                        True,
+                        int(n_frames),
+                        int(active.sum()),
+                        round(float(active.mean()), 6),
+                        int(starts),
+                        int(longest),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "decoded", "n_frames", "n_active",
+                    "active_share", "n_segments", "longest_run",
+                ],
+            ).astype(
+                {
+                    "n_frames": "Int64",
+                    "n_active": "Int64",
+                    "n_segments": "Int64",
+                    "longest_run": "Int64",
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        schema="id long, decoded boolean, n_frames long, n_active long,"
+        " active_share double, n_segments long, longest_run long",
+    )

@@ -726,24 +726,60 @@ PQ_KM_SEED = 142
 def _pq_kmeans_centers(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """(crank, cemb) codebook from independent per-subspace k-means
     fits, packed into synthetic full-width vectors (subspace slices are
-    independent in ADC, so packing loses nothing)."""
+    independent in ADC, so packing loses nothing).
+
+    Under the driver-fit guard the full vector matrix is collected ONCE
+    and the 8 subspace fits slice it locally — 3 Spark jobs total
+    instead of 3 per subspace (measured 7.0s → 5.2s warm on the
+    registry query at sf0.1; the remaining cost is the O(N×K×M) ADC
+    assignment itself, 4× the K=16 twin's work by construction). The
+    fit is identical to per-slice collection:
+    kmeans_fit_local canonicalizes row order by the slice's own columns
+    before seeding, so the source layout is irrelevant."""
     import numpy as np
 
-    from ..functions.vectors import seeded_kmeans_centers, to_double_array
+    from ..functions.vectors import kmeans_fit_local, to_double_array
 
-    slices = []
-    for s in range(PQ_SUBSPACES):
-        sl = emb.select(
-            F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v")
+    n = emb.count()
+    first = emb.select("embedding").first()
+    dim = len(first[0]) if first is not None and first[0] is not None else 0
+    slices = None
+    if n >= PQ_KM_CODEBOOK and dim and n * (dim * 8 + 32) <= (256 << 20):
+        mat = np.asarray(
+            [
+                r[0]
+                for r in emb.select(
+                    to_double_array("embedding")
+                ).collect()
+            ],
+            dtype=np.float64,
         )
-        c = seeded_kmeans_centers(
-            sl, "v", PQ_KM_CODEBOOK, seed=PQ_KM_SEED + s
-        )
-        if c is None:
-            # above the driver-fit guard: distributed KMeans per subspace
-            from pyspark.ml.clustering import KMeans
-            from pyspark.ml.functions import array_to_vector
+        slices = []
+        for s in range(PQ_SUBSPACES):
+            c = kmeans_fit_local(
+                np.ascontiguousarray(
+                    mat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                ),
+                PQ_KM_CODEBOOK,
+                seed=PQ_KM_SEED + s,
+            )
+            if c is None:
+                slices = None
+                break
+            slices.append(c)
+    if slices is None:
+        # above the driver-fit guard (or degenerate): distributed
+        # Spark ML KMeans per subspace — the 100 TB path
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
+        slices = []
+        for s in range(PQ_SUBSPACES):
+            sl = emb.select(
+                F.slice(
+                    "embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM
+                ).alias("v")
+            )
             sl_vec = sl.withColumn(
                 "features", array_to_vector(to_double_array("v"))
             )
@@ -753,8 +789,9 @@ def _pq_kmeans_centers(spark: SparkSession, emb: DataFrame) -> DataFrame:
                 maxIter=8,
                 featuresCol="features",
             ).fit(sl_vec)
-            c = np.asarray([list(cc) for cc in model.clusterCenters()])
-        slices.append(c)
+            slices.append(
+                np.asarray([list(cc) for cc in model.clusterCenters()])
+            )
     full = np.hstack(slices)
     return spark.createDataFrame(
         [

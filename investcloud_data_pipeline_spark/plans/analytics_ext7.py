@@ -190,12 +190,17 @@ def text_naive_bayes_langid(
         F.explode(F.expr(NB_TOKEN_EXPR)).alias("term"),
     )
     toks = toks.persist()
-    # class-conditional counts + class totals + vocabulary size
-    ct = toks.groupBy("lang", "term").agg(F.count("*").alias("n_tc"))
-    class_tot = toks.groupBy("lang").agg(
-        F.count("*").alias("n_tokens_c")
+    # class-conditional counts; class totals and the vocabulary size
+    # DERIVE from the aggregated (class, term) relation — ct is
+    # |classes|×V rows, so everything after costs class-model work,
+    # and the raw token stream is scanned exactly twice (ct + scoring)
+    ct = toks.groupBy("lang", "term").agg(
+        F.count("*").alias("n_tc")
+    ).persist()
+    class_tot = ct.groupBy("lang").agg(
+        F.sum("n_tc").alias("n_tokens_c")
     )
-    vocab = toks.select("term").distinct().groupBy().agg(
+    vocab = ct.select("term").distinct().groupBy().agg(
         F.count("*").alias("v")
     )
     doc_tot = d.groupBy("lang").agg(F.count("*").alias("n_docs_c"))

@@ -918,6 +918,31 @@ JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
             AND a.doc_id < b.doc_id
 """
 
+# incremental oracle: the from-scratch candidate set, restricted to
+# pairs that touch the delta (doc_id % 10 == 0) — exactly what the
+# incremental plan must reproduce without ever joining base×base
+DEDUP_MINHASH_INCREMENTAL_SQL = f"""
+SELECT id1, id2 FROM ({DEDUP_MINHASH_LSH_SQL})
+WHERE id1 % 10 = 0 OR id2 % 10 = 0
+"""
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: today's batch (doc_id % 10 == 0) against the
+    already-indexed corpus (the other 90%) — delta×base ∪ delta×delta
+    bucket joins, never base×base. The oracle is the FULL-corpus LSH
+    candidate set restricted to pairs touching a delta doc, so the
+    incremental plan's equivalence to a from-scratch rebuild is what
+    the driver checks."""
+    d = _docs(spark, sf_dir)
+    return DF.minhash_incremental_candidates(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        n=3,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+    )
+
 
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding candidates — pandas-UDF bit twiddling, rows-only
@@ -1490,6 +1515,31 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "decoded", "width", "height", "thumb_bytes", "thumb_md5"
     )
+
+
+def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-prep patch extraction end-to-end on real PNG payloads:
+    decode → zero-pad to the patch grid → explode into 8×8 patches with
+    grid coordinates + md5 (the raw patch bytes are dropped from the
+    registry shape; md5+size stand in, like the thumbnail query).
+    Rows-only (PNG codec); grid coverage, stitch-back round-trip,
+    padding and quarantine laws are pytest-pinned."""
+    media = MM.attach_png_payload(_docs(spark, sf_dir))
+    out = MM.image_patches(media, patch=8)
+    return out.select(
+        "id", "decoded", "patch_idx", "patch_row", "patch_col",
+        "patch_bytes", "patch_md5",
+    )
+
+
+def multimodal_wav_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based activity segmentation (VAD-shaped silence screen)
+    over real PCM16 payloads: windowed RMS (20 ms frames), active
+    share, contiguous segments, longest run. Rows-only (WAV codec);
+    crafted silence/tone boundary laws are pytest-pinned."""
+    d = _docs(spark, sf_dir)
+    with_audio = MM.attach_wav_payload(d)
+    return MM.wav_energy_segments(with_audio)
 
 
 def text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2914,6 +2964,8 @@ QUERIES = {
     "text_gopher_gate": (text_gopher_gate, TEXT_GOPHER_GATE_SQL),
     "multimodal_wav_features": (multimodal_wav_features, None),  # rows-only
     "multimodal_wav_resample": (multimodal_wav_resample, None),  # rows-only
+    "multimodal_image_patches": (multimodal_image_patches, None),  # rows-only
+    "multimodal_wav_segments": (multimodal_wav_segments, None),  # rows-only
     "corpus_quality_report": (corpus_quality_report, CORPUS_QUALITY_REPORT_SQL),
     "text_bpe_encode": (text_bpe_encode, None),  # rows-only (iterative)
     "text_html_strip": (text_html_strip, TEXT_HTML_STRIP_SQL),
@@ -2957,6 +3009,10 @@ QUERIES = {
     "corpus_clean_pipeline": (corpus_clean_pipeline, CORPUS_CLEAN_PIPELINE_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIGNATURES_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_minhash_incremental": (
+        dedup_minhash_incremental,
+        DEDUP_MINHASH_INCREMENTAL_SQL,
+    ),
     "dedup_simhash_candidates": (dedup_simhash_candidates, None),  # rows-only
     "multimodal_phash_dedup": (multimodal_phash_dedup, None),  # rows-only
     "text_bpe_first_merges": (text_bpe_first_merges, TEXT_BPE_FIRST_MERGES_SQL),

@@ -577,3 +577,130 @@ class TestWavResample:
             x.size,
             x.size,
         )
+
+
+# ---------- image patches ----------
+
+class TestImagePatches:
+    def _media(self, spark, arrs):
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            encode_png,
+        )
+
+        rows = [(i, encode_png(a)) for i, a in enumerate(arrs)]
+        return spark.createDataFrame(rows, "doc_id long, content binary")
+
+    def test_grid_coverage_and_stitch_back(self, spark):
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators import multimodal as MM
+
+        arr = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        out = MM.image_patches(
+            self._media(spark, [arr]), patch=8
+        ).collect()
+        assert len(out) == 4
+        assert all(r.decoded and r.patch_bytes == 64 for r in out)
+        assert {(r.patch_row, r.patch_col) for r in out} == {
+            (0, 0), (0, 1), (1, 0), (1, 1)
+        }
+        # stitching the patches back reproduces the original pixels
+        stitched = np.zeros((16, 16), dtype=np.uint8)
+        for r in out:
+            px = np.frombuffer(bytes(r.patch), dtype=np.uint8).reshape(8, 8)
+            stitched[
+                r.patch_row * 8 : (r.patch_row + 1) * 8,
+                r.patch_col * 8 : (r.patch_col + 1) * 8,
+            ] = px
+        assert (stitched == arr).all()
+
+    def test_padding_covers_non_multiple_dims(self, spark):
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators import multimodal as MM
+
+        arr = np.full((10, 13), 7, dtype=np.uint8)
+        out = MM.image_patches(self._media(spark, [arr]), patch=8).collect()
+        assert len(out) == 2 * 2  # ceil(10/8) x ceil(13/8)
+        px = {
+            (r.patch_row, r.patch_col): np.frombuffer(
+                bytes(r.patch), dtype=np.uint8
+            ).reshape(8, 8)
+            for r in out
+        }
+        # bottom-right patch: original region then zero padding
+        br = px[(1, 1)]
+        assert (br[:2, :5] == 7).all()
+        assert (br[2:, :] == 0).all() and (br[:, 5:] == 0).all()
+
+    def test_corrupt_payload_quarantines(self, spark):
+        from investcloud_data_pipeline_spark.operators import multimodal as MM
+
+        bad = spark.createDataFrame(
+            [(1, bytearray(b"not a png")), (2, None)],
+            "doc_id long, content binary",
+        )
+        out = MM.image_patches(bad, patch=8).collect()
+        assert len(out) == 2
+        assert all(not r.decoded and r.patch_idx is None for r in out)
+
+
+# ---------- audio energy segments ----------
+
+class TestWavEnergySegments:
+    def _clip(self, spark, samples, rate=8000):
+        from investcloud_data_pipeline_spark.operators.multimodal import (
+            encode_wav_pcm16,
+        )
+
+        return spark.createDataFrame(
+            [(1, encode_wav_pcm16(samples, rate))],
+            "id long, content binary",
+        )
+
+    def test_silence_tone_boundaries(self, spark):
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators import multimodal as MM
+
+        w = 160
+        t = np.arange(w) / 8000.0
+        tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+        silence = np.zeros(w)
+        # [silence, tone, tone, silence, tone] -> 2 segments, longest 2
+        x = np.concatenate([silence, tone, tone, silence, tone])
+        r = MM.wav_energy_segments(self._clip(spark, x), window=w).collect()[0]
+        assert r.decoded
+        assert r.n_frames == 5 and r.n_active == 3
+        assert r.n_segments == 2 and r.longest_run == 2
+        assert abs(r.active_share - 0.6) < 1e-9
+
+    def test_all_silence_and_all_active(self, spark):
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators import multimodal as MM
+
+        w = 160
+        sil = MM.wav_energy_segments(
+            self._clip(spark, np.zeros(w * 3)), window=w
+        ).collect()[0]
+        assert (sil.n_active, sil.n_segments, sil.longest_run) == (0, 0, 0)
+        t = np.arange(w * 3) / 8000.0
+        act = MM.wav_energy_segments(
+            self._clip(spark, 0.5 * np.sin(2 * np.pi * 440 * t)), window=w
+        ).collect()[0]
+        assert (act.n_active, act.n_segments, act.longest_run) == (3, 1, 3)
+
+    def test_short_or_corrupt_clip_quarantines(self, spark):
+        import numpy as np
+
+        from investcloud_data_pipeline_spark.operators import multimodal as MM
+
+        short = MM.wav_energy_segments(
+            self._clip(spark, np.zeros(10)), window=160
+        ).collect()[0]
+        assert not short.decoded
+        bad = spark.createDataFrame(
+            [(1, bytearray(b"RIFFgarbage"))], "id long, content binary"
+        )
+        assert not MM.wav_energy_segments(bad, window=160).collect()[0].decoded

@@ -1145,3 +1145,47 @@ def test_mips_ranking_is_magnitude_aware(spark):
     dot_first = mips_topk(df, q, k=1).collect()[0]
     assert cos_first.neighbor_id == 2
     assert dot_first.neighbor_id == 3 and dot_first.dot == 8.0
+
+
+def test_minhash_incremental_equals_restricted_full_rebuild(spark):
+    """The incremental candidate set must equal the from-scratch LSH
+    candidates restricted to pairs touching the delta — including every
+    exact-duplicate expansion case: cross-side copies (base 5/15 vs
+    delta 10/20 share content), delta-internal copies, and base×base
+    pairs excluded by construction."""
+    from investcloud_data_pipeline_spark.operators import dedup_fuzzy as DF
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight nine"
+    near_b = "one two three four five six seven eight ten"
+    rows = [
+        # base: two exact copies of A, one B, one unrelated
+        (1, text_a), (15, text_a), (3, text_b),
+        (7, "totally different words nothing shared here at all"),
+        # delta: two exact copies of A (cross-side group), a near-dup
+        # of B, and two delta-internal exact copies
+        (10, text_a), (20, text_a), (30, near_b),
+        (40, "repeated delta content exactly the same thing"),
+        (50, "repeated delta content exactly the same thing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+
+    inc = {
+        (r.id1, r.id2)
+        for r in DF.minhash_incremental_candidates(base, delta).collect()
+    }
+    full = {
+        (r.id1, r.id2)
+        for r in DF.minhash_lsh_candidates(docs).collect()
+    }
+    want = {
+        (a, b) for a, b in full if a % 10 == 0 or b % 10 == 0
+    }
+    assert inc == want
+    # the cases the test exists for actually occurred
+    assert (1, 10) in inc and (10, 15) in inc  # cross-side exact copies
+    assert (10, 20) in inc                     # delta-internal copies
+    assert (40, 50) in inc                     # delta-only group
+    assert (1, 15) not in inc                  # base×base excluded

@@ -89,6 +89,15 @@ PROBE_QUERIES = [
     "corpus_curriculum_order",
     "corpus_curriculum_order_approx",
     "embedding_pq_codes",
+    # round-7 operators with scale-sensitive shapes: the delta-vs-base
+    # bucket probe in incremental dedup (replicas are exact duplicates,
+    # so the collapse armor is stressed on BOTH sides), the token ×
+    # class expansion in naive Bayes, the per-user day window in
+    # growth accounting, and the sketch-merge bin spine
+    "dedup_minhash_incremental",
+    "text_naive_bayes_langid",
+    "user_growth_accounting",
+    "corpus_curriculum_bins_approx",
 ]
 
 FACT_OFFSETS = {
