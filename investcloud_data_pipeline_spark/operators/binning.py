@@ -53,6 +53,15 @@ def approx_quantile_bins(
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    # The operator consumes df TWICE (the edge sketch, then the
+    # assignment scan). Persist it so the upstream lineage — often an
+    # expensive scoring pipeline — executes once; callers should pass
+    # the NARROW (id, score) projection, which is what makes this cache
+    # cheap at any scale (~16 bytes/row). Without this the approx path
+    # measured SLOWER than the exact-ntile window at 10× volume (6.2×
+    # vs 5.3× wall ratio), because ntile's single sort reads the
+    # scoring lineage once while the sketch+assign pair read it twice.
+    df = df.persist()
     qs = [i / n_bins for i in range(1, n_bins)]
     edges = df.agg(
         F.percentile_approx(

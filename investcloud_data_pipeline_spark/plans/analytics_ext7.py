@@ -488,3 +488,246 @@ QUERIES = {
         ANN_DIM_TRUNCATION_RECALL_SQL,
     ),
 }
+
+
+# ---------- Wilson-interval robust ranking ----------
+#
+# Rank nations by the share of high-balance customers USING THE WILSON
+# SCORE LOWER BOUND, not the raw share — the standard fix for ranking
+# proportions with unequal sample sizes (a 3/3 nation must not outrank
+# a 95/100 nation). Closed form, z = 1.96:
+#
+#   lb = (p + z²/2n − z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n)
+#
+# Cross-engine exactness: n and successes are exact integers; the lb
+# expression is written with IDENTICAL operation structure in both
+# engines (same literals, same nesting), so the double result is
+# bit-identical before the 6dp round. Scale: one aggregate over the
+# customer table; everything after is nation-sized.
+
+WILSON_Z = 1.96
+HIGH_BAL = 5000.0
+
+
+def nation_wilson_ranking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n_df = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = c.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(
+            F.when(F.col("c_acctbal") > HIGH_BAL, 1).otherwise(0)
+        ).cast("long").alias("n_high"),
+    )
+    z = F.lit(WILSON_Z)
+    n = F.col("n_customers").cast("double")
+    p = F.col("n_high").cast("double") / n
+    lb = (
+        p
+        + z * z / (F.lit(2.0) * n)
+        - z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + z * z / (F.lit(4.0) * n * n)
+        )
+    ) / (F.lit(1.0) + z * z / n)
+    ranked = (
+        agg.join(
+            F.broadcast(n_df), agg.c_nationkey == n_df.n_nationkey
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            "n_high",
+            F.round(p, 6).alias("raw_share"),
+            F.round(lb, 6).alias("wilson_lb"),
+        )
+    )
+    w = Window.orderBy(F.col("wilson_lb").desc(), F.col("n_name").asc())
+    return ranked.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "n_name",
+        "n_customers",
+        "n_high",
+        "raw_share",
+        "wilson_lb",
+    )
+
+
+NATION_WILSON_RANKING_SQL = f"""
+WITH agg AS (
+  SELECT c_nationkey,
+         count(*) AS n_customers,
+         CAST(sum(CASE WHEN c_acctbal > {HIGH_BAL} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_high
+  FROM customer GROUP BY 1
+), scored AS (
+  SELECT n.n_name, a.n_customers, a.n_high,
+         round(CAST(a.n_high AS DOUBLE) / CAST(a.n_customers AS DOUBLE), 6)
+           AS raw_share,
+         round(
+           ((CAST(a.n_high AS DOUBLE) / CAST(a.n_customers AS DOUBLE))
+            + {WILSON_Z} * {WILSON_Z} / (2.0 * CAST(a.n_customers AS DOUBLE))
+            - {WILSON_Z} * sqrt(
+                (CAST(a.n_high AS DOUBLE) / CAST(a.n_customers AS DOUBLE))
+                * (1.0 - CAST(a.n_high AS DOUBLE) / CAST(a.n_customers AS DOUBLE))
+                / CAST(a.n_customers AS DOUBLE)
+                + {WILSON_Z} * {WILSON_Z}
+                  / (4.0 * CAST(a.n_customers AS DOUBLE)
+                         * CAST(a.n_customers AS DOUBLE))))
+           / (1.0 + {WILSON_Z} * {WILSON_Z} / CAST(a.n_customers AS DOUBLE)),
+           6) AS wilson_lb
+  FROM agg a JOIN nation n ON a.c_nationkey = n.n_nationkey
+)
+SELECT CAST(row_number() OVER (ORDER BY wilson_lb DESC, n_name ASC) AS BIGINT)
+         AS rank,
+       n_name, n_customers, n_high, raw_share, wilson_lb
+FROM scored
+"""
+
+
+# ---------- one-way ANOVA across return flags ----------
+#
+# Does mean extended price differ across return flags? The F statistic
+# from exact decimal sufficient statistics (the closed-form OLS/Gini
+# discipline): per group n_g, Σx (DECIMAL 38,2), Σx² (DECIMAL 38,4) —
+# all order-independent — then
+#
+#   SSB = Σ_g (Σx_g)²/n_g − (Σx)²/N     SSW = Σx² − Σ_g (Σx_g)²/n_g
+#   F   = (SSB/(k−1)) / (SSW/(N−k))     η²  = SSB / (SSB + SSW)
+#
+# Output columns are RELATIVE quantities only (grand mean, F, η²):
+# the raw SS values are ~1e15-magnitude differences of ~1e15 doubles
+# (catastrophic cancellation), where cross-engine FMA/association
+# differences leave ulp-level absolute noise (~0.25) that no fixed
+# decimal rounding can absorb — measured live at sf0.1. F and η² carry
+# the same information with ~1e-10 RELATIVE error, far inside their
+# 6dp rounds.
+#
+# Per-group double terms are rounded at 2dp (NOT the usual 9dp: the
+# terms are ~1e12 at sf0.1, and round(x, 9) scales by 1e9 — an int64
+# intermediate overflow in one engine's round; 2dp keeps the scaled
+# value under 2^63 while the lost precision is 11 orders of magnitude
+# below the term) and summed as DECIMAL so group iteration order can't
+# flip the 6dp outputs. One fact shuffle (the group aggregate); the F
+# fold is k rows.
+
+
+def lineitem_returnflag_anova(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    per_g = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias(
+            "s_g"
+        ),
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(19,2)")
+                * F.col("l_extendedprice").cast("decimal(19,2)")
+            ).cast("decimal(38,4)")
+        ).alias("ss_g"),
+    )
+    term = F.round(
+        (F.col("s_g").cast("double") * F.col("s_g").cast("double"))
+        / F.col("n_g").cast("double"),
+        2,
+    ).cast("decimal(38,2)")
+    folded = per_g.groupBy().agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("s_g").alias("s_all"),
+        F.sum("ss_g").alias("ss_all"),
+        F.sum(term).alias("sum_terms"),
+    )
+    ssb = F.col("sum_terms").cast("double") - (
+        F.col("s_all").cast("double") * F.col("s_all").cast("double")
+    ) / F.col("n_total").cast("double")
+    ssw = F.col("ss_all").cast("double") - F.col("sum_terms").cast(
+        "double"
+    )
+    # degenerate guard (the OLS/Gini discipline): F is undefined when
+    # there is no within-group variance or no residual degrees of
+    # freedom — NULL on both engines instead of an ANSI divide-by-zero
+    ok = (
+        (F.col("k") >= 2)
+        & (F.col("n_total") > F.col("k"))
+        & (ssw > 0)
+    )
+    f_stat = F.when(
+        ok,
+        (ssb / (F.col("k") - 1).cast("double"))
+        / (ssw / (F.col("n_total") - F.col("k")).cast("double")),
+    )
+    eta_sq = F.when(ok, ssb / (ssb + ssw))
+    grand_mean = F.col("s_all").cast("double") / F.col(
+        "n_total"
+    ).cast("double")
+    return folded.select(
+        "k",
+        "n_total",
+        F.round(grand_mean, 6).alias("grand_mean"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(eta_sq, 9).alias("eta_squared"),
+    )
+
+
+LINEITEM_RETURNFLAG_ANOVA_SQL = """
+WITH per_g AS (
+  SELECT l_returnflag,
+         count(*) AS n_g,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(38,2))
+           AS s_g,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(19,2))
+                       * CAST(l_extendedprice AS DECIMAL(19,2))
+                       AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ss_g
+  FROM lineitem GROUP BY 1
+), folded AS (
+  SELECT count(*) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n_total,
+         sum(s_g) AS s_all,
+         sum(ss_g) AS ss_all,
+         sum(CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                        / CAST(n_g AS DOUBLE), 2) AS DECIMAL(38,2)))
+           AS sum_terms
+  FROM per_g
+)
+SELECT k, n_total,
+       round(CAST(s_all AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         AS grand_mean,
+       CASE WHEN k >= 2 AND n_total > k
+                 AND CAST(ss_all AS DOUBLE) - CAST(sum_terms AS DOUBLE) > 0
+            THEN round(
+              ((CAST(sum_terms AS DOUBLE)
+                - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                  / CAST(n_total AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+              / ((CAST(ss_all AS DOUBLE) - CAST(sum_terms AS DOUBLE))
+                 / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))),
+              6)
+            ELSE NULL END AS f_stat,
+       CASE WHEN k >= 2 AND n_total > k
+                 AND CAST(ss_all AS DOUBLE) - CAST(sum_terms AS DOUBLE) > 0
+            THEN round(
+              (CAST(sum_terms AS DOUBLE)
+               - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                 / CAST(n_total AS DOUBLE))
+              / ((CAST(sum_terms AS DOUBLE)
+                  - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                    / CAST(n_total AS DOUBLE))
+                 + (CAST(ss_all AS DOUBLE) - CAST(sum_terms AS DOUBLE))),
+              9)
+            ELSE NULL END AS eta_squared
+FROM folded
+"""
+
+
+QUERIES["nation_wilson_ranking"] = (
+    nation_wilson_ranking,
+    NATION_WILSON_RANKING_SQL,
+)
+QUERIES["lineitem_returnflag_anova"] = (
+    lineitem_returnflag_anova,
+    LINEITEM_RETURNFLAG_ANOVA_SQL,
+)

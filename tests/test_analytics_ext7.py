@@ -130,3 +130,72 @@ def test_dim_truncation_recall_bounds(spark, sf_dir):
     for r in out:
         assert 0 <= r.n_overlap <= AX7.TRUNC_K
         assert abs(r.recall_at_k - r.n_overlap / AX7.TRUNC_K) < 1e-9
+
+
+# ---------- Wilson ranking ----------
+
+def test_wilson_small_sample_does_not_outrank(spark, monkeypatch):
+    # 3/3 raw share 1.0 vs 95/100 raw share 0.95: Wilson LB must put
+    # the large sample first
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 1, 9000.0 if i < 95 else 100.0, "B", "x", "y", "z")
+         for i in range(100)]
+        + [(100 + i, f"d{i}", 2, 9000.0, "B", "x", "y", "z")
+           for i in range(3)],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string, c_address string,"
+        " c_phone string, c_comment string",
+    )
+    nat = spark.createDataFrame(
+        [(1, "BIG", 0, ""), (2, "TINY", 0, "")],
+        "n_nationkey long, n_name string, n_regionkey long,"
+        " n_comment string",
+    )
+    _patched(monkeypatch, {"customer": cust, "nation": nat})
+    out = {r.n_name: r for r in AX7.nation_wilson_ranking(spark, "x").collect()}
+    assert out["TINY"].raw_share == 1.0 and out["BIG"].raw_share == 0.95
+    assert out["BIG"].rank == 1 and out["TINY"].rank == 2
+    for r in out.values():
+        assert 0.0 <= r.wilson_lb <= r.raw_share
+
+
+# ---------- ANOVA ----------
+
+def test_anova_identical_groups_f_zero(spark, monkeypatch):
+    rows = [(i, 1, 1, 1, 2.0, 100.0, 0.0, 0.0, flag, "O", "1995-01-01")
+            for i in range(60) for flag in ("A", "N", "R")]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    )
+    _patched(monkeypatch, {"lineitem": li})
+    r = AX7.lineitem_returnflag_anova(spark, "x").collect()[0]
+    assert r.k == 3 and r.n_total == 180
+    assert r.grand_mean == 100.0
+    assert r.f_stat is None and r.eta_squared is None  # 0/0: NULL-guarded
+
+
+def test_anova_hand_computed(spark, monkeypatch):
+    # groups: A -> [10, 20], N -> [30, 40]; grand mean 25
+    # SSB = 2*(15-25)^2 + 2*(35-25)^2 = 400; SSW = 50+50 = 100
+    # F = (400/1) / (100/2) = 8.0
+    rows = [
+        (1, "A", 10.0), (2, "A", 20.0), (3, "N", 30.0), (4, "N", 40.0),
+    ]
+    li = spark.createDataFrame(
+        [(i, 1, 1, 1, 2.0, p, 0.0, 0.0, f, "O", "1995-01-01")
+         for i, f, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    )
+    _patched(monkeypatch, {"lineitem": li})
+    r = AX7.lineitem_returnflag_anova(spark, "x").collect()[0]
+    assert (r.k, r.n_total) == (2, 4)
+    assert r.grand_mean == 25.0
+    assert r.f_stat == 8.0
+    assert r.eta_squared == 0.8  # 400 / (400 + 100)
