@@ -731,3 +731,198 @@ QUERIES["lineitem_returnflag_anova"] = (
     lineitem_returnflag_anova,
     LINEITEM_RETURNFLAG_ANOVA_SQL,
 )
+
+
+# ---------- embedding outlier screen (diagonal Mahalanobis) ----------
+#
+# Rank vectors by Σ_d (x_d − μ_d)² / σ²_d — the covariance-diagonal
+# Mahalanobis distance, the standard cheap screen for corrupt or
+# out-of-distribution embeddings before they poison dedup/ANN indexes.
+#
+# Cross-engine exactness: per-dim μ and σ² are rounded at 6dp BEFORE
+# use (so both engines feed identical statistics into the per-term
+# math), each per-dim term is rounded at 6dp and summed as DECIMAL
+# per vector, σ² is floored at 1e-9 (a constant dimension must not
+# ANSI-throw). Scale: the stats aggregate's key cardinality is the
+# dimensionality (tiny shuffle, map-side partials); stats broadcast to
+# the exploded fan-out; top-k is one TakeOrderedAndProject.
+
+MAHAL_TOP_K = 20
+
+
+def embedding_mahalanobis_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        (F.col("dim") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    stats = ex.groupBy("dim").agg(
+        F.round(F.avg("val"), 6).alias("m"),
+        F.round(F.avg(F.col("val") * F.col("val")), 6).alias("m2"),
+    ).select(
+        "dim",
+        "m",
+        F.greatest(
+            F.col("m2") - F.col("m") * F.col("m"), F.lit(1e-9)
+        ).alias("v"),
+    )
+    term = F.round(
+        (F.col("val") - F.col("m"))
+        * (F.col("val") - F.col("m"))
+        / F.col("v"),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        ex.join(F.broadcast(stats), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(term).alias("dec_score"))
+        .select(
+            "vec_id",
+            F.round(F.col("dec_score").cast("double"), 4).alias(
+                "mahalanobis_sq"
+            ),
+        )
+    )
+    w = Window.orderBy(
+        F.col("mahalanobis_sq").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= MAHAL_TOP_K)
+        .select("rank", "vec_id", "mahalanobis_sq")
+    )
+
+
+EMBEDDING_MAHALANOBIS_OUTLIERS_SQL = f"""
+WITH ex AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+), stats AS (
+  SELECT dim, m, greatest(m2 - m * m, 1e-9) AS v
+  FROM (
+    SELECT dim, round(avg(val), 6) AS m,
+           round(avg(val * val), 6) AS m2
+    FROM ex GROUP BY dim)
+), scored AS (
+  SELECT e.vec_id,
+         round(CAST(sum(CAST(round(
+           (e.val - s.m) * (e.val - s.m) / s.v, 6) AS DECIMAL(18,6)))
+           AS DOUBLE), 4) AS mahalanobis_sq
+  FROM ex e JOIN stats s USING (dim)
+  GROUP BY e.vec_id
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY mahalanobis_sq DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id, mahalanobis_sq
+FROM scored
+ORDER BY rank
+LIMIT {MAHAL_TOP_K}
+"""
+
+
+# ---------- seasonal-naive forecast backtest ----------
+#
+# The forecasting-evaluation primitive: forecast each nation's monthly
+# revenue with the SEASONAL NAIVE model (same month last year) and
+# backtest it — per nation, the count of testable months and the MAPE.
+# Seasonal naive is the baseline every real forecasting system must
+# beat, so its backtest is the first number a pipeline publishes.
+#
+# Exactness: monthly revenue is an exact DECIMAL(38,2) sum; the
+# year-back peer is matched by integer month number (a self-join, not
+# lag — robust to missing months); each APE is rounded at 9dp and
+# summed as DECIMAL, one final division. Scale: one fact shuffle for
+# the (nation, month) aggregate; the self-join runs on the tiny
+# aggregate relation.
+
+
+def nation_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("mnum"),
+            F.col("o_totalprice").cast("decimal(38,2)").alias("p"),
+        )
+        .groupBy("n_name", "mnum")
+        .agg(F.sum("p").alias("rev"))
+    )
+    cur, past = monthly.alias("cur"), monthly.alias("past")
+    joined = cur.join(
+        past,
+        (F.col("cur.n_name") == F.col("past.n_name"))
+        & (F.col("cur.mnum") == F.col("past.mnum") + 12),
+    )
+    ape = F.round(
+        F.abs(
+            F.col("cur.rev").cast("double")
+            - F.col("past.rev").cast("double")
+        )
+        / F.col("cur.rev").cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        joined.groupBy(F.col("cur.n_name").alias("n_name"))
+        .agg(
+            F.count("*").cast("long").alias("n_backtests"),
+            F.sum(ape).alias("sum_ape"),
+        )
+        .select(
+            "n_name",
+            "n_backtests",
+            F.round(
+                F.col("sum_ape").cast("double")
+                / F.col("n_backtests").cast("double"),
+                6,
+            ).alias("mape"),
+        )
+    )
+
+
+NATION_SEASONAL_NAIVE_BACKTEST_SQL = """
+WITH monthly AS (
+  SELECT n.n_name,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) AS mnum,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,2)))
+              AS DECIMAL(38,2)) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT cur.n_name,
+       count(*) AS n_backtests,
+       round(CAST(sum(CAST(round(
+           abs(CAST(cur.rev AS DOUBLE) - CAST(past.rev AS DOUBLE))
+           / CAST(cur.rev AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE), 6) AS mape
+FROM monthly cur
+JOIN monthly past
+  ON cur.n_name = past.n_name AND cur.mnum = past.mnum + 12
+GROUP BY cur.n_name
+"""
+
+
+QUERIES["embedding_mahalanobis_outliers"] = (
+    embedding_mahalanobis_outliers,
+    EMBEDDING_MAHALANOBIS_OUTLIERS_SQL,
+)
+QUERIES["nation_seasonal_naive_backtest"] = (
+    nation_seasonal_naive_backtest,
+    NATION_SEASONAL_NAIVE_BACKTEST_SQL,
+)

@@ -199,3 +199,99 @@ def test_anova_hand_computed(spark, monkeypatch):
     assert r.grand_mean == 25.0
     assert r.f_stat == 8.0
     assert r.eta_squared == 0.8  # 400 / (400 + 100)
+
+
+# ---------- Mahalanobis outliers ----------
+
+def test_mahalanobis_planted_outlier_ranks_first(spark, monkeypatch):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-0.1, 0.1) for _ in range(64)])
+        for i in range(50)
+    ]
+    rows.append((99, [5.0] * 64))  # the planted outlier
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    _patched(monkeypatch, {"embeddings": emb})
+    out = AX7.embedding_mahalanobis_outliers(spark, "x").collect()
+    assert out[0].rank == 1 and out[0].vec_id == 99
+    assert all(r.mahalanobis_sq >= 0 for r in out)
+    assert out[0].mahalanobis_sq > 10 * out[1].mahalanobis_sq
+
+
+def test_mahalanobis_constant_dim_does_not_throw(spark, monkeypatch):
+    # one dimension constant across the corpus: variance 0 -> the 1e-9
+    # floor must prevent an ANSI divide-by-zero
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    _patched(monkeypatch, {"embeddings": emb})
+    out = AX7.embedding_mahalanobis_outliers(spark, "x").collect()
+    assert len(out) == 10
+
+
+# ---------- seasonal-naive backtest ----------
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        [(i, ck, "O", p, d, "1-URGENT", "c", 0, "x")
+         for i, (ck, d, p) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string,"
+        " o_orderpriority string, o_clerk string, o_shippriority int,"
+        " o_comment string",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+
+
+def test_seasonal_naive_perfect_repeat_gives_zero_mape(spark, monkeypatch):
+    rows = [
+        (1, "1995-03-15", 100.0), (1, "1996-03-15", 100.0),
+        (1, "1995-07-01", 40.0), (1, "1996-07-01", 40.0),
+    ]
+    cust = spark.createDataFrame(
+        [(1, "c1", 5, 0.0, "B", "a", "p", "c")],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string, c_address string,"
+        " c_phone string, c_comment string",
+    )
+    nat = spark.createDataFrame(
+        [(5, "ETHIOPIA", 0, "")],
+        "n_nationkey long, n_name string, n_regionkey long,"
+        " n_comment string",
+    )
+    _patched(monkeypatch, {
+        "orders": _orders(spark, rows), "customer": cust, "nation": nat,
+    })
+    out = AX7.nation_seasonal_naive_backtest(spark, "x").collect()
+    assert len(out) == 1
+    assert out[0].n_backtests == 2 and out[0].mape == 0.0
+
+
+def test_seasonal_naive_hand_computed_mape(spark, monkeypatch):
+    # 1995-03: 100 -> 1996-03: 125 (APE 0.2); 1995-07: 50 -> 1996-07: 40
+    # (APE 0.25); MAPE = 0.225
+    rows = [
+        (1, "1995-03-15", 100.0), (1, "1996-03-20", 125.0),
+        (1, "1995-07-01", 50.0), (1, "1996-07-09", 40.0),
+    ]
+    cust = spark.createDataFrame(
+        [(1, "c1", 5, 0.0, "B", "a", "p", "c")],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string, c_address string,"
+        " c_phone string, c_comment string",
+    )
+    nat = spark.createDataFrame(
+        [(5, "KENYA", 0, "")],
+        "n_nationkey long, n_name string, n_regionkey long,"
+        " n_comment string",
+    )
+    _patched(monkeypatch, {
+        "orders": _orders(spark, rows), "customer": cust, "nation": nat,
+    })
+    out = AX7.nation_seasonal_naive_backtest(spark, "x").collect()
+    assert out[0].n_backtests == 2
+    assert out[0].mape == 0.225
