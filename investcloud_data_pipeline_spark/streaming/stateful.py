@@ -297,3 +297,70 @@ def streaming_heavy_hitters(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------- per-user quota gate (admission control) ----------
+#
+# The ingestion rate-limiter: each user may contribute at most
+# ``quota`` events across the stream's lifetime (a crawler cap, an
+# abuse throttle, a per-source contribution ceiling in a training-data
+# intake). Events beyond the quota are EMITTED but flagged — the
+# quarantine-not-drop convention of the bronze DQ split, so admitted +
+# rejected always reconciles with the input. State per key is ONE long
+# (events admitted so far): bounded, timeout-free, O(|keys|).
+#
+# Determinism: within a batch the group's rows are sorted by
+# (ts, event_id) before the quota line is drawn, so which events get
+# admitted does not depend on shuffle arrival order — replays and
+# reruns admit the identical set.
+
+QUOTA_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, admitted boolean, n_admitted_after long"
+)
+QUOTA_STATE_SCHEMA = StructType([StructField("n_admitted", LongType())])
+
+
+def _make_quota_gate(quota: int):
+    def _quota_gate(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (n_admitted,) = state.get if state.exists else (0,)
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            state.update((n_admitted,))
+            return
+        pdf = pd.concat(pdfs).sort_values(["ts", "event_id"])
+        room = max(0, quota - n_admitted)
+        admitted_mask = [i < room for i in range(len(pdf))]
+        n_admitted += min(room, len(pdf))
+        state.update((int(n_admitted),))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(pdf),
+                "event_id": pdf["event_id"].to_list(),
+                "admitted": admitted_mask,
+                "n_admitted_after": [int(n_admitted)] * len(pdf),
+            }
+        )
+
+    return _quota_gate
+
+
+def user_quota_gate(
+    events_stream: DataFrame, quota: int = 100
+) -> DataFrame:
+    """Admission-control gate: at most ``quota`` admitted events per
+    user across the stream, every event emitted with its verdict."""
+    return (
+        events_stream.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_quota_gate(quota),
+            outputStructType=QUOTA_OUTPUT_SCHEMA,
+            stateStructType=QUOTA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

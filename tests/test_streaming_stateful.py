@@ -142,3 +142,59 @@ def test_streaming_heavy_hitters_bounded_state_guarantee(spark, tmp_path):
     for (sh, _u) in got:
         sizes[sh] = sizes.get(sh, 0) + 1
     assert all(v <= SF.HH_STREAM_K for v in sizes.values())
+
+
+def test_user_quota_gate_across_batches(spark, tmp_path):
+    """Admission control: at most `quota` events admitted per user
+    ACROSS micro-batches (state carries), every input event emitted
+    with a verdict (conservation), and the admitted set deterministic
+    by (ts, event_id) order — earliest events win, not arrival order."""
+    from investcloud_data_pipeline_spark.streaming.stateful import (
+        user_quota_gate,
+    )
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+    ])
+    src, out, ck = (str(tmp_path / d) for d in ("qsrc", "qout", "qck"))
+
+    def write(name, rows):
+        os.makedirs(src, exist_ok=True)
+        pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts"]
+        ).to_parquet(f"{src}/{name}", index=False)
+
+    def drain():
+        stream = user_quota_gate(
+            spark.readStream.schema(schema).parquet(src), quota=3
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: user 1 sends 2 (both admitted), user 2 sends 4 (3 in)
+    write("b1.parquet", [(10, 1, 100), (11, 1, 101),
+                         (20, 2, 100), (21, 2, 101), (22, 2, 102), (23, 2, 103)])
+    drain()
+    # batch 2: user 1 sends 3 more — only ONE more fits (state carried);
+    # the earliest-by-ts event must be the admitted one
+    write("b2.parquet", [(13, 1, 300), (12, 1, 200), (14, 1, 400)])
+    drain()
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 9  # conservation: every event has a verdict
+    admitted = {r.event_id for r in rows if r.admitted}
+    rejected = {r.event_id for r in rows if not r.admitted}
+    assert admitted == {10, 11, 12, 20, 21, 22}  # 12: earliest ts wins
+    assert rejected == {13, 14, 23}
+    # per-user admitted counts never exceed the quota
+    for u in (1, 2):
+        assert sum(1 for r in rows if r.user_id == u and r.admitted) == 3
