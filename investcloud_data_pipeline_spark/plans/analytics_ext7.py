@@ -926,3 +926,224 @@ QUERIES["nation_seasonal_naive_backtest"] = (
     nation_seasonal_naive_backtest,
     NATION_SEASONAL_NAIVE_BACKTEST_SQL,
 )
+
+
+# ---------- two-sample Kolmogorov–Smirnov test ----------
+#
+# D = max_v |F1(v) − F2(v)| between two customer segments' account-
+# balance distributions — the exact distribution-drift primitive that
+# complements the binned PSI monitor (PSI needs bin choices; KS does
+# not). EXACT ARITHMETIC THROUGHOUT: at each distinct balance the
+# statistic's numerator is the integer |c1·n2 − c2·n1| (cumulative
+# counts cross-multiplied), so the max is an integer comparison and
+# the single division happens once at the end — no float CDFs.
+#
+# Scale posture: the cumulative window runs over the DISTINCT-value
+# relation ordered globally (narrow: value + two counts ≈ 24 B/row) —
+# the same documented exact-total-order posture as the curriculum/RFM
+# family; at extreme scale swap the exact CDF grid for
+# approx_quantile_bins edges (operators/binning.py) and evaluate D on
+# the quantile grid.
+
+KS_SEG_A = "BUILDING"
+KS_SEG_B = "MACHINERY"
+
+
+def customer_balance_ks_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.col("c_acctbal").cast("double").alias("v")
+    )
+    both = c.filter(
+        F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B)
+    ).select(
+        "v",
+        F.when(F.col("c_mktsegment") == KS_SEG_A, 1)
+        .otherwise(0)
+        .alias("a"),
+        F.when(F.col("c_mktsegment") == KS_SEG_B, 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    per_v = both.groupBy("v").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        "v",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    tot = both.groupBy().agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")
+                )
+            ).alias("d_num")
+        )
+        .select(
+            "n1",
+            "n2",
+            F.col("d_num").cast("long").alias("d_num"),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                9,
+            ).alias("d_stat"),
+        )
+    )
+
+
+CUSTOMER_BALANCE_KS_TEST_SQL = f"""
+WITH two_seg AS (
+  SELECT CAST(c_acctbal AS DOUBLE) AS v,
+         CASE WHEN c_mktsegment = '{KS_SEG_A}' THEN 1 ELSE 0 END AS a,
+         CASE WHEN c_mktsegment = '{KS_SEG_B}' THEN 1 ELSE 0 END AS b
+  FROM customer
+  WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+), per_v AS (
+  SELECT v, sum(a) AS na, sum(b) AS nb FROM two_seg GROUP BY v
+), cum AS (
+  SELECT v,
+         sum(na) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ca,
+         sum(nb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cb
+  FROM per_v
+), tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2
+  FROM two_seg
+)
+SELECT t.n1, t.n2,
+       CAST(max(abs(c.ca * t.n2 - c.cb * t.n1)) AS BIGINT) AS d_num,
+       round(CAST(max(abs(c.ca * t.n2 - c.cb * t.n1)) AS DOUBLE)
+             / CAST(t.n1 * t.n2 AS DOUBLE), 9) AS d_stat
+FROM cum c CROSS JOIN tot t
+GROUP BY t.n1, t.n2
+"""
+
+
+# ---------- per-source Jensen–Shannon divergence ----------
+#
+# Which sources are distributionally UNUSUAL? Per source s, the JSD
+# between its term distribution P_s and the corpus distribution Q:
+#   JSD = 0.5·Σ_t p ln(p/m) + 0.5·Σ_t q ln(q/m),  m = (p+q)/2
+# — symmetric, bounded by ln 2, zero iff P_s = Q. The corpus-mix
+# diagnostic that ranks sources for curation review (DSIR/source-mix
+# ops decide WEIGHTS; this flags distribution outliers).
+#
+# Exactness: p, q, m derive from exact integer counts with single
+# divisions; every ln contribution is rounded at 9dp and summed as
+# DECIMAL per source (one decimal fold over |sources| × |vocab| rows).
+# Scale: the spine is sources × vocabulary — at open vocabulary cap
+# the vocab by document frequency (the inverted-index MIN_DF
+# discipline); counts aggregate map-side, the spine join broadcasts
+# the (tiny) per-source and corpus-term marginals.
+
+
+def text_source_js_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    toks = d.select(
+        "source", F.explode(F.expr(NB_TOKEN_EXPR)).alias("term")
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count("*").alias("n_st")
+    ).persist()
+    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    t_tot = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    corpus_n = st.groupBy().agg(F.sum("n_st").alias("n_all"))
+    spine = (
+        s_tot.crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(corpus_n))
+        .join(F.broadcast(st), ["source", "term"], "left")
+        .select(
+            "source",
+            "n_s",
+            (
+                F.coalesce(F.col("n_st"), F.lit(0)).cast("double")
+                / F.col("n_s").cast("double")
+            ).alias("p"),
+            (
+                F.col("n_t").cast("double")
+                / F.col("n_all").cast("double")
+            ).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    contrib = (
+        F.when(
+            F.col("p") > 0,
+            F.lit(0.5) * F.col("p") * F.log(F.col("p") / m),
+        ).otherwise(F.lit(0.0))
+        + F.lit(0.5) * F.col("q") * F.log(F.col("q") / m)
+    )
+    return (
+        spine.select(
+            "source",
+            "n_s",
+            F.round(contrib, 9).cast("decimal(28,9)").alias("c"),
+        )
+        .groupBy("source", "n_s")
+        .agg(F.sum("c").alias("dec_jsd"))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.round(F.col("dec_jsd").cast("double"), 6).alias("jsd"),
+        )
+    )
+
+
+TEXT_SOURCE_JS_DIVERGENCE_SQL = """
+WITH toks AS (
+  SELECT source, lower(t.term) AS term
+  FROM documents,
+       unnest(string_split_regex(text, '[^a-zA-Z]+')) AS t(term)
+  WHERE length(t.term) >= 3
+), st AS (
+  SELECT source, term, count(*) AS n_st FROM toks GROUP BY 1, 2
+), s_tot AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1),
+t_tot AS (SELECT term, sum(n_st) AS n_t FROM st GROUP BY 1),
+corpus_n AS (SELECT sum(n_st) AS n_all FROM st),
+spine AS (
+  SELECT s.source, s.n_s,
+         CAST(coalesce(x.n_st, 0) AS DOUBLE) / CAST(s.n_s AS DOUBLE) AS p,
+         CAST(t.n_t AS DOUBLE) / (SELECT CAST(n_all AS DOUBLE) FROM corpus_n)
+           AS q
+  FROM s_tot s
+  CROSS JOIN t_tot t
+  LEFT JOIN st x ON x.source = s.source AND x.term = t.term
+)
+SELECT source,
+       CAST(n_s AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(round(
+           CASE WHEN p > 0
+                THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+           + 0.5 * q * ln(q / ((p + q) / 2.0)), 9) AS DECIMAL(28,9)))
+         AS DOUBLE), 6) AS jsd
+FROM spine
+GROUP BY source, n_s
+"""
+
+
+QUERIES["customer_balance_ks_test"] = (
+    customer_balance_ks_test,
+    CUSTOMER_BALANCE_KS_TEST_SQL,
+)
+QUERIES["text_source_js_divergence"] = (
+    text_source_js_divergence,
+    TEXT_SOURCE_JS_DIVERGENCE_SQL,
+)

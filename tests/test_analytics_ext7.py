@@ -295,3 +295,82 @@ def test_seasonal_naive_hand_computed_mape(spark, monkeypatch):
     out = AX7.nation_seasonal_naive_backtest(spark, "x").collect()
     assert out[0].n_backtests == 2
     assert out[0].mape == 0.225
+
+
+# ---------- KS test ----------
+
+def _cust(spark, rows):
+    return spark.createDataFrame(
+        [(i, f"c{i}", 1, bal, seg, "a", "p", "c")
+         for i, (seg, bal) in enumerate(rows)],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string, c_address string,"
+        " c_phone string, c_comment string",
+    )
+
+
+def test_ks_identical_distributions_d_zero(spark, monkeypatch):
+    rows = [("BUILDING", float(v)) for v in (1, 2, 3, 4)] + [
+        ("MACHINERY", float(v)) for v in (1, 2, 3, 4)
+    ]
+    _patched(monkeypatch, {"customer": _cust(spark, rows)})
+    r = AX7.customer_balance_ks_test(spark, "x").collect()[0]
+    assert (r.n1, r.n2, r.d_num, r.d_stat) == (4, 4, 0, 0.0)
+
+
+def test_ks_disjoint_supports_d_one(spark, monkeypatch):
+    rows = [("BUILDING", float(v)) for v in (1, 2, 3)] + [
+        ("MACHINERY", float(v)) for v in (10, 11)
+    ]
+    _patched(monkeypatch, {"customer": _cust(spark, rows)})
+    r = AX7.customer_balance_ks_test(spark, "x").collect()[0]
+    assert r.d_stat == 1.0  # all of A is below all of B
+
+
+def test_ks_hand_computed(spark, monkeypatch):
+    # A = {1, 3}, B = {2, 4}: at v=1 |1/2-0|=.5; v=2 |1/2-1/2|=0;
+    # v=3 |1-1/2|=.5; v=4 0 -> D = 0.5
+    rows = [("BUILDING", 1.0), ("BUILDING", 3.0),
+            ("MACHINERY", 2.0), ("MACHINERY", 4.0)]
+    _patched(monkeypatch, {"customer": _cust(spark, rows)})
+    r = AX7.customer_balance_ks_test(spark, "x").collect()[0]
+    assert (r.n1, r.n2) == (2, 2)
+    assert r.d_num == 2 and r.d_stat == 0.5
+
+
+# ---------- Jensen–Shannon divergence ----------
+
+def test_jsd_uniform_source_is_zero_and_disjoint_is_ln2_bounded(
+    spark, monkeypatch
+):
+    import math
+
+    # source A and the corpus share one distribution -> JSD(A) small;
+    # source B uses a disjoint vocabulary -> JSD(B) large (<= ln 2)
+    docs = (
+        [(i, "alpha beta gamma", "ell", "srcA", 10) for i in range(20)]
+        + [(100 + i, "zeta eta theta", "ell", "srcB", 10)
+           for i in range(2)]
+    )
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    _patched(monkeypatch, {"documents": d})
+    out = {r.source: r.jsd for r in
+           AX7.text_source_js_divergence(spark, "x").collect()}
+    assert 0.0 <= out["srcA"] < 0.05  # dominates the corpus -> near 0
+    assert out["srcB"] > out["srcA"]
+    assert out["srcB"] <= math.log(2) + 1e-9
+
+
+def test_jsd_single_source_exactly_zero(spark, monkeypatch):
+    d = spark.createDataFrame(
+        [(1, "one two three", "ell", "only", 10),
+         (2, "one two two", "ell", "only", 10)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    _patched(monkeypatch, {"documents": d})
+    out = AX7.text_source_js_divergence(spark, "x").collect()
+    assert len(out) == 1 and out[0].jsd == 0.0
