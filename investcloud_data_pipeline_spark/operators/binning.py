@@ -54,25 +54,39 @@ def approx_quantile_bins(
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     # The operator consumes df TWICE (the edge sketch, then the
-    # assignment scan). Persist it so the upstream lineage — often an
-    # expensive scoring pipeline — executes once; callers should pass
-    # the NARROW (id, score) projection, which is what makes this cache
-    # cheap at any scale (~16 bytes/row). Without this the approx path
-    # measured SLOWER than the exact-ntile window at 10× volume (6.2×
-    # vs 5.3× wall ratio), because ntile's single sort reads the
-    # scoring lineage once while the sketch+assign pair read it twice.
-    df = df.persist()
+    # assignment scan). An eager localCheckpoint materializes the
+    # upstream lineage — often an expensive scoring pipeline — exactly
+    # ONCE, and both consumers read the checkpointed blocks. Unlike
+    # `persist()` (whose CacheManager entry lives until an explicit
+    # unpersist, so repeated invocations from registry sweeps or bench
+    # loops leak cached relations for the session lifetime), local
+    # checkpoint blocks are released by the ContextCleaner as soon as
+    # the plan becomes unreachable. Callers should pass the NARROW
+    # (id, score) projection, which is what keeps the materialization
+    # cheap at any scale (~16 bytes/row). Without any materialization
+    # the approx path measured SLOWER than the exact-ntile window at
+    # 10× volume (6.2× vs 5.3× wall ratio), because ntile's single
+    # sort reads the scoring lineage once while the sketch+assign pair
+    # read it twice.
+    df = df.localCheckpoint(eager=True)
     qs = [i / n_bins for i in range(1, n_bins)]
     edges = df.agg(
         F.percentile_approx(
-            F.col(score_col).cast("double"), qs, accuracy
+            df[score_col].cast("double"), qs, accuracy
         ).alias(_EDGES)
     )
-    s = f"CAST({score_col} AS DOUBLE)"
-    cmp = f"e >= {s}" if descending else f"e < {s}"
-    bin_expr: Column = F.expr(f"1 + size(filter({_EDGES}, e -> {cmp}))")
+    joined = df.crossJoin(F.broadcast(edges))
+    # Column-API comparison (not an interpolated SQL string) so score
+    # columns needing backticks — e.g. the reference's own
+    # 'watch_time(min)' — resolve correctly.
+    s = joined[score_col].cast("double")
+    in_earlier_bin = (
+        (lambda e: e >= s) if descending else (lambda e: e < s)
+    )
+    bin_expr: Column = (
+        F.size(F.filter(F.col(_EDGES), in_earlier_bin)) + F.lit(1)
+    )
     return (
-        df.crossJoin(F.broadcast(edges))
-        .withColumn(bin_col, bin_expr.cast("long"))
+        joined.withColumn(bin_col, bin_expr.cast("long"))
         .drop(_EDGES)
     )

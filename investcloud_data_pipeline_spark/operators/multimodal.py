@@ -972,7 +972,11 @@ def wav_energy_segments(
     active share, the number of contiguous active segments and the
     longest active run — the silence-trim statistics. The trailing
     partial frame is dropped (standard framing). Quarantine contract
-    unchanged: undecodable payloads → decoded=false rows.
+    unchanged: undecodable payloads → decoded=false rows. A VALID clip
+    shorter than one window is decoded=true with n_frames=0 (and a
+    null active_share — no frames to average): "too short" is a
+    framing outcome, not a corrupt payload, so it must not inflate the
+    quarantine accounting.
 
     Scale: Arrow-batched mapInPandas; the per-clip output is one fixed
     row regardless of duration, and the framing is one numpy reshape —
@@ -984,8 +988,13 @@ def wav_energy_segments(
             rows = []
             for i, payload in zip(pdf[id_col], pdf[content_col]):
                 parsed = parse_wav(payload)
-                if parsed is None or parsed[3].size < window:
+                if parsed is None:
                     rows.append((i, False, None, None, None, None, None))
+                    continue
+                if parsed[3].size < window:
+                    # valid but shorter than one frame: zero frames,
+                    # not quarantine
+                    rows.append((i, True, 0, 0, None, 0, 0))
                     continue
                 _, rate, _, x = parsed
                 n_frames = x.size // window

@@ -103,14 +103,29 @@ def user_growth_accounting(
         .groupBy((F.col("mnum") + 1).alias("mnum"))
         .agg(F.count("*").cast("long").alias("n_churned"))
     )
+    # FULL outer join, not left: a day with zero active users has no
+    # status row, but users who were active the previous day still
+    # churn INTO it — a left join would silently drop those counts.
+    # The day for churn-only rows is reconstructed from the day number
+    # (mnum is days since the fixed 2000-01-03 epoch).
     return (
-        status.join(churn, "mnum", "left")
+        status.join(churn, "mnum", "full_outer")
         .select(
-            "day",
-            "dau",
-            "n_new",
-            "n_retained",
-            "n_resurrected",
+            F.coalesce(
+                F.col("day"),
+                F.date_add(
+                    F.lit("2000-01-03").cast("date"),
+                    F.col("mnum").cast("int"),
+                ),
+            ).alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias(
+                "n_retained"
+            ),
+            F.coalesce("n_resurrected", F.lit(0)).cast("long").alias(
+                "n_resurrected"
+            ),
             F.coalesce("n_churned", F.lit(0)).cast("long").alias(
                 "n_churned"
             ),
@@ -146,9 +161,13 @@ WITH am AS (
     AND mnum + 1 <= (SELECT max(date_diff('day', DATE '2000-01-03', day)) FROM am)
   GROUP BY 1
 )
-SELECT st.day, st.dau, st.n_new, st.n_retained, st.n_resurrected,
+SELECT coalesce(st.day, DATE '2000-01-03' + CAST(ch.mnum AS INTEGER)) AS day,
+       CAST(coalesce(st.dau, 0) AS BIGINT) AS dau,
+       CAST(coalesce(st.n_new, 0) AS BIGINT) AS n_new,
+       CAST(coalesce(st.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(coalesce(st.n_resurrected, 0) AS BIGINT) AS n_resurrected,
        CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
-FROM st LEFT JOIN ch USING (mnum)
+FROM st FULL OUTER JOIN ch USING (mnum)
 """
 
 
@@ -189,14 +208,19 @@ def text_naive_bayes_langid(
         "lang",
         F.explode(F.expr(NB_TOKEN_EXPR)).alias("term"),
     )
-    toks = toks.persist()
+    # eager localCheckpoint, not persist(): the relation is consumed
+    # several times (counts, scoring, the token-less anti-join), and
+    # checkpoint blocks are released by the ContextCleaner when the
+    # plan becomes unreachable — persist() entries would accumulate in
+    # the CacheManager for the session lifetime across registry sweeps.
+    toks = toks.localCheckpoint(eager=True)
     # class-conditional counts; class totals and the vocabulary size
     # DERIVE from the aggregated (class, term) relation — ct is
     # |classes|×V rows, so everything after costs class-model work,
     # and the raw token stream is scanned exactly twice (ct + scoring)
     ct = toks.groupBy("lang", "term").agg(
         F.count("*").alias("n_tc")
-    ).persist()
+    ).localCheckpoint(eager=True)
     class_tot = ct.groupBy("lang").agg(
         F.sum("n_tc").alias("n_tokens_c")
     )
@@ -266,13 +290,31 @@ def text_naive_bayes_langid(
             (F.col("log_prior") + F.col("log_lik")).alias("score"),
         )
     )
-    pred = scored.groupBy("doc_id", "lang").agg(
+    pred_tok = scored.groupBy("doc_id", "lang").agg(
         F.min(
             F.struct(
                 (-F.col("score")).alias("neg"),
                 F.col("clang").alias("clang"),
             )
         )["clang"].alias("predicted_lang")
+    )
+    # Documents with NO qualifying token (no alpha run of length >= 3)
+    # never reach the scored relation — they get the prior-only argmax
+    # (the NB score with an empty likelihood sum), so every labeled
+    # document appears in the confusion matrix exactly once.
+    prior_pick = classes.groupBy().agg(
+        F.min(
+            F.struct(
+                (-F.col("log_prior")).alias("neg"),
+                F.col("clang").alias("clang"),
+            )
+        )["clang"].alias("predicted_lang")
+    )
+    no_tok = d.select("doc_id", "lang").join(
+        toks.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    pred = pred_tok.unionByName(
+        no_tok.crossJoin(F.broadcast(prior_pick))
     )
     cells = pred.groupBy(
         F.col("lang").alias("labeled_lang"), "predicted_lang"
@@ -338,6 +380,13 @@ classes AS (
            row_number() OVER (PARTITION BY doc_id
                               ORDER BY score DESC, clang ASC) AS r
     FROM scored) WHERE r = 1
+  UNION ALL
+  -- token-less documents: prior-only argmax (empty likelihood sum)
+  SELECT d.doc_id, d.lang,
+         (SELECT clang FROM classes
+          ORDER BY log_prior DESC, clang ASC LIMIT 1) AS predicted_lang
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks)
 ), cells AS (
   SELECT lang AS labeled_lang, predicted_lang, count(*) AS n_docs
   FROM pred GROUP BY 1, 2
@@ -400,7 +449,7 @@ def ann_dim_truncation_recall(
         full_cos.alias("cos_full"),
         trunc_cos.alias("cos_trunc"),
     )
-    scored = scored.persist()
+    scored = scored.localCheckpoint(eager=True)
 
     def topk(col: str) -> DataFrame:
         w = Window.partitionBy("qid").orderBy(
@@ -1062,7 +1111,7 @@ def text_source_js_divergence(
     )
     st = toks.groupBy("source", "term").agg(
         F.count("*").alias("n_st")
-    ).persist()
+    ).localCheckpoint(eager=True)
     s_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
     t_tot = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
     corpus_n = st.groupBy().agg(F.sum("n_st").alias("n_all"))

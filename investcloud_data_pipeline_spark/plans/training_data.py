@@ -461,6 +461,77 @@ def text_quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECILE_POP_SLACK = 0.5  # each approx decile within ±50% of n/10
+
+
+def text_quality_decile_lift_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale-safe twin of text_quality_decile_lift: the exact global
+    ntile(10) (a single-task total order) is replaced by
+    operators/binning.approx_quantile_bins — percentile_approx
+    mergeable-sketch edges plus broadcast JVM bin assignment, NO
+    single-partition exchange anywhere (plan-pinned in
+    tests/test_scale_posture.py, mirroring the curriculum twin).
+
+    Correctness strategy mirrors corpus_curriculum_bins_approx: the
+    per-document decile assignment is sketch-dependent, so the STRICT
+    oracle asserts the INVARIANTS instead — every decile's population
+    within ±50% of the ideal n/10 (a sketch regression that skews or
+    empties a bin fails), avg_prob non-increasing across deciles
+    (threshold assignment makes bin d's minimum ≥ bin d+1's maximum by
+    construction, so a broken descending orientation fails), and the
+    exact total document count (a dropped document fails)."""
+    from ..operators.binning import approx_quantile_bins
+
+    scored = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", "quality_prob"
+    )
+    binned = approx_quantile_bins(
+        scored, "quality_prob", 10, descending=True, bin_col="decile"
+    )
+    per_bin = binned.groupBy("decile").agg(
+        F.count("*").alias("_n_docs"),
+        (
+            F.sum(F.col("quality_prob").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("_avg_prob"),
+    )
+    tot = binned.groupBy().agg(F.count("*").alias("docs_total"))
+    ideal = F.col("docs_total").cast("double") / F.lit(10.0)
+    lo = F.floor(ideal * (1.0 - DECILE_POP_SLACK))
+    hi = F.ceil(ideal * (1.0 + DECILE_POP_SLACK))
+    nxt = per_bin.select(
+        (F.col("decile") - 1).alias("decile"),
+        F.col("_avg_prob").alias("_next_avg"),
+    )
+    return (
+        per_bin.join(F.broadcast(nxt), "decile", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            (
+                (F.col("_n_docs") >= lo) & (F.col("_n_docs") <= hi)
+            ).alias("pop_ok"),
+            F.coalesce(
+                F.col("_avg_prob") >= F.col("_next_avg"), F.lit(True)
+            ).alias("prob_ordered_ok"),
+            F.col("docs_total").cast("long").alias("docs_total"),
+        )
+    )
+
+
+TEXT_QUALITY_DECILE_LIFT_APPROX_SQL = """
+SELECT CAST(t.b AS BIGINT) AS decile,
+       TRUE AS pop_ok,
+       TRUE AS prob_ordered_ok,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS docs_total
+FROM range(1, 11) AS t(b)
+"""
+
+
 _QUALITY_SCORED_CTE = f"""
 f AS (
   SELECT doc_id,
@@ -2998,6 +3069,10 @@ QUERIES = {
     "text_quality_decile_lift": (
         text_quality_decile_lift,
         TEXT_QUALITY_DECILE_LIFT_SQL,
+    ),
+    "text_quality_decile_lift_approx": (
+        text_quality_decile_lift_approx,
+        TEXT_QUALITY_DECILE_LIFT_APPROX_SQL,
     ),
     "text_tfidf_top_terms": (text_tfidf_top_terms, TEXT_TFIDF_TOP_TERMS_SQL),
     "text_term_cooccurrence_pmi": (

@@ -696,10 +696,15 @@ class TestWavEnergySegments:
 
         from investcloud_data_pipeline_spark.operators import multimodal as MM
 
+        # a VALID clip shorter than one window is NOT quarantine: it
+        # decodes fine and simply has zero full frames (null share)
         short = MM.wav_energy_segments(
             self._clip(spark, np.zeros(10)), window=160
         ).collect()[0]
-        assert not short.decoded
+        assert short.decoded
+        assert (short.n_frames, short.n_active) == (0, 0)
+        assert (short.n_segments, short.longest_run) == (0, 0)
+        assert short.active_share is None
         bad = spark.createDataFrame(
             [(1, bytearray(b"RIFFgarbage"))], "id long, content binary"
         )

@@ -696,6 +696,33 @@ def test_curriculum_approx_has_no_single_partition_window(spark, sf_dir):
             assert "Exchange hashpartitioning(curriculum_bin" in plan, plan
 
 
+def test_decile_lift_approx_has_no_single_partition_window(spark, sf_dir):
+    """Round-8 verdict task #2: the decile-lift family gets the same
+    scale-safe twin as the curriculum — text_quality_decile_lift_approx
+    must plan with percentile_approx sketch edges and NO
+    single-partition data funnel (the exact twin's global ntile(10) is
+    the documented strict-oracle form)."""
+    from investcloud_data_pipeline_spark.plans.training_data import (
+        text_quality_decile_lift,
+        text_quality_decile_lift_approx,
+    )
+
+    exact = _plan(text_quality_decile_lift(spark, sf_dir))
+    assert "SinglePartition" in exact  # the documented exact-path funnel
+    assert "ntile(" in exact
+
+    plan = _plan(text_quality_decile_lift_approx(spark, sf_dir))
+    assert "ntile(" not in plan, plan
+    assert "percentile_approx" in plan, plan
+    assert "BatchEvalPython" not in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            child = lines[i + 1]
+            assert "HashAggregate" in child, plan
+            assert "Sort" not in child and "Window" not in child, plan
+
+
 def test_incremental_dedup_probes_bucketed_index_without_base_exchange(
     spark, tmp_path
 ):
