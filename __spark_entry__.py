@@ -47,6 +47,10 @@ ROWS_ONLY = {
         "per-subspace k-means codebook (iterative fit, not SQL); "
         "strict twin with the seeded-sample codebook: ann_pq_adc_topk"
     ),
+    "ann_ivf_pq_topk": (
+        "IVF-PQ residual coding + exact refine (iterative k-means "
+        "fits, not SQL); recall floor pinned in test_analytics_ext5"
+    ),
     "ann_vectorized_topk": "numpy blocked-matmul summation order",
     "approx_aggregates": "HLL++/KLL sketch estimates are engine-specific",
     "corpus_curriculum_order_approx": (

@@ -426,18 +426,26 @@ aggregate(
     )
 
 
-def _pq_best(emb: DataFrame, centers: DataFrame) -> DataFrame:
+def _pq_best(
+    emb: DataFrame,
+    centers: DataFrame,
+    extra_cols: tuple = (),
+) -> DataFrame:
     """Per vector: the argmin (d, crank) struct per subspace, computed
     with all PQ_SUBSPACES distances in one projection over the
     broadcast codebook and 8 independent min(struct) aggregates — ONE
-    hash exchange total (map-side partial mins), no x8 row explosion."""
+    hash exchange total (map-side partial mins), no x8 row explosion.
+    ``extra_cols`` ride along in the group key (functionally dependent
+    on vec_id — e.g. the IVF cell id), so callers don't pay a second
+    join to re-attach them."""
     pairs = emb.crossJoin(F.broadcast(centers))
     scored = pairs.select(
         "vec_id",
+        *extra_cols,
         "crank",
         *[_pq_dist_s(s).alias(f"d{s}") for s in range(PQ_SUBSPACES)],
     )
-    return scored.groupBy("vec_id").agg(
+    return scored.groupBy("vec_id", *extra_cols).agg(
         *[
             F.min(
                 F.struct(
@@ -723,7 +731,12 @@ PQ_KM_CODEBOOK = 64
 PQ_KM_SEED = 142
 
 
-def _pq_kmeans_centers(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def _pq_kmeans_centers(
+    spark: SparkSession,
+    emb: DataFrame,
+    k_codebook: int = PQ_KM_CODEBOOK,
+    seed: int = PQ_KM_SEED,
+) -> DataFrame:
     """(crank, cemb) codebook from independent per-subspace k-means
     fits, packed into synthetic full-width vectors (subspace slices are
     independent in ADC, so packing loses nothing).
@@ -743,8 +756,10 @@ def _pq_kmeans_centers(spark: SparkSession, emb: DataFrame) -> DataFrame:
     n = emb.count()
     first = emb.select("embedding").first()
     dim = len(first[0]) if first is not None and first[0] is not None else 0
+    # clamp so a tiny corpus (sf0.001) still fits a valid codebook
+    k_codebook = max(1, min(k_codebook, n))
     slices = None
-    if n >= PQ_KM_CODEBOOK and dim and n * (dim * 8 + 32) <= (256 << 20):
+    if n >= k_codebook and dim and n * (dim * 8 + 32) <= (256 << 20):
         mat = np.asarray(
             [
                 r[0]
@@ -760,8 +775,8 @@ def _pq_kmeans_centers(spark: SparkSession, emb: DataFrame) -> DataFrame:
                 np.ascontiguousarray(
                     mat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
                 ),
-                PQ_KM_CODEBOOK,
-                seed=PQ_KM_SEED + s,
+                k_codebook,
+                seed=seed + s,
             )
             if c is None:
                 slices = None
@@ -784,8 +799,8 @@ def _pq_kmeans_centers(spark: SparkSession, emb: DataFrame) -> DataFrame:
                 "features", array_to_vector(to_double_array("v"))
             )
             model = KMeans(
-                k=PQ_KM_CODEBOOK,
-                seed=PQ_KM_SEED + s,
+                k=k_codebook,
+                seed=seed + s,
                 maxIter=8,
                 featuresCol="features",
             ).fit(sl_vec)
@@ -796,7 +811,7 @@ def _pq_kmeans_centers(spark: SparkSession, emb: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         [
             (i + 1, [float(x) for x in full[i]])
-            for i in range(PQ_KM_CODEBOOK)
+            for i in range(k_codebook)
         ],
         "crank int, cemb array<float>",
     )
@@ -815,3 +830,270 @@ def ann_pq_adc_kmeans_topk(
 
 
 QUERIES["ann_pq_adc_kmeans_topk"] = (ann_pq_adc_kmeans_topk, None)
+
+
+# ---------- ANN via IVF-PQ with residual coding (the recall path) ----------
+#
+# The FAISS IVFADC composition: a coarse k-means quantizer splits the
+# corpus into IVFPQ_NLIST cells; each vector stores its cell id plus
+# the PQ codes of its RESIDUAL (vector minus cell centroid). Residuals
+# concentrate around the origin with far less variance than the raw
+# vectors, so the same code budget quantizes them much more accurately
+# — and the residual ADC sum ||(q - c) - r̂||² IS the full distance
+# approximation (no separate coarse term needed). The fine codebook is
+# K=256 per subspace — the production 8-bit-code default — shared
+# across cells (standard IVFADC; per-cell codebooks would multiply
+# codebook memory by nlist for marginal gain).
+#
+# Search: a query probes its IVFPQ_NPROBE nearest cells; per probed
+# cell the (crank → distance) lookup table is built from the QUERY
+# residual q - centroid(cell), so each candidate's ADC is exact w.r.t.
+# its own cell's residual space. The lookup relation is
+# |Q| × nprobe × K × M rows of doubles — broadcast; candidate
+# generation is the codes table joining that broadcast on
+# (cell, s, crank), which prunes to the probed inverted lists without
+# any shuffle of the vectors.
+#
+# Scale: fit is the guarded-collect + distributed-KMeans skeleton the
+# K=64 query uses; encode is O(N×K×M) broadcast work plus ONE hash
+# exchange; search shuffles only (qid, vec_id, partial sums). At
+# 100 TB the codes table (vec_id, cell, 8 bytes of codes) is the only
+# full-corpus relation — stored partitioned by cell, the probe prunes
+# partitions exactly like the plain-IVF path. Rows-only oracle
+# (iterative k-means fits); recall is recorded in ANN_RECALL and
+# floor-pinned in tests/test_analytics_ext5.py.
+
+IVFPQ_NLIST = 16
+IVFPQ_NPROBE = 8
+IVFPQ_CODEBOOK = 256
+IVFPQ_SEED = 67
+
+
+def _ivf_assign(
+    spark: SparkSession, emb: DataFrame, n_cells: int, seed: int
+) -> tuple:
+    """Coarse quantizer: (assigned, cent_df) where assigned is
+    (vec_id, ev double-array, cell) and cent_df is (cell, centroid).
+    Guarded driver fit / distributed Spark ML KMeans fallback — the
+    ivf_topk skeleton (operators/simsearch.py)."""
+    from ..functions.vectors import (
+        assign_cells,
+        seeded_kmeans_centers,
+        to_double_array,
+    )
+
+    centers = seeded_kmeans_centers(emb, "embedding", k=n_cells, seed=seed)
+    if centers is not None:
+        assigned = emb.select(
+            "vec_id", to_double_array("embedding").alias("ev")
+        ).withColumn("cell", assign_cells(centers)(F.col("ev")))
+        rows = [c.tolist() for c in centers]
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vec = emb.withColumn(
+            "features", array_to_vector(to_double_array("embedding"))
+        )
+        model = KMeans(
+            k=n_cells, seed=seed, maxIter=8, featuresCol="features"
+        ).fit(vec)
+        assigned = model.transform(vec).select(
+            "vec_id",
+            to_double_array("embedding").alias("ev"),
+            F.col("prediction").alias("cell"),
+        )
+        rows = [list(c) for c in model.clusterCenters()]
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(rows)],
+        "cell int, centroid array<double>",
+    )
+    return assigned, cent_df
+
+
+def ivf_pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = PQ_ADC_K,
+    n_cells: int = IVFPQ_NLIST,
+    n_probe: int = IVFPQ_NPROBE,
+    k_codebook: int = IVFPQ_CODEBOOK,
+    refine: int = 0,
+) -> DataFrame:
+    """IVF-PQ ADC top-k of ``queries`` (qid, qemb) against ``emb``
+    (vec_id, embedding): coarse cells + K=256 residual PQ codes,
+    nprobe-cell candidate generation, residual ADC ranking.
+
+    ``refine`` > 0 adds the standard exact-refine stage (FAISS's
+    IndexRefineFlat composition): the ADC ranking keeps a per-query
+    shortlist of ``refine`` candidates, the TRUE vectors of only those
+    candidates are fetched, and the final top-k ranks by exact L2 —
+    recall then tracks the coarse probe's recall instead of the code
+    quantization error, at the cost of one |Q|·refine-row join against
+    the vector table (the memory/bandwidth economics that make PQ
+    worth running: the full scan touches codes only)."""
+    spark = emb.sparkSession
+    assigned, cent_df = _ivf_assign(spark, emb, n_cells, IVFPQ_SEED)
+    resid = assigned.join(F.broadcast(cent_df), "cell").select(
+        "vec_id",
+        "cell",
+        F.zip_with("ev", "centroid", lambda x, y: x - y).alias(
+            "embedding"
+        ),
+    )
+    # one eager materialization: the residual relation feeds the
+    # codebook fit AND the encode scan (same rationale as binning.py)
+    resid = resid.localCheckpoint(eager=True)
+    centers = _pq_kmeans_centers(
+        spark, resid, k_codebook=k_codebook, seed=IVFPQ_SEED + 1
+    )
+    best = _pq_best(resid, centers, extra_cols=("cell",))
+    codes = best.select(
+        "vec_id",
+        "cell",
+        F.expr(
+            "stack("
+            + str(PQ_SUBSPACES)
+            + ", "
+            + ", ".join(
+                f"{s}, b{s}.crank" for s in range(PQ_SUBSPACES)
+            )
+            + ") AS (s, crank)"
+        ),
+    )
+    # nprobe nearest cells per query, with the query residual per cell
+    from ..functions.vectors import to_double_array
+
+    q = queries.select(
+        "qid", to_double_array("qemb").alias("qv")
+    )
+    w_cell = Window.partitionBy("qid").orderBy(
+        F.col("cdist").asc(), F.col("cell").asc()
+    )
+    probe = (
+        q.join(F.broadcast(cent_df))
+        .withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("crk", F.row_number().over(w_cell))
+        .filter(F.col("crk") <= n_probe)
+        .select(
+            "qid",
+            "cell",
+            F.zip_with(
+                F.col("qv"), F.col("centroid"), lambda x, y: x - y
+            ).alias("qr"),
+        )
+    )
+    # residual ADC lookup: |Q| x nprobe x K rows wide-scored, stacked
+    # to (qid, cell, s, crank, qd) — broadcast against the codes table
+    qc = probe.crossJoin(F.broadcast(centers)).select(
+        "qid",
+        "cell",
+        "crank",
+        *[
+            _pq_dist_s(s, left="qr").alias(f"qd{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    lookup = qc.select(
+        "qid",
+        "cell",
+        "crank",
+        F.expr(
+            "stack("
+            + str(PQ_SUBSPACES)
+            + ", "
+            + ", ".join(f"{s}, qd{s}" for s in range(PQ_SUBSPACES))
+            + ") AS (s, qd)"
+        ),
+    )
+    adc = (
+        codes.join(F.broadcast(lookup), ["cell", "s", "crank"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("qd").cast("decimal(18,9)")).alias("dec_adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dec_adc").asc(), F.col("vec_id").asc()
+    )
+    if not refine:
+        return (
+            adc.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(
+                "qid",
+                "rank",
+                "vec_id",
+                F.round(F.col("dec_adc").cast("double"), 6).alias(
+                    "adc_dist"
+                ),
+            )
+        )
+    shortlist = (
+        adc.withColumn("r0", F.row_number().over(w))
+        .filter(F.col("r0") <= refine)
+        .select("qid", "vec_id")
+    )
+    ev = emb.select(
+        "vec_id", to_double_array("embedding").alias("cv")
+    )
+    exact = (
+        shortlist.join(ev, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("cv"),
+                        F.col("qv"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            ).alias("l2"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("l2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "rank",
+            "vec_id",
+            F.round(F.col("l2"), 6).alias("l2_dist"),
+        )
+    )
+
+
+IVFPQ_REFINE = 50  # exact-refine shortlist depth (10× k)
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+    )
+    return ivf_pq_adc_topk(
+        emb, queries, k=PQ_ADC_K, refine=IVFPQ_REFINE
+    )
+
+
+QUERIES["ann_ivf_pq_topk"] = (ann_ivf_pq_topk, None)

@@ -173,3 +173,152 @@ def start_neardup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_neardup_pair_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    pairs_dir: str,
+    members_dir: str,
+    checkpoint_dir: str,
+    index_table: str = "neardup_band_index",
+    num_hashes: int = 12,
+    bands: int = 4,
+    num_buckets: int = 8,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental MinHash-LSH PAIR ingestion: the production
+    form of ``operators/dedup_fuzzy.minhash_incremental_candidates``,
+    with the base band relation maintained as a STORED BUCKETED table
+    ((band_idx, band_key), ``num_buckets`` buckets) that every
+    micro-batch probes and then appends to.
+
+    Per micro-batch: collapse exact duplicates, band the delta's reps,
+    probe the stored index (delta×base — the bucketed scan side plans
+    with NO exchange, the incremental plan shape pinned in
+    tests/test_scale_posture.py), self-join the delta's bands
+    (delta×delta), expand rep pairs over the accumulated member maps,
+    and append (a) the new candidate pairs, (b) the delta's bands to
+    the bucketed index, (c) the delta's member map. NEVER base×base:
+    per-batch cost is |delta bands| + matched buckets, independent of
+    corpus size — the 100 TB ingestion shape.
+
+    Equivalence contract (asserted e2e in tests/test_streaming_documents
+    .py): the union of per-batch pair outputs over N batches equals the
+    from-scratch ``minhash_lsh_candidates`` pair set on the full corpus
+    — a pair (i, j) with i arriving before j is emitted exactly once,
+    at j's batch. Cross-batch exact duplicates need no special casing:
+    identical text ⇒ identical signature ⇒ the reps meet in every band.
+
+    Exactly-once: the three sinks are epoch-marked like the bronze
+    two-sink split; pairs append FIRST (they are computed against the
+    pre-batch index, so the index append must not precede them within
+    an epoch), then the index, then the members.
+    """
+    import os
+
+    from ..operators.dedup_fuzzy import (
+        _exact_groups,
+        _expand_member_pairs,
+        minhash_band_relation,
+    )
+    from .bronze import mark_sink_epoch, sink_epoch_committed
+
+    index_marker = os.path.join(members_dir, "_index")
+    members_schema = "__rep long, __member long"
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        pairs_done = sink_epoch_committed(pairs_dir, epoch_id)
+        idx_done = sink_epoch_committed(index_marker, epoch_id)
+        mem_done = sink_epoch_committed(members_dir, epoch_id)
+        if pairs_done and idx_done and mem_done:
+            return
+        sess = batch_df.sparkSession
+        delta_rep, delta_members = _exact_groups(
+            batch_df, "text", "doc_id"
+        )
+        banded_delta = minhash_band_relation(
+            delta_rep, num_hashes=num_hashes, bands=bands
+        ).localCheckpoint(eager=True)
+        try:
+            if sess.catalog.tableExists(index_table):
+                stored = sess.table(index_table)
+            else:
+                stored = sess.createDataFrame(
+                    [], "id long, band_idx int, band_key string"
+                )
+            d, b = banded_delta.alias("d"), stored.alias("b")
+            cross = (
+                d.join(
+                    b,
+                    (F.col("d.band_idx") == F.col("b.band_idx"))
+                    & (F.col("d.band_key") == F.col("b.band_key"))
+                    & (F.col("d.id") != F.col("b.id")),
+                )
+                .select(
+                    F.least(F.col("d.id"), F.col("b.id")).alias("id1"),
+                    F.greatest(F.col("d.id"), F.col("b.id")).alias("id2"),
+                )
+            )
+            a, b2 = banded_delta.alias("a"), banded_delta.alias("b2")
+            intra = (
+                a.join(
+                    b2,
+                    (F.col("a.band_idx") == F.col("b2.band_idx"))
+                    & (F.col("a.band_key") == F.col("b2.band_key"))
+                    & (F.col("a.id") < F.col("b2.id")),
+                )
+                .select(
+                    F.col("a.id").alias("id1"),
+                    F.col("b2.id").alias("id2"),
+                )
+            )
+            rep_pairs = cross.unionByName(intra).distinct()
+            if any(
+                f.endswith(".parquet")
+                for f in (
+                    os.listdir(members_dir)
+                    if os.path.isdir(members_dir)
+                    else []
+                )
+            ):
+                stored_members = sess.read.schema(
+                    members_schema
+                ).parquet(members_dir)
+            else:
+                stored_members = sess.createDataFrame([], members_schema)
+            members_all = stored_members.unionByName(delta_members)
+            pairs = _expand_member_pairs(
+                rep_pairs,
+                members_all,
+                banded_delta.select(F.col("id").alias("__rep")).distinct(),
+                intra_cols=[],
+            )
+            if not pairs_done:
+                pairs.write.mode("append").parquet(pairs_dir)
+                mark_sink_epoch(pairs_dir, epoch_id)
+            if not idx_done:
+                (
+                    banded_delta.write.mode("append")
+                    .bucketBy(num_buckets, "band_idx", "band_key")
+                    .sortBy("band_idx", "band_key")
+                    .saveAsTable(index_table)
+                )
+                mark_sink_epoch(index_marker, epoch_id)
+            if not mem_done:
+                delta_members.write.mode("append").parquet(members_dir)
+                mark_sink_epoch(members_dir, epoch_id)
+        finally:
+            delta_members.unpersist()
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("neardup_pair_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

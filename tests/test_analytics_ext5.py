@@ -329,6 +329,14 @@ def test_pq_adc_recall_sanity_and_kmeans_upgrade(spark, sf_dir):
     # #5): the fitted codebook must beat the sampled-16 floor outright —
     # a banding/codebook regression that guts its recall fails here.
     r_km64 = recall(AX5.ann_pq_adc_kmeans_topk(spark, sf_dir))
-    emb.unpersist()
     assert r_km64 >= r_sampled, (r_km64, r_sampled)
     assert r_km64 > 0.0
+
+    # The IVF-PQ + exact-refine registry query (round-8 verdict task
+    # #3, ANN_RECALL_r8: recall@10 0.707 at sf0.1): residual coding +
+    # shortlist re-rank must clearly beat the codes-only kmeans path —
+    # pin a generous floor above it so a regression in the coarse
+    # probe, the residual codebook, or the refine join fails here.
+    r_ivfpq = recall(AX5.ann_ivf_pq_topk(spark, sf_dir))
+    emb.unpersist()
+    assert r_ivfpq >= max(0.5, r_km64), (r_ivfpq, r_km64)

@@ -152,3 +152,110 @@ def test_neardup_ingest_partial_failure_between_sinks(spark, tmp_path):
     assert docs == [1, 2]  # doc 5's append was (simulated-)crashed away
     # but its bands DID commit on replay — the sig sink made progress
     assert sink_epoch_committed(sig, 1)
+
+
+def test_neardup_pair_ingest_matches_full_rebuild(spark, tmp_path):
+    """Round-8 verdict task #4: N streamed micro-batches through the
+    incremental pair stage produce EXACTLY the pair set of a
+    from-scratch minhash_lsh_candidates rebuild on the full corpus,
+    the stored band index is a bucketed table whose probe side plans
+    without an exchange, and epoch replay appends nothing."""
+    from pyspark.sql import functions as F
+
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        minhash_band_relation,
+        minhash_lsh_candidates,
+    )
+    from investcloud_data_pipeline_spark.streaming.documents import (
+        start_neardup_pair_ingest,
+    )
+
+    src, pairs_dir, members_dir, ck = (
+        str(tmp_path / d) for d in ("src", "pairs", "members", "ck")
+    )
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    batches = [
+        [
+            (1, base_text, "en", "s1"),
+            (2, base_text, "en", "s2"),  # in-batch exact dup of 1
+            (3, "completely unrelated content about spark shuffles", "en", "s1"),
+        ],
+        [
+            (4, base_text + " tonight", "en", "s3"),  # near-dup of 1/2
+            (5, base_text, "en", "s3"),  # cross-batch exact dup of 1/2
+            (6, "another totally distinct document body here", "en", "s1"),
+        ],
+        [
+            (7, base_text, "en", "s4"),  # third-batch exact dup
+            (8, "completely unrelated content about spark shuffles", "en", "s4"),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        _write(src, f"b{i}.parquet", rows)
+
+    table = "t_neardup_pair_index"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        q = start_neardup_pair_ingest(
+            spark, src, pairs_dir, members_dir, ck, index_table=table
+        )
+        q.awaitTermination(180)
+
+        streamed = {
+            (r.id1, r.id2)
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+        all_docs = spark.createDataFrame(
+            [r for rows in batches for r in rows],
+            "doc_id long, text string, lang string, source string",
+        )
+        full = {
+            (r.id1, r.id2)
+            for r in minhash_lsh_candidates(all_docs)
+            .select("id1", "id2")
+            .collect()
+        }
+        assert streamed == full
+        # sanity on content: the exact-dup clique and the near-dup all
+        # surfaced; the unrelated docs pair only with their own copies
+        assert {(1, 2), (1, 5), (2, 5), (1, 7), (3, 8)} <= streamed
+        assert not any({3, 8} & {a, b} and {a, b} <= {1, 2, 4, 5, 7, 3, 8}
+                       and not {a, b} <= {3, 8}
+                       for a, b in streamed)
+
+        # the stored index is bucketed: a fresh delta probe against it
+        # scans buckets directly, no exchange above the bucketed scan
+        delta = spark.createDataFrame(
+            [(99, base_text + " encore", "en", "s9")],
+            "doc_id long, text string, lang string, source string",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = minhash_band_relation(delta).alias("d").join(
+                spark.table(table).alias("b"),
+                (F.col("d.band_idx") == F.col("b.band_idx"))
+                & (F.col("d.band_key") == F.col("b.band_key")),
+            )
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount" in plan, plan
+            scan_at = plan.index(table)
+            last_sort = plan[:scan_at].rfind("Sort [band_idx")
+            assert last_sort != -1, plan
+            assert "Exchange" not in plan[last_sort:scan_at], plan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+        # replay idempotence: a second drain over the same source +
+        # checkpoint appends nothing to any of the three sinks
+        n_pairs = spark.read.parquet(pairs_dir).count()
+        n_members = spark.read.parquet(members_dir).count()
+        n_index = spark.table(table).count()
+        q2 = start_neardup_pair_ingest(
+            spark, src, pairs_dir, members_dir, ck, index_table=table
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(pairs_dir).count() == n_pairs
+        assert spark.read.parquet(members_dir).count() == n_members
+        assert spark.table(table).count() == n_index
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -189,6 +189,36 @@ def measure(sf_dir: str, k: int, n_queries: int) -> dict:
         "registry_query": "ann_pq_adc_kmeans_topk",
     }
 
+    # IVF-PQ residual coding (FAISS IVFADC): coarse cells + K=256
+    # residual codebook + nprobe-cell ADC — measured raw (codes-only
+    # ranking) AND with the exact-refine stage the registry query
+    # ships (ADC shortlist → exact L2 re-rank, FAISS IndexRefineFlat).
+    for name, kwargs, tag in (
+        ("ivf_pq_adc_vs_exact_l2", {}, None),
+        (
+            "ivf_pq_refine_vs_exact_l2",
+            {"refine": AX5.IVFPQ_REFINE},
+            "ann_ivf_pq_topk",
+        ),
+    ):
+        t0 = time.time()
+        ivfpq_df = AX5.ivf_pq_adc_topk(base, qs, k=k, **kwargs)
+        ivfpq: dict = {}
+        for r in ivfpq_df.collect():
+            ivfpq.setdefault(r.qid, set()).add(r.vec_id)
+        per_q = [
+            len(ivfpq.get(q, set()) & ex) / k
+            for q, ex in exact_l2.items()
+        ]
+        results[name] = {
+            "recall_at_k": round(sum(per_q) / len(per_q), 4),
+            "min_query_recall": round(min(per_q), 4),
+            "queries_answered": sum(1 for q in exact_l2 if ivfpq.get(q)),
+            "wall_s": round(time.time() - t0, 2),
+        }
+        if tag:
+            results[name]["registry_query"] = tag
+
     emb.unpersist()
     return {
         "metric": f"recall@{k}",
