@@ -706,6 +706,151 @@ FROM agg
 """
 
 
+# ---------- Adamic-Adar on the kNN family graph (dense fixture) ----------
+#
+# copurchase_link_prediction passes with 0 rows at sf0.1 (support-2
+# raw-part graph thins; r7 empty_pass audit). A fixed coarser node
+# space doesn't fix it: a dense family graph SATURATES at the small
+# sfs (complete graph ⇒ no non-adjacent pairs), measured directly
+# during round 8. The scale-stable construction is a kNN graph: per
+# node keep the top-KNN_K co-purchase neighbors by support (ties →
+# smaller neighbor id), symmetrize, then run the identical Adamic-Adar
+# wedge plan. Average degree is pinned ≈KNN_K at EVERY scale factor,
+# so non-adjacent wedge pairs exist at all three sfs (168 / 1785 /
+# 5583 candidates measured) — and the per-node window partitions on
+# the node id, no global funnel. Strict oracle end to end.
+
+KNN_K = 8
+
+
+def copurchase_knn_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .mining import _family_orders
+
+    op = _family_orders(spark, sf_dir)
+    a, b = op.alias("a"), op.alias("b")
+    sup = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.fam") < F.col("b.fam"))
+        .groupBy(
+            F.col("a.fam").alias("p1"), F.col("b.fam").alias("p2")
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    sym = sup.unionByName(
+        sup.select(
+            F.col("p2").alias("p1"),
+            F.col("p1").alias("p2"),
+            "support",
+        )
+    )
+    w_knn = Window.partitionBy("p1").orderBy(
+        F.col("support").desc(), F.col("p2").asc()
+    )
+    edges = (
+        sym.withColumn("r", F.row_number().over(w_knn))
+        .filter(F.col("r") <= KNN_K)
+        .select(
+            F.least("p1", "p2").alias("p1"),
+            F.greatest("p1", "p2").alias("p2"),
+        )
+        .distinct()
+    )
+    und = edges.union(
+        edges.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    )
+    deg = und.groupBy(F.col("p1").alias("z")).agg(
+        F.count("*").alias("deg")
+    )
+    adj = und.select(F.col("p1").alias("z"), F.col("p2").alias("n"))
+    contrib = F.round(
+        F.lit(1.0) / F.log(F.col("deg").cast("double")), 9
+    ).cast("decimal(18,9)")
+    l, r = adj.alias("l"), adj.alias("r")
+    wedges = (
+        l.join(r, "z")
+        .filter(F.col("l.n") < F.col("r.n"))
+        .join(deg, "z")
+        .select(
+            F.col("l.n").alias("u"),
+            F.col("r.n").alias("w"),
+            contrib.alias("c"),
+        )
+    )
+    known = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("w")
+    )
+    scored = (
+        wedges.join(known, ["u", "w"], "left_anti")
+        .groupBy("u", "w")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("c").alias("dec_score"),
+        )
+        .filter(F.col("common_neighbors") >= 2)
+        .select(
+            "u",
+            "w",
+            "common_neighbors",
+            F.round(F.col("dec_score").cast("double"), 6).alias(
+                "aa_score"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("aa_score"), F.desc("common_neighbors"), "u", "w"
+    ).limit(LINKPRED_TOPK)
+
+
+def _knn_linkpred_sql() -> str:
+    from .mining import _FAMILY_OP_CTE
+
+    return f"""
+WITH {_FAMILY_OP_CTE},
+sup AS (
+  SELECT a.fam AS p1, b.fam AS p2, count(*) AS support
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.fam < b.fam
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT p1, p2, support FROM sup
+  UNION ALL SELECT p2, p1, support FROM sup
+),
+edges AS (
+  SELECT DISTINCT least(p1, p2) AS p1, greatest(p1, p2) AS p2 FROM (
+    SELECT p1, p2,
+           row_number() OVER (PARTITION BY p1
+                              ORDER BY support DESC, p2 ASC) AS r
+    FROM sym) WHERE r <= {KNN_K}
+),
+und AS (
+  SELECT p1, p2 FROM edges UNION ALL SELECT p2, p1 FROM edges
+), deg AS (
+  SELECT p1 AS z, count(*) AS deg FROM und GROUP BY 1
+), wedges AS (
+  SELECT l.p2 AS u, r.p2 AS w,
+         CAST(round(1.0 / ln(CAST(d.deg AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS c
+  FROM und l JOIN und r ON l.p1 = r.p1 AND l.p2 < r.p2
+  JOIN deg d ON d.z = l.p1
+), scored AS (
+  SELECT u, w, count(*) AS common_neighbors,
+         round(CAST(sum(c) AS DOUBLE), 6) AS aa_score
+  FROM wedges
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.p1 = wedges.u AND e.p2 = wedges.w
+  )
+  GROUP BY u, w HAVING count(*) >= 2
+)
+SELECT u, w, common_neighbors, aa_score
+FROM scored
+ORDER BY aa_score DESC, common_neighbors DESC, u, w
+LIMIT {LINKPRED_TOPK}
+"""
+
+
 QUERIES = {
     "user_activity_streaks": (
         user_activity_streaks,
@@ -714,6 +859,10 @@ QUERIES = {
     "copurchase_link_prediction": (
         copurchase_link_prediction,
         COPURCHASE_LINK_PREDICTION_SQL,
+    ),
+    "copurchase_knn_link_prediction": (
+        copurchase_knn_link_prediction,
+        _knn_linkpred_sql(),
     ),
     "copurchase_weighted_sssp": (
         copurchase_weighted_sssp,

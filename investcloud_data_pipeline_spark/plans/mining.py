@@ -283,6 +283,110 @@ HAVING count(*) >= 2
 """
 
 
+# ---------- frequent triples, part-FAMILY graph (dense fixture) ----------
+#
+# copurchase_part_triples passes with 0 rows at sf0.1 (the support-2
+# raw-part graph thins as the part space grows — adjudicated in the
+# r7 empty_pass audit), which leaves its VALUE path uncompared at the
+# bench scale factor. This variant keeps the identical Apriori plan but
+# coarsens the node space to part FAMILIES — l_partkey modulo
+# max(1, ⌊|part|/8⌋), a data-adaptive modulus that multiplies pair
+# density ~64× while still scaling the node count with the data — so
+# the support-2 triple relation is non-empty (and small: hundreds to
+# tens of thousands of rows) at every scale factor. Strict oracle at
+# all three sfs by construction; the raw-part variant remains the
+# production-granularity twin.
+
+TRIPLES_FAMILY_DIV = 8
+
+
+def _family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    nfam = p.groupBy().agg(
+        F.greatest(
+            F.lit(1),
+            F.floor(F.count("*") / float(TRIPLES_FAMILY_DIV)),
+        ).cast("long").alias("nfam")
+    )
+    return (
+        l.crossJoin(F.broadcast(nfam))
+        .select(
+            "l_orderkey",
+            (F.col("l_partkey") % F.col("nfam")).alias("fam"),
+        )
+        .distinct()
+    )
+
+
+_FAMILY_OP_CTE = f"""
+nf AS (
+  SELECT CAST(greatest(1, floor(count(*) / {float(TRIPLES_FAMILY_DIV)})) AS BIGINT) AS nfam
+  FROM part
+),
+op AS (
+  SELECT DISTINCT l_orderkey, l_partkey % (SELECT nfam FROM nf) AS fam
+  FROM lineitem
+)
+"""
+
+
+def copurchase_family_triples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    op = _family_orders(spark, sf_dir)
+    a = op.alias("a")
+    b = op.alias("b")
+    freq_pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.fam") < F.col("b.fam"))
+        .groupBy(
+            F.col("a.fam").alias("fam1"),
+            F.col("b.fam").alias("fam2"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+        .select("fam1", "fam2")
+    )
+    pair_orders = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.fam") < F.col("b.fam"))
+        .select(
+            "l_orderkey",
+            F.col("a.fam").alias("fam1"),
+            F.col("b.fam").alias("fam2"),
+        )
+        .join(freq_pairs, ["fam1", "fam2"])
+    )
+    c = op.alias("c")
+    return (
+        pair_orders.join(c, "l_orderkey")
+        .filter(F.col("c.fam") > F.col("fam2"))
+        .groupBy("fam1", "fam2", F.col("c.fam").alias("fam3"))
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+COPURCHASE_FAMILY_TRIPLES_SQL = f"""
+WITH {_FAMILY_OP_CTE},
+po AS (
+  SELECT a.l_orderkey, a.fam AS fam1, b.fam AS fam2
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.fam < b.fam
+),
+freq AS (
+  SELECT fam1, fam2 FROM po GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT po.fam1, po.fam2, c.fam AS fam3, count(*) AS n_orders
+FROM po
+JOIN freq USING (fam1, fam2)
+JOIN op c ON c.l_orderkey = po.l_orderkey AND c.fam > po.fam2
+GROUP BY 1, 2, 3
+HAVING count(*) >= 2
+"""
+
+
 # ---------- triangle statistics on the near-dup pair graph ----------
 #
 # Near-dup candidate pairs form a graph whose triangle density says how
@@ -1435,6 +1539,10 @@ QUERIES = {
     ),
     "dedup_triangle_stats": (dedup_triangle_stats, _triangle_sql()),
     "copurchase_part_triples": (copurchase_part_triples, COPURCHASE_PART_TRIPLES_SQL),
+    "copurchase_family_triples": (
+        copurchase_family_triples,
+        COPURCHASE_FAMILY_TRIPLES_SQL,
+    ),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "cms_user_counts": (cms_user_counts, _cms_sql()),
