@@ -19,6 +19,9 @@ work, which is the stress the probe wants.
 Usage: python tools/bench_scale_probe.py [out.json]
        python tools/bench_scale_probe.py --graph [out.json]
        SPARK_GRAFT_PROBE_COPIES=10 SPARK_GRAFT_PROBE_DIR=/tmp/sfprobe
+       SPARK_GRAFT_PROBE_QUERIES=name1,name2  # override the query slice
+       (copies=100 gives the two-decade probe: 100 copies of sf0.1 is
+       an sf10-equivalent fact volume)
 
 ``--graph`` runs the STRUCTURE-PRESERVING graph probe (round-7 verdict
 task #3): the default replication reuses the single-copy part keys, so
@@ -192,10 +195,17 @@ def main() -> int:
 
     qs = entrymod.queries()
     results = {}
-    for name in (GRAPH_PROBE_QUERIES if graph_mode else PROBE_QUERIES):
+    env_qs = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+    names = (
+        [n for n in env_qs.split(",") if n]
+        if env_qs
+        else (GRAPH_PROBE_QUERIES if graph_mode else PROBE_QUERIES)
+    )
+    scaled_label = f"x{copies}"
+    for name in names:
         fn = qs[name]
         row = {}
-        for label, sf_dir in (("base", src_dir), ("x10", probe_dir)):
+        for label, sf_dir in (("base", src_dir), (scaled_label, probe_dir)):
             best = None
             for _ in range(2):
                 t0 = time.time()
@@ -212,8 +222,8 @@ def main() -> int:
                     best = el
             row[label] = best if best is not None else -1.0
         row["ratio"] = (
-            round(row["x10"] / row["base"], 2)
-            if row["base"] and row["base"] > 0 and row["x10"] > 0
+            round(row[scaled_label] / row["base"], 2)
+            if row["base"] and row["base"] > 0 and row[scaled_label] > 0
             else None
         )
         results[name] = row
@@ -222,9 +232,9 @@ def main() -> int:
     ratios = [r["ratio"] for r in results.values() if r["ratio"]]
     out = {
         "metric": (
-            "wall_ratio_at_10x_disjoint_graph_copies"
+            f"wall_ratio_at_{copies}x_disjoint_graph_copies"
             if graph_mode
-            else "wall_ratio_at_10x_rows"
+            else f"wall_ratio_at_{copies}x_rows"
         ),
         "graph_mode": graph_mode,
         "copies": copies,
