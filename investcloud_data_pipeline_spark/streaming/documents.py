@@ -322,3 +322,117 @@ def start_neardup_pair_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def start_embedding_index_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    centroids_dir: str,
+    checkpoint_dir: str,
+    n_cells: int = 16,
+    seed: int = 67,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming IVF index maintenance: the ANN analogue of the
+    incremental MinHash stage — embeddings arrive as a stream, and the
+    searchable artifact (vectors laid out by coarse cell) is kept
+    up to date per micro-batch instead of rebuilt.
+
+    The coarse quantizer is fitted ONCE, from the first micro-batch
+    (guarded driver k-means / distributed Spark ML fallback — the
+    operators/simsearch.py skeleton), persisted to ``centroids_dir``,
+    and every later batch reuses it: cell ids are therefore stable for
+    the life of the index, which is what makes per-batch appends valid.
+    Each batch assigns its vectors (Arrow-batched argmin against the
+    broadcast centroid matrix) and appends to ``index_dir``
+    PARTITIONED BY cell — so an IVF query's nprobe cell scan is plain
+    partition pruning over the accumulated index, no shuffle and no
+    touch of the other cells' files (asserted via inputFiles in the
+    e2e test). Re-fitting (centroid drift after heavy growth) is a
+    batch-side rebuild decision, exactly like FAISS retraining.
+
+    Exactly-once: single sink, epoch-marked like the other foreachBatch
+    stages; the centroid fit is idempotent (write-once marker).
+    """
+    import os
+
+    from ..functions.vectors import (
+        assign_cells,
+        seeded_kmeans_centers,
+        to_double_array,
+    )
+    from .bronze import mark_sink_epoch, sink_epoch_committed
+
+    def _load_or_fit_centers(batch_df):
+        import numpy as np
+
+        sess = batch_df.sparkSession
+        cfile = os.path.join(centroids_dir, "centroids.parquet")
+        if os.path.isdir(cfile):
+            rows = sess.read.parquet(cfile).orderBy("cell").collect()
+            return np.asarray([r.centroid for r in rows], dtype=np.float64)
+        centers = seeded_kmeans_centers(
+            batch_df, "embedding", k=n_cells, seed=seed
+        )
+        if centers is None:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            vec = batch_df.withColumn(
+                "features", array_to_vector(to_double_array("embedding"))
+            )
+            k_eff = min(n_cells, batch_df.count())
+            model = KMeans(
+                k=max(1, int(k_eff)), seed=seed, maxIter=8,
+                featuresCol="features",
+            ).fit(vec)
+            centers = np.asarray(
+                [list(c) for c in model.clusterCenters()]
+            )
+        os.makedirs(centroids_dir, exist_ok=True)
+        sess.createDataFrame(
+            [
+                (int(i), [float(x) for x in c])
+                for i, c in enumerate(centers)
+            ],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(cfile)
+        return centers
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if sink_epoch_committed(index_dir, epoch_id):
+            return
+        if batch_df.isEmpty():
+            mark_sink_epoch(index_dir, epoch_id)
+            return
+        centers = _load_or_fit_centers(batch_df)
+        assigned = batch_df.withColumn(
+            "cell",
+            assign_cells(centers)(to_double_array("embedding")),
+        )
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            index_dir
+        )
+        mark_sink_epoch(index_dir, epoch_id)
+
+    stream = spark.readStream.schema(EMB_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("embedding_index_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

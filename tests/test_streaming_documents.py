@@ -259,3 +259,93 @@ def test_neardup_pair_ingest_matches_full_rebuild(spark, tmp_path):
         assert spark.table(table).count() == n_index
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_embedding_index_ingest_partition_pruned_and_stable(spark, tmp_path):
+    """Streaming IVF index maintenance: centroids fitted once from the
+    first batch and reused, per-batch appends land partitioned by
+    cell, assignments match the batch operator against the stored
+    centroids, an nprobe cell read touches only those cells' files,
+    and epoch replay appends nothing."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from investcloud_data_pipeline_spark.functions.vectors import (
+        assign_cells,
+        to_double_array,
+    )
+    from investcloud_data_pipeline_spark.streaming.documents import (
+        start_embedding_index_ingest,
+    )
+
+    src, index_dir, cent_dir, ck = (
+        str(tmp_path / d) for d in ("src", "index", "cent", "ck")
+    )
+    rng = np.random.default_rng(11)
+
+    def write_batch(name, ids):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(src, exist_ok=True)
+        table = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [
+                        rng.normal(size=8).astype("float32").tolist()
+                        for _ in ids
+                    ],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(
+                    [int(i % 3) for i in ids], pa.int32()
+                ),
+            }
+        )
+        pq.write_table(table, f"{src}/{name}")
+
+    write_batch("b1.parquet", list(range(0, 40)))
+    write_batch("b2.parquet", list(range(40, 70)))
+    q = start_embedding_index_ingest(
+        spark, src, index_dir, cent_dir, ck, n_cells=4
+    )
+    q.awaitTermination(120)
+
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == 70
+    assert idx.select("vec_id").distinct().count() == 70
+    # assignments match the batch operator against the STORED centroids
+    cent_rows = (
+        spark.read.parquet(f"{cent_dir}/centroids.parquet")
+        .orderBy("cell")
+        .collect()
+    )
+    centers = np.asarray([r.centroid for r in cent_rows])
+    assert len(centers) == 4
+    redo = (
+        idx.withColumn(
+            "re_cell", assign_cells(centers)(to_double_array("embedding"))
+        )
+        .filter(F.col("cell") != F.col("re_cell"))
+        .count()
+    )
+    assert redo == 0
+    # nprobe partition pruning: the cell predicate lands in the scan's
+    # PartitionFilters (directory-level pruning, no data-file touch for
+    # the other cells) — not in a post-scan Filter
+    import re
+
+    two = spark.read.parquet(index_dir).filter(F.col("cell").isin(0, 1))
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and re.search(r"cell#\d+ IN \(0,1\)", m.group(0)), plan
+    assert two.count() > 0
+    # replay idempotence
+    n0 = idx.count()
+    q2 = start_embedding_index_ingest(
+        spark, src, index_dir, cent_dir, ck, n_cells=4
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(index_dir).count() == n0
