@@ -532,6 +532,181 @@ FROM range(1, 11) AS t(b)
 """
 
 
+# ---------- quality-threshold yield curve ----------
+#
+# The report every filtering decision starts from: at each quality bar
+# t, how many documents and how many TOKENS survive? (Token share is
+# what sets the training budget; doc share is what sets the dedup/
+# curation cost.) Thresholds are integer percents (5..95 step 5) so
+# the spine is exact in both engines — the comparison divides the same
+# integer by 100.0, never accumulating a float step.
+#
+# Scale: ONE scan of the narrow scored relation crossed with the
+# broadcast 19-row spine; the conditional aggregate combines map-side,
+# so the shuffle moves 19 rows per task. The left join keeps zero-kept
+# thresholds (a curve with holes misleads).
+
+
+def corpus_quality_yield_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_prob"
+    )
+    spine = spark.range(1, 20).select(
+        (F.col("id") * 5).cast("long").alias("threshold_pct")
+    )
+    tot = scored.groupBy().agg(
+        F.count("*").alias("docs_total"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+    kept = (
+        scored.crossJoin(F.broadcast(spine))
+        .filter(
+            F.col("quality_prob")
+            >= F.col("threshold_pct").cast("double") / 100.0
+        )
+        .groupBy("threshold_pct")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+    )
+    return (
+        spine.join(kept, "threshold_pct", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold_pct",
+            F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias(
+                "n_docs_kept"
+            ),
+            F.round(
+                F.coalesce("n_docs_kept", F.lit(0)).cast("double")
+                / F.col("docs_total").cast("double"),
+                6,
+            ).alias("doc_share"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("long").alias(
+                "tokens_kept"
+            ),
+            F.round(
+                F.coalesce("tokens_kept", F.lit(0)).cast("double")
+                / F.col("tokens_total").cast("double"),
+                6,
+            ).alias("token_share"),
+        )
+    )
+
+
+# ---------- tokenizer fertility per (lang, source) ----------
+#
+# chars-per-token and bytes-per-token by corpus cell — the numbers
+# that convert a storage budget into a token budget (and flag cells
+# where a tokenizer will be unusually expensive). One grouped
+# aggregate over exact integer sums; the two ratios are single final
+# divisions.
+
+
+def text_token_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    q = TX.quality_score(d).select("doc_id", "n_tokens")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("chars"),
+        F.octet_length("text").cast("long").alias("bytes"),
+    ).join(q, "doc_id")
+    return base.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.round(
+            F.when(
+                F.sum("n_tokens") > 0,
+                F.sum("chars").cast("double")
+                / F.sum("n_tokens").cast("double"),
+            ),
+            6,
+        ).alias("chars_per_token"),
+        F.round(
+            F.when(
+                F.sum("n_tokens") > 0,
+                F.sum("bytes").cast("double")
+                / F.sum("n_tokens").cast("double"),
+            ),
+            6,
+        ).alias("bytes_per_token"),
+    )
+
+
+TEXT_TOKEN_FERTILITY_SQL = f"""
+WITH f AS (
+  SELECT doc_id, lang, source,
+         length(text) AS chars,
+         strlen(text) AS bytes,
+         len(list_filter(string_split({{NORM}}, ' '), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       round(CASE WHEN sum(n_tokens) > 0
+                  THEN CAST(sum(chars) AS DOUBLE) / sum(n_tokens) END, 6)
+         AS chars_per_token,
+       round(CASE WHEN sum(n_tokens) > 0
+                  THEN CAST(sum(bytes) AS DOUBLE) / sum(n_tokens) END, 6)
+         AS bytes_per_token
+FROM f GROUP BY 1, 2
+""".replace("{NORM}", NORM_SQL)
+
+
+# ---------- exact-duplicate group-size histogram ----------
+#
+# The shape of the duplication problem in one relation: how many
+# content groups have exactly m copies, and how many documents (and
+# removable duplicates) that accounts for. Two uniform-key aggregates
+# (digest, then group size) — the diagnostics a dedup run is sized by.
+
+
+def dedup_group_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup_fuzzy import content_digest
+
+    d = _docs(spark, sf_dir)
+    groups = d.groupBy(content_digest("text").alias("digest")).agg(
+        F.count("*").alias("group_size")
+    )
+    return groups.groupBy("group_size").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        (F.count("*") * F.col("group_size")).cast("long").alias(
+            "n_docs"
+        ),
+        (F.count("*") * (F.col("group_size") - 1)).cast("long").alias(
+            "n_removable"
+        ),
+    )
+
+
+DEDUP_GROUP_SIZE_HISTOGRAM_SQL = f"""
+WITH g AS (
+  SELECT md5({NORM_SQL}) AS digest, count(*) AS group_size
+  FROM documents GROUP BY 1
+)
+SELECT group_size,
+       count(*) AS n_groups,
+       CAST(count(*) * group_size AS BIGINT) AS n_docs,
+       CAST(count(*) * (group_size - 1) AS BIGINT) AS n_removable
+FROM g GROUP BY 1
+"""
+
+
 _QUALITY_SCORED_CTE = f"""
 f AS (
   SELECT doc_id,
@@ -556,6 +731,34 @@ f AS (
   FROM feats
 )
 """.replace("{NORM}", NORM_SQL)
+
+CORPUS_QUALITY_YIELD_CURVE_SQL = f"""
+WITH {_QUALITY_SCORED_CTE},
+spine AS (
+  SELECT CAST(t.b * 5 AS BIGINT) AS threshold_pct FROM range(1, 20) AS t(b)
+),
+tot AS (
+  SELECT count(*) AS docs_total, sum(n_tokens) AS tokens_total FROM scored
+),
+kept AS (
+  SELECT s.threshold_pct,
+         count(*) AS n_docs_kept,
+         sum(sc.n_tokens) AS tokens_kept
+  FROM spine s
+  JOIN scored sc
+    ON sc.quality_prob >= CAST(s.threshold_pct AS DOUBLE) / 100.0
+  GROUP BY 1
+)
+SELECT s.threshold_pct,
+       CAST(coalesce(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       round(CAST(coalesce(k.n_docs_kept, 0) AS DOUBLE)
+             / CAST(t.docs_total AS DOUBLE), 6) AS doc_share,
+       CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+       round(CAST(coalesce(k.tokens_kept, 0) AS DOUBLE)
+             / CAST(t.tokens_total AS DOUBLE), 6) AS token_share
+FROM spine s LEFT JOIN kept k USING (threshold_pct) CROSS JOIN tot t
+"""
+
 
 TEXT_QUALITY_DECILE_LIFT_SQL = f"""
 WITH {_QUALITY_SCORED_CTE},
@@ -3073,6 +3276,18 @@ QUERIES = {
     "text_quality_decile_lift_approx": (
         text_quality_decile_lift_approx,
         TEXT_QUALITY_DECILE_LIFT_APPROX_SQL,
+    ),
+    "corpus_quality_yield_curve": (
+        corpus_quality_yield_curve,
+        CORPUS_QUALITY_YIELD_CURVE_SQL,
+    ),
+    "text_token_fertility": (
+        text_token_fertility,
+        TEXT_TOKEN_FERTILITY_SQL,
+    ),
+    "dedup_group_size_histogram": (
+        dedup_group_size_histogram,
+        DEDUP_GROUP_SIZE_HISTOGRAM_SQL,
     ),
     "text_tfidf_top_terms": (text_tfidf_top_terms, TEXT_TFIDF_TOP_TERMS_SQL),
     "text_term_cooccurrence_pmi": (
