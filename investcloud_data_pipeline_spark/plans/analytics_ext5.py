@@ -553,6 +553,7 @@ def pq_adc_topk(
     queries: DataFrame,
     k: int = PQ_ADC_K,
     centers: DataFrame | None = None,
+    arrow_codes: bool = False,
 ) -> DataFrame:
     """ADC top-k of ``queries`` (qid, qemb) against the PQ codes of
     ``emb`` (vec_id, embedding). Shared by the registry query and the
@@ -560,22 +561,29 @@ def pq_adc_topk(
     codebook with a caller-built (crank, cemb) frame — the per-subspace
     slices of each cemb row are independent, so independently fitted
     per-subspace codebooks pack into PQ_CODEBOOK synthetic full-width
-    vectors (the k-means upgrade path the recall tool measures)."""
+    vectors (the k-means upgrade path the recall tool measures).
+    ``arrow_codes`` swaps the code-assignment half for the vectorized
+    matmul kernel — ONLY valid for rows-only callers (the strict
+    ann_pq_adc_topk keeps the 9dp fixed-order expression folds that
+    make it oracle-exact)."""
     if centers is None:
         centers = _pq_centers(emb)
-    best = _pq_best(emb, centers)
-    codes = best.select(
-        "vec_id",
-        F.expr(
-            "stack("
-            + str(PQ_SUBSPACES)
-            + ", "
-            + ", ".join(
-                f"{s}, b{s}.crank" for s in range(PQ_SUBSPACES)
-            )
-            + ") AS (s, crank)"
-        ),
-    )
+    if arrow_codes:
+        codes = _pq_codes_arrow(emb, centers)
+    else:
+        best = _pq_best(emb, centers)
+        codes = best.select(
+            "vec_id",
+            F.expr(
+                "stack("
+                + str(PQ_SUBSPACES)
+                + ", "
+                + ", ".join(
+                    f"{s}, b{s}.crank" for s in range(PQ_SUBSPACES)
+                )
+                + ") AS (s, crank)"
+            ),
+        )
     qc = queries.crossJoin(F.broadcast(centers)).select(
         "qid",
         "crank",
@@ -826,7 +834,9 @@ def ann_pq_adc_kmeans_topk(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
     )
-    return pq_adc_topk(emb, queries, k=PQ_ADC_K, centers=centers)
+    return pq_adc_topk(
+        emb, queries, k=PQ_ADC_K, centers=centers, arrow_codes=True
+    )
 
 
 QUERIES["ann_pq_adc_kmeans_topk"] = (ann_pq_adc_kmeans_topk, None)
@@ -867,6 +877,74 @@ IVFPQ_NLIST = 16
 IVFPQ_NPROBE = 8
 IVFPQ_CODEBOOK = 256
 IVFPQ_SEED = 67
+
+
+def _pq_codes_arrow(
+    emb: DataFrame, centers: DataFrame, extra_cols: tuple = ()
+) -> DataFrame:
+    """Arrow-vectorized PQ code assignment, already STACKED to
+    (vec_id, *extra_cols, s, crank): per batch, each subspace's
+    squared-L2 table is ONE dense matmul (x² + c² − 2·X@Cᵀ, rounded to
+    9dp, argmin with smallest-crank ties — np.argmin returns the first
+    minimum, and the center matrix is crank-ordered).
+
+    This is the codes half of ADC for the ROWS-ONLY fitted-codebook
+    paths (K=64 k-means, K=256 IVF-PQ residuals): at K=256 the JVM
+    expression path evaluates N×K slice/zip_with/aggregate trees
+    (measured 17s at 2k×256 — 4× the K=64 twin, exactly the expression
+    overhead), while the matmul is milliseconds — the same
+    dense-linear-algebra-beats-expression-trees call as
+    vectorized_topk. The strict-oracle K=16 queries keep the
+    expression path: their 9dp-rounded fixed-order folds are the
+    cross-engine exactness contract."""
+    import numpy as np
+
+    rows = centers.orderBy("crank").collect()
+    cmat = np.asarray([list(r.cemb) for r in rows], dtype=np.float64)
+    subs = [
+        np.ascontiguousarray(
+            cmat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        )
+        for s in range(PQ_SUBSPACES)
+    ]
+    sub_sq = [(c * c).sum(axis=1) for c in subs]
+    carry = ["vec_id", *extra_cols]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in emb.schema
+        if f.name in carry
+    ) + ", s int, crank int"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            cranks = np.empty((n, PQ_SUBSPACES), dtype=np.int32)
+            for s in range(PQ_SUBSPACES):
+                xs = x[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                d = (
+                    (xs * xs).sum(axis=1)[:, None]
+                    + sub_sq[s][None, :]
+                    - 2.0 * (xs @ subs[s].T)
+                )
+                cranks[:, s] = np.round(d, 9).argmin(axis=1) + 1
+            out = {
+                c: np.repeat(pdf[c].to_numpy(), PQ_SUBSPACES)
+                for c in carry
+            }
+            out["s"] = np.tile(
+                np.arange(PQ_SUBSPACES, dtype=np.int32), n
+            )
+            out["crank"] = cranks.reshape(-1)
+            yield pd.DataFrame(out)
+
+    return emb.select(*carry, "embedding").mapInPandas(kernel, schema)
 
 
 def _ivf_assign(
@@ -947,20 +1025,10 @@ def ivf_pq_adc_topk(
     centers = _pq_kmeans_centers(
         spark, resid, k_codebook=k_codebook, seed=IVFPQ_SEED + 1
     )
-    best = _pq_best(resid, centers, extra_cols=("cell",))
-    codes = best.select(
-        "vec_id",
-        "cell",
-        F.expr(
-            "stack("
-            + str(PQ_SUBSPACES)
-            + ", "
-            + ", ".join(
-                f"{s}, b{s}.crank" for s in range(PQ_SUBSPACES)
-            )
-            + ") AS (s, crank)"
-        ),
-    )
+    # Arrow-matmul code assignment: at K=256 the expression-tree path
+    # costs ~4× the K=64 twin (pure per-pair expression overhead);
+    # this path is rows-only, so the vectorized kernel applies.
+    codes = _pq_codes_arrow(resid, centers, extra_cols=("cell",))
     # nprobe nearest cells per query, with the query residual per cell
     from ..functions.vectors import to_double_array
 

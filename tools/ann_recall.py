@@ -173,7 +173,9 @@ def measure(sf_dir: str, k: int, n_queries: int) -> dict:
     # exact same builder so this ledger row is the operator's number.
     t0 = time.time()
     km64_centers = AX5._pq_kmeans_centers(adc_df.sparkSession, base)
-    km64_df = AX5.pq_adc_topk(base, qs, k=k, centers=km64_centers)
+    km64_df = AX5.pq_adc_topk(
+        base, qs, k=k, centers=km64_centers, arrow_codes=True
+    )
     km64: dict = {}
     for r in km64_df.collect():
         km64.setdefault(r.qid, set()).add(r.vec_id)
