@@ -340,3 +340,33 @@ def test_pq_adc_recall_sanity_and_kmeans_upgrade(spark, sf_dir):
     r_ivfpq = recall(AX5.ann_ivf_pq_topk(spark, sf_dir))
     emb.unpersist()
     assert r_ivfpq >= max(0.5, r_km64), (r_ivfpq, r_km64)
+
+
+def test_pq_codes_arrow_matches_expression_path(spark, sf_dir):
+    """The Arrow-matmul code assignment must emit the IDENTICAL
+    (vec_id, s, crank) relation as the strict expression path for the
+    same codebook — the kernel is a physical-plan swap, not a
+    semantics change (both round to 9dp before a smallest-crank
+    argmin)."""
+    from pyspark.sql import functions as F
+
+    from investcloud_data_pipeline_spark.plans import analytics_ext5 as AX5
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 200)
+    )
+    centers = AX5._pq_centers(emb)
+    best = AX5._pq_best(emb, centers)
+    expr_codes = {
+        (r.vec_id, s, r[f"b{s}"].crank)
+        for r in best.collect()
+        for s in range(AX5.PQ_SUBSPACES)
+    }
+    arrow_codes = {
+        (r.vec_id, r.s, r.crank)
+        for r in AX5._pq_codes_arrow(emb, centers).collect()
+    }
+    assert arrow_codes == expr_codes

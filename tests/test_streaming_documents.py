@@ -349,3 +349,30 @@ def test_embedding_index_ingest_partition_pruned_and_stable(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(index_dir).count() == n0
+
+    # a LATER batch after restart reuses the stored centroids (no
+    # refit — cell ids stay stable for the life of the index)
+    write_batch("b3.parquet", list(range(70, 90)))
+    q3 = start_embedding_index_ingest(
+        spark, src, index_dir, cent_dir, ck, n_cells=4
+    )
+    q3.awaitTermination(120)
+    idx3 = spark.read.parquet(index_dir)
+    assert idx3.count() == 90
+    cent_after = np.asarray(
+        [
+            r.centroid
+            for r in spark.read.parquet(f"{cent_dir}/centroids.parquet")
+            .orderBy("cell")
+            .collect()
+        ]
+    )
+    assert np.array_equal(cent_after, centers)
+    redo3 = (
+        idx3.withColumn(
+            "re_cell", assign_cells(centers)(to_double_array("embedding"))
+        )
+        .filter(F.col("cell") != F.col("re_cell"))
+        .count()
+    )
+    assert redo3 == 0
