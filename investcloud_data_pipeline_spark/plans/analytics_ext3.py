@@ -748,6 +748,10 @@ def copurchase_knn_link_prediction(
     w_knn = Window.partitionBy("p1").orderBy(
         F.col("support").desc(), F.col("p2").asc()
     )
+    # the edge relation is tiny by construction (≤ KNN_K rows per node,
+    # 2 longs wide) and referenced FIVE times downstream (und twice,
+    # deg, adj, known) — eager localCheckpoint so the support+window
+    # pipeline executes once instead of being re-inlined per reference
     edges = (
         sym.withColumn("r", F.row_number().over(w_knn))
         .filter(F.col("r") <= KNN_K)
@@ -756,6 +760,7 @@ def copurchase_knn_link_prediction(
             F.greatest("p1", "p2").alias("p2"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     und = edges.union(
         edges.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))

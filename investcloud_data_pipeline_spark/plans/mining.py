@@ -303,20 +303,16 @@ TRIPLES_FAMILY_DIV = 8
 def _family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    nfam = p.groupBy().agg(
-        F.greatest(
-            F.lit(1),
-            F.floor(F.count("*") / float(TRIPLES_FAMILY_DIV)),
-        ).cast("long").alias("nfam")
-    )
-    return (
-        l.crossJoin(F.broadcast(nfam))
-        .select(
-            "l_orderkey",
-            (F.col("l_partkey") % F.col("nfam")).alias("fam"),
-        )
-        .distinct()
-    )
+    # the modulus is ONE scalar from a dimension count — resolve it
+    # driver-side (a metadata-cheap action) instead of cross-joining a
+    # 1-row relation: the family relation is referenced three times by
+    # the triple plan (and five by the kNN graph), and each reference
+    # would re-print the crossJoin subtree into the physical plan
+    nfam = max(1, int(p.count()) // TRIPLES_FAMILY_DIV)
+    return l.select(
+        "l_orderkey",
+        (F.col("l_partkey") % F.lit(nfam)).alias("fam"),
+    ).distinct()
 
 
 _FAMILY_OP_CTE = f"""
