@@ -1,0 +1,110 @@
+"""Throughput benchmark for the streaming incremental MinHash pair
+stage (streaming/documents.py::start_neardup_pair_ingest).
+
+Generates a deterministic synthetic corpus (batches of documents with a
+controlled near-dup/exact-dup mix), drains it through the stage with
+maxFilesPerTrigger=1, and reports docs/sec end-to-end (generation
+excluded), pairs emitted, and the per-batch index growth — the number
+that says what a single host sustains for the
+per-batch-cost-independent-of-corpus-size ingestion shape.
+
+Usage: python tools/bench_pair_ingest.py [out.json] [n_batches] [docs_per_batch]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+]
+
+
+def _doc_text(i: int) -> str:
+    # deterministic 24-word doc; every 10th doc is an exact copy of the
+    # previous one and every 7th a near-dup (one-word edit) of i-7
+    if i % 10 == 9:
+        return _doc_text(i - 1)
+    base = [WORDS[(i * 7 + j * 3) % len(WORDS)] for j in range(24)]
+    if i % 7 == 6 and i >= 7:
+        prev = [WORDS[((i - 7) * 7 + j * 3) % len(WORDS)] for j in range(24)]
+        prev[5] = "edited"
+        return " ".join(prev)
+    return " ".join(base)
+
+
+def main() -> int:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else None
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 5000
+
+    import pandas as pd
+
+    from investcloud_data_pipeline_spark.session import get_spark
+    from investcloud_data_pipeline_spark.streaming.documents import (
+        start_neardup_pair_ingest,
+    )
+
+    spark = get_spark("bench_pair_ingest")
+    work = tempfile.mkdtemp(prefix="pair_ingest_bench_")
+    src, pairs_dir, members_dir, ck = (
+        os.path.join(work, d) for d in ("src", "pairs", "members", "ck")
+    )
+    os.makedirs(src)
+    for b in range(n_batches):
+        rows = [
+            (
+                b * per_batch + i,
+                _doc_text(b * per_batch + i),
+                "en",
+                f"s{b}",
+            )
+            for i in range(per_batch)
+        ]
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source"]
+        ).to_parquet(os.path.join(src, f"b{b:03d}.parquet"), index=False)
+
+    table = "t_bench_pair_index"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    t0 = time.time()
+    q = start_neardup_pair_ingest(
+        spark, src, pairs_dir, members_dir, ck, index_table=table
+    )
+    q.awaitTermination(1800)
+    wall = time.time() - t0
+
+    n_docs = n_batches * per_batch
+    n_pairs = spark.read.parquet(pairs_dir).count()
+    n_index = spark.table(table).count()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(work, ignore_errors=True)
+    out = {
+        "metric": "pair_ingest_docs_per_sec",
+        "value": round(n_docs / wall, 1),
+        "unit": "docs/sec",
+        "n_batches": n_batches,
+        "docs_per_batch": per_batch,
+        "n_docs": n_docs,
+        "n_pairs_emitted": n_pairs,
+        "index_rows": n_index,
+        "wall_s": round(wall, 1),
+    }
+    if out_json:
+        with open(out_json, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps(out, separators=(",", ":")))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
