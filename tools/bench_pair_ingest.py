@@ -30,16 +30,36 @@ WORDS = [
 
 
 def _doc_text(i: int) -> str:
-    # deterministic 24-word doc; every 10th doc is an exact copy of the
-    # previous one and every 7th a near-dup (one-word edit) of i-7
+    # deterministic 24-word doc, UNIQUE per i (a uid token anchors the
+    # content so unrelated docs can never collide). Per 10 docs: one
+    # exact-dup pair (i%10==9 copies i-1) and one near-dup pair
+    # (i%10==7 is a one-word edit of i-1) — bounded group sizes, so the
+    # measured cost is the probe/append pipeline, not a pathological
+    # member expansion.
+    import hashlib
+
     if i % 10 == 9:
         return _doc_text(i - 1)
-    base = [WORDS[(i * 7 + j * 3) % len(WORDS)] for j in range(24)]
-    if i % 7 == 6 and i >= 7:
-        prev = [WORDS[((i - 7) * 7 + j * 3) % len(WORDS)] for j in range(24)]
-        prev[5] = "edited"
-        return " ".join(prev)
-    return " ".join(base)
+    if i % 10 == 7:
+        words = _base_words(i - 1)
+        words[5] = f"edit{i}"
+        return " ".join(words)
+    return " ".join(_base_words(i))
+
+
+def _base_words(i: int) -> list:
+    # md5-derived word SEQUENCE: unrelated docs share vocabulary but
+    # almost never share a 3-word shingle, so the only candidate pairs
+    # are the planted ones
+    import hashlib
+
+    raw = (
+        hashlib.md5(f"doc{i}".encode()).digest()
+        + hashlib.md5(f"doc{i}x".encode()).digest()
+    )
+    words = [WORDS[raw[j] % len(WORDS)] for j in range(24)]
+    words[0] = f"uid{i}"
+    return words
 
 
 def main() -> int:
