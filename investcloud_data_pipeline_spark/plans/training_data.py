@@ -666,6 +666,81 @@ FROM f GROUP BY 1, 2
 """.replace("{NORM}", NORM_SQL)
 
 
+# ---------- per-source shingle novelty ----------
+#
+# How much NEW content does each source contribute? A shingle is
+# "novel" if this document is its first occurrence (smallest doc_id —
+# the deterministic ingestion-order proxy); per source, report the
+# share of shingles that are first occurrences. Redundant mirrors and
+# boilerplate-heavy sources sink toward 0, genuinely fresh sources
+# stay near 1 — the novelty curve that decides whether ingesting more
+# of a source still buys new tokens.
+#
+# Scale: one shuffle of the (shingle → min doc) relation (uniform
+# md5-ish keys), one regroup per doc, one tiny per-source aggregate —
+# the inverted-index discipline, no pair expansion anywhere.
+
+
+def text_shingle_novelty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ex = DF.shingle_relation(d)
+    first = ex.groupBy("shingle").agg(F.min("id").alias("first_doc"))
+    per_doc = (
+        ex.join(first, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(per_doc, d["doc_id"] == per_doc["id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_sh"), F.lit(0)).cast("long").alias(
+                "total_shingles"
+            ),
+            F.coalesce(F.sum("n_novel"), F.lit(0)).cast("long").alias(
+                "novel_shingles"
+            ),
+            F.round(
+                F.when(
+                    F.sum("n_sh") > 0,
+                    F.sum("n_novel").cast("double")
+                    / F.sum("n_sh").cast("double"),
+                ),
+                6,
+            ).alias("novelty_share"),
+        )
+    )
+
+
+TEXT_SHINGLE_NOVELTY_SQL = f"""
+WITH {SHINGLES_CTE},
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY 1),
+pd AS (
+  SELECT e.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM ex e JOIN first f USING (shingle) GROUP BY 1
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(coalesce(sum(pd.n_sh), 0) AS BIGINT) AS total_shingles,
+       CAST(coalesce(sum(pd.n_novel), 0) AS BIGINT) AS novel_shingles,
+       round(CASE WHEN sum(pd.n_sh) > 0
+                  THEN CAST(sum(pd.n_novel) AS DOUBLE) / sum(pd.n_sh)
+             END, 6) AS novelty_share
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
 # ---------- exact-duplicate group-size histogram ----------
 #
 # The shape of the duplication problem in one relation: how many
@@ -3288,6 +3363,10 @@ QUERIES = {
     "dedup_group_size_histogram": (
         dedup_group_size_histogram,
         DEDUP_GROUP_SIZE_HISTOGRAM_SQL,
+    ),
+    "text_shingle_novelty": (
+        text_shingle_novelty,
+        TEXT_SHINGLE_NOVELTY_SQL,
     ),
     "text_tfidf_top_terms": (text_tfidf_top_terms, TEXT_TFIDF_TOP_TERMS_SQL),
     "text_term_cooccurrence_pmi": (
