@@ -1189,3 +1189,50 @@ def test_minhash_incremental_equals_restricted_full_rebuild(spark):
     assert (10, 20) in inc                     # delta-internal copies
     assert (40, 50) in inc                     # delta-only group
     assert (1, 15) not in inc                  # base×base excluded
+
+
+def test_shingle_novelty_crafted_sources(spark, monkeypatch):
+    """Crafted law: a source that only mirrors earlier content scores
+    novelty 0; sources contributing fresh content score 1; a mixed
+    source lands in between; docs with no shingles count toward n_docs
+    but not toward shingle totals."""
+    from investcloud_data_pipeline_spark.plans import training_data as TD
+
+    fresh_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh_b = "one two three four five six seven eight nine ten eleven"
+    rows = [
+        (1, fresh_a, "en", "s_fresh"),
+        (2, fresh_b, "en", "s_fresh"),
+        (3, fresh_a, "en", "s_mirror"),   # pure copy of earlier content
+        (4, fresh_b, "en", "s_mirror"),   # pure copy
+        (5, fresh_a, "en", "s_mixed"),    # copy ...
+        (6, "completely new words never seen before anywhere else", "en",
+         "s_mixed"),                      # ... plus fresh
+        (7, "", "en", "s_empty"),          # no shingles at all
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    monkeypatch.setattr(TD, "load_table", lambda s, d, n: docs)
+    out = {
+        r.source: r for r in TD.text_shingle_novelty(spark, "x").collect()
+    }
+    assert out["s_fresh"].novelty_share == 1.0
+    assert out["s_mirror"].novelty_share == 0.0
+    assert 0.0 < out["s_mixed"].novelty_share < 1.0
+    assert out["s_empty"].n_docs == 1
+    assert out["s_empty"].total_shingles == 0
+    assert out["s_empty"].novelty_share is None
+    # totals: every shingle is novel exactly once across the corpus
+    total_novel = sum(r.novel_shingles for r in out.values())
+    distinct_shingles = (
+        __import__(
+            "investcloud_data_pipeline_spark.operators.dedup_fuzzy",
+            fromlist=["shingle_relation"],
+        )
+        .shingle_relation(docs)
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct_shingles
