@@ -68,6 +68,20 @@ def approx_quantile_bins(
     # 10× volume (6.2× vs 5.3× wall ratio), because ntile's single
     # sort reads the scoring lineage once while the sketch+assign pair
     # read it twice.
+    #
+    # Fault-tolerance tradeoff (applies to every eager localCheckpoint
+    # in this repo — analytics_ext7, dedup_fuzzy, streaming/documents):
+    # localCheckpoint blocks are NON-replicated and NON-recomputable
+    # (lineage is truncated), so on a real cluster the loss of an
+    # executor — including a dynamic-allocation decommission — fails
+    # the query instead of recomputing the lost partitions. Two
+    # consequences for the 100 TB posture: (1) disable executor
+    # decommissioning for jobs on this path, or swap to reliable
+    # `checkpoint()` + an explicit unpersist-on-completion when
+    # running under dynamic allocation; (2) `eager=True` runs a job at
+    # PLAN-BUILD time — constructing the DataFrame triggers execution,
+    # which is deliberate here (both consumers need the blocks) but
+    # surprising if you expected lazy composition.
     df = df.localCheckpoint(eager=True)
     qs = [i / n_bins for i in range(1, n_bins)]
     edges = df.agg(

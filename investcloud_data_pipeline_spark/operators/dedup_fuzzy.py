@@ -92,7 +92,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
-def _exact_groups(df: DataFrame, text_col: str, id_col: str):
+def _exact_groups(df: DataFrame, text_col: str, id_col: str,
+                  cleanup: list | None = None):
     """Collapse exact (normalized-content) duplicates BEFORE shingle
     matching: returns (rep_rows, members) where ``rep_rows`` keeps one
     surviving row (minimum id) per distinct content and ``members`` maps
@@ -105,7 +106,15 @@ def _exact_groups(df: DataFrame, text_col: str, id_col: str):
     replica-duplicated corpus). Identical shingle sets ⇒ identical
     scores, so rep-level pairs expand back to member-level pairs
     exactly (cross pairs inherit the rep score; intra-group pairs score
-    1.0) — equivalence is enforced by the strict DuckDB oracle."""
+    1.0) — equivalence is enforced by the strict DuckDB oracle.
+
+    ``cleanup`` (optional list): both internal lazy persists are
+    appended to it so long-lived callers — the streaming pair-ingest
+    stage runs this once PER MICRO-BATCH — can unpersist them after the
+    batch's actions complete, instead of leaking one cached reps
+    relation per batch into the CacheManager for the stream's lifetime.
+    Batch callers (one invocation per query) may ignore it: their
+    entries are bounded by the number of registry invocations."""
     keyed = df.withColumn("__k", content_digest(text_col))
     # reps and members are tiny (ids + digests) but referenced several
     # times by the expansion joins — LAZY persist so one action
@@ -124,6 +133,8 @@ def _exact_groups(df: DataFrame, text_col: str, id_col: str):
         .filter(F.col(id_col) == F.col("__rep"))
         .drop("__k", "__rep")
     )
+    if cleanup is not None:
+        cleanup.extend([reps, members])
     return rep_rows, members
 
 

@@ -896,7 +896,16 @@ def _pq_codes_arrow(
     dense-linear-algebra-beats-expression-trees call as
     vectorized_topk. The strict-oracle K=16 queries keep the
     expression path: their 9dp-rounded fixed-order folds are the
-    cross-engine exactness contract."""
+    cross-engine exactness contract.
+
+    Equivalence caveat: x² + c² − 2x·c (matmul) and the fixed-order
+    fold of (x − c)² differ in final ulps, and the 9dp pre-argmin
+    rounding can still disagree when two centers tie EXACTLY at the
+    9th decimal — so on adversarial inputs the argmin can flip
+    relative to the expression path. The agreement asserted in
+    tests/test_analytics_ext5.py holds on the committed fixtures, not
+    as a universal guarantee; that is exactly why this kernel is
+    restricted to the rows-only (recall-floor-pinned) paths."""
     import numpy as np
 
     rows = centers.orderBy("crank").collect()

@@ -213,6 +213,10 @@ def text_naive_bayes_langid(
     # checkpoint blocks are released by the ContextCleaner when the
     # plan becomes unreachable — persist() entries would accumulate in
     # the CacheManager for the session lifetime across registry sweeps.
+    # Fault-tolerance tradeoff (blocks are non-replicated and
+    # non-recomputable; eager runs a job at plan-build time): see the
+    # full note in operators/binning.py — applies to every
+    # localCheckpoint in this module.
     toks = toks.localCheckpoint(eager=True)
     # class-conditional counts; class totals and the vocabulary size
     # DERIVE from the aggregated (class, term) relation — ct is

@@ -234,8 +234,12 @@ def start_neardup_pair_ingest(
         if pairs_done and idx_done and mem_done:
             return
         sess = batch_df.sparkSession
+        # collect BOTH internal persists (reps + members) for unpersist
+        # after the batch — without the hook, one cached reps relation
+        # leaks per micro-batch for the stream's lifetime.
+        batch_caches: list = []
         delta_rep, delta_members = _exact_groups(
-            batch_df, "text", "doc_id"
+            batch_df, "text", "doc_id", cleanup=batch_caches
         )
         banded_delta = minhash_band_relation(
             delta_rep, num_hashes=num_hashes, bands=bands
@@ -309,7 +313,8 @@ def start_neardup_pair_ingest(
                 delta_members.write.mode("append").parquet(members_dir)
                 mark_sink_epoch(members_dir, epoch_id)
         finally:
-            delta_members.unpersist()
+            for cached in batch_caches:
+                cached.unpersist()
 
     stream = spark.readStream.schema(DOCS_SCHEMA).option(
         "maxFilesPerTrigger", 1
@@ -378,7 +383,14 @@ def start_embedding_index_ingest(
 
         sess = batch_df.sparkSession
         cfile = os.path.join(centroids_dir, "centroids.parquet")
-        if os.path.isdir(cfile):
+        # Fit-complete is gated on the _SUCCESS marker, not mere
+        # directory existence: a crash mid-write leaves a partial
+        # directory, and reading it would feed every subsequent batch a
+        # corrupt/empty centroid set instead of refitting. The refit
+        # below writes with mode("overwrite"), which replaces any
+        # partial remnant; _SUCCESS is committed last, so the gate is
+        # crash-consistent.
+        if os.path.exists(os.path.join(cfile, "_SUCCESS")):
             rows = sess.read.parquet(cfile).orderBy("cell").collect()
             return np.asarray([r.centroid for r in rows], dtype=np.float64)
         centers = seeded_kmeans_centers(
