@@ -23,6 +23,7 @@ from investcloud_data_pipeline_spark.plans import analytics_ext4 as AX4
 from investcloud_data_pipeline_spark.plans import analytics_ext5 as AX5
 from investcloud_data_pipeline_spark.plans import analytics_ext6 as AX6
 from investcloud_data_pipeline_spark.plans import analytics_ext7 as AX7
+from investcloud_data_pipeline_spark.plans import analytics_ext8 as AX8
 from investcloud_data_pipeline_spark.plans import lakehouse as LH
 from investcloud_data_pipeline_spark.plans import mining as MN
 from investcloud_data_pipeline_spark.plans import pipeline_queries as P
@@ -126,6 +127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Extended analytics wave 7 (growth accounting, naive-Bayes
         # lang-id, dimension-truncation retrieval evaluation)
         **{name: fn for name, (fn, _) in AX7.QUERIES.items()},
+        # Extended analytics wave 8 (scale-safe binned twins of the
+        # exact-cumulative statistics family: KS/Gini/ABC/Pareto)
+        **{name: fn for name, (fn, _) in AX8.QUERIES.items()},
         # Engine-native Python data source (rows-only: generator input,
         # no DuckDB-visible tables)
         "pydatasource_activity_profile": activity_source_profile,
@@ -153,4 +157,5 @@ def oracle_sql() -> dict[str, str]:
         **{name: sql for name, (_, sql) in AX5.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in AX6.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in AX7.QUERIES.items() if sql},
+        **{name: sql for name, (_, sql) in AX8.QUERIES.items() if sql},
     }
