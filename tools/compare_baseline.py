@@ -6,21 +6,75 @@ round start and frozen; "correct but >2x the frozen baseline" is the
 judge's per-query `weak` bar. This tool makes that check one command
 instead of a by-hand diff.
 
-Usage: python tools/compare_baseline.py [--threshold 2.0]
-Exit code 1 if any query regressed past the threshold.
+Noise adjudication (VERDICT r8 task #5): sub-second queries on this
+single host swing up to 5x between same-code runs (the round-8 notes
+measured 0.366/1.917/0.314 on one query), so a lone BENCH_DETAIL
+sample crossing 2.0x on a <1s baseline is usually a lucky-minimum
+baseline meeting an unlucky sample, not a regression. For every
+regression candidate whose BASELINE is <1s, this tool automatically
+RE-TIMES the query min-of-3 in-process (same noop sink as bench.py)
+and reclassifies it as adjudicated noise when the min-of-3 lands back
+under the threshold — emitting the adjudication line the judge would
+otherwise have to produce by hand. `--no-retime` skips the re-timing
+(pure file diff, no Spark session).
+
+Usage: python tools/compare_baseline.py [--threshold 2.0] [--no-retime]
+Exit code 1 if any query regressed past the threshold AFTER
+adjudication.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
+import time
+
+RETIME_RUNS = 3
+RETIME_BASELINE_CUTOFF_S = 1.0
+
+
+def _retime_min(names: list[str], sf_dir: str) -> dict[str, float]:
+    """Min-of-RETIME_RUNS wall for each named registry query, measured
+    exactly like bench.py (noop sink, warm session)."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import __spark_entry__ as entrymod
+    from investcloud_data_pipeline_spark.session import get_spark
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    spark = get_spark("retime")
+    for t in ("lineitem", "events"):
+        load_table(spark, sf_dir, t).limit(1).count()
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        best = float("inf")
+        for _ in range(RETIME_RUNS):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001
+                print(f"retime error in {name}: {exc}", file=sys.stderr)
+                break
+            best = min(best, time.time() - t0)
+        if best < float("inf"):
+            out[name] = round(best, 3)
+    return out
 
 
 def main() -> int:
     threshold = 2.0
     if "--threshold" in sys.argv:
         threshold = float(sys.argv[sys.argv.index("--threshold") + 1])
+    retime = "--no-retime" not in sys.argv
 
     with open("BENCH_DETAIL.json") as fh:
         bench = json.load(fh)["queries"]
@@ -63,6 +117,32 @@ def main() -> int:
         elif ratio < 1 / threshold:
             improvements.append((name, b, now, ratio))
 
+    adjudicated = []
+    if retime and regressions:
+        candidates = [
+            name
+            for name, b, _, _ in regressions
+            if b < RETIME_BASELINE_CUTOFF_S
+        ]
+        if candidates:
+            sf_dir = os.environ.get(
+                "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+            )
+            print(
+                f"re-timing {len(candidates)} sub-second-baseline "
+                f"candidate(s) min-of-{RETIME_RUNS} at {sf_dir} ...",
+                file=sys.stderr,
+            )
+            mins = _retime_min(candidates, sf_dir)
+            survivors = []
+            for name, b, now, ratio in regressions:
+                m = mins.get(name)
+                if m is not None and m / b <= threshold:
+                    adjudicated.append((name, b, now, m))
+                else:
+                    survivors.append((name, b, now, ratio))
+            regressions = survivors
+
     new = sorted(set(bench) - set(base))
     if common_base:
         print(
@@ -80,6 +160,14 @@ def main() -> int:
             print(f"  {name}: {b:.2f}s -> {now:.2f}s ({r:.2f}x)")
     else:
         print(f"no per-query regression past {threshold}x")
+    if adjudicated:
+        print(f"\nNOISE (adjudicated by min-of-{RETIME_RUNS} re-timing):")
+        for name, b, now, m in adjudicated:
+            print(
+                f"  {name}: baseline {b:.3f}s, sampled {now:.3f}s "
+                f"({now / b:.2f}x), min-of-{RETIME_RUNS} {m:.3f}s "
+                f"({m / b:.2f}x) -> single-run variance, not a regression"
+            )
     if improvements:
         print(f"\nimprovements (< {1/threshold:.2f}x):")
         for name, b, now, r in sorted(improvements, key=lambda x: x[3]):
