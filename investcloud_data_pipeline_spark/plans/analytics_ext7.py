@@ -232,7 +232,11 @@ def text_naive_bayes_langid(
         F.count("*").alias("v")
     )
     doc_tot = d.groupBy("lang").agg(F.count("*").alias("n_docs_c"))
-    n_docs = d.groupBy().agg(F.count("*").alias("n_docs"))
+    # D derives from the per-class totals (3 rows) — no second scan of
+    # the documents table for a grand total
+    n_docs = doc_tot.groupBy().agg(
+        F.sum("n_docs_c").alias("n_docs")
+    )
     classes = (
         doc_tot.join(F.broadcast(n_docs))
         .join(class_tot, "lang")
@@ -250,6 +254,14 @@ def text_naive_bayes_langid(
             "v",
         )
     )
+    # Exchange diet (round-9): `classes` (|langs| rows) is referenced
+    # by probs, unseen, and the prior-only pick — without a
+    # materialization each reference RE-INLINES the doc_tot/class_tot/
+    # vocab aggregation pipelines (the round-8 plan audit measured 68
+    # exchanges, all plan bloat from these scalar relations). One eager
+    # localCheckpoint of the 3-row relation collapses them; the job it
+    # runs at build time is the class-model aggregation, once.
+    classes = classes.localCheckpoint(eager=True)
     # smoothed log-probs for SEEN (class, term) pairs; unseen pairs
     # contribute ln(1 / (n_tokens_c + V)), folded in via coalesce after
     # the left join below
@@ -323,6 +335,10 @@ def text_naive_bayes_langid(
     cells = pred.groupBy(
         F.col("lang").alias("labeled_lang"), "predicted_lang"
     ).agg(F.count("*").cast("long").alias("n_docs"))
+    # second diet cut: label_tot derives FROM cells, so without a
+    # materialization the entire score→predict pipeline is inlined
+    # twice (once per side of the final join); cells is ≤|langs|² rows
+    cells = cells.localCheckpoint(eager=True)
     label_tot = cells.groupBy("labeled_lang").agg(
         F.sum("n_docs").alias("label_total")
     )
