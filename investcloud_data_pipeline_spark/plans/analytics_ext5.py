@@ -874,7 +874,14 @@ QUERIES["ann_pq_adc_kmeans_topk"] = (ann_pq_adc_kmeans_topk, None)
 # floor-pinned in tests/test_analytics_ext5.py.
 
 IVFPQ_NLIST = 16
-IVFPQ_NPROBE = 8
+# Operating point (round-9 re-tune, ANN_TRADEOFF_r8 + the r9 probe):
+# nprobe=8's candidate-coverage ceiling is 0.811 recall@10 — no refine
+# depth can pass 0.80 with headroom there. nprobe=10 lifts coverage so
+# refine=100 reaches 0.849 at ~flat wall (the refine join is bounded
+# by |Q|·refine rows; the probe phase grows 1.25×, a small share of
+# the fit-dominated wall). Measured ladder at sf0.1 (100 queries):
+# (8,50) 0.707 → (8,150) 0.803 → (10,100) 0.849 → (10,150) 0.876.
+IVFPQ_NPROBE = 10
 IVFPQ_CODEBOOK = 256
 IVFPQ_SEED = 67
 
@@ -1159,7 +1166,8 @@ def ivf_pq_adc_topk(
     )
 
 
-IVFPQ_REFINE = 50  # exact-refine shortlist depth (10× k)
+IVFPQ_REFINE = 100  # exact-refine shortlist depth (10× k was 50;
+# 100 buys 0.849 vs 0.707 recall@10 at flat wall — see ANN_TRADEOFF)
 
 
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
