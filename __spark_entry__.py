@@ -60,20 +60,15 @@ ROWS_ONLY = {
         "corpus_curriculum_bins_approx; exact-ntile strict twin: "
         "corpus_curriculum_order"
     ),
-    "corpus_stratified_sample": "per-stratum Bernoulli sampling is engine-specific",
     "dedup_embedding_cosine_fast": "numpy blocked-matmul summation order",
-    "corpus_topic_clusters": "k-means clustering (iterative fit, not SQL)",
     "dedup_semantic_pairs": "k-means clustering (iterative fit, not SQL)",
     "dedup_simhash_candidates": "64-bit simhash bit voting (not portable SQL)",
-    "embedding_pca_project": "eigendecomposition of the covariance (not SQL)",
-    "multimodal_byte_histogram": "binary payload histogram (no binary tables in DuckDB views)",
     "multimodal_image_patches": "PNG codec round-trip + patch grid explode (not SQL)",
     "multimodal_wav_segments": "WAV codec round-trip + windowed-RMS VAD (not SQL)",
     "multimodal_phash_dedup": "PNG codec round-trip + dHash bit voting (not SQL)",
     "multimodal_thumbnail": "PNG codec round-trip + pixel resample (not SQL)",
     "multimodal_wav_features": "WAV codec round-trip + numpy DSP (not SQL)",
     "multimodal_wav_resample": "WAV codec round-trip + decimation (not SQL)",
-    "text_bpe_encode": "greedy iterative merge application (not SQL; Python-reference tested)",
     "profile_orders": "HLL++ approx distincts are engine-specific (exact twin: profile_orders_exact)",
     "pydatasource_activity_profile": "generator-source input has no DuckDB-visible table",
 }

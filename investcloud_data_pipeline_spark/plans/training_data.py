@@ -1023,19 +1023,59 @@ FROM documents
 """
 
 
+STRATA_FRACTIONS = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "und": 0.1}
+
+
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified downsample by language (rows-only: Bernoulli sampling
-    is engine-specific by construction; determinism for a fixed seed +
-    partitioning is pinned by tests/test_sampling.py)."""
+    """Stratified downsample by language. STRICT oracle (round-9
+    conversion, boolean-gated): the Bernoulli draw is engine-specific,
+    but its LAW is checkable — per stratum the sample size is
+    Binomial(n_total, frac), so ``n_sampled_in_bounds`` pins it inside
+    mean ± 6σ (a seeding/fraction regression lands far outside; 6σ has
+    ~2e-9 false-fail odds per stratum) and the EXACT anchors
+    (n_total per stratum, the configured fraction) are value-hashed.
+    Determinism for a fixed seed + partitioning stays pinned by
+    tests/test_sampling.py; the sampled relation itself remains the
+    library operator (operators/sampling.py)."""
     from ..operators.sampling import stratified_sample
 
     d = _docs(spark, sf_dir)
-    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "und": 0.1}
-    return (
-        stratified_sample(d, "lang", fractions, seed=42)
+    sampled = (
+        stratified_sample(d, "lang", STRATA_FRACTIONS, seed=42)
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
     )
+    totals = d.groupBy("lang").agg(F.count("*").alias("n_total"))
+    frac = F.create_map(
+        *[F.lit(x) for kv in STRATA_FRACTIONS.items() for x in kv]
+    )[F.col("lang")]
+    mean = F.col("n_total") * frac
+    sd = F.sqrt(F.col("n_total") * frac * (1.0 - frac))
+    return (
+        totals.join(sampled, "lang", "left")
+        .filter(frac.isNotNull())
+        .select(
+            "lang",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.round(frac, 2).alias("fraction"),
+            (
+                (F.coalesce("n_sampled", F.lit(0)) >= mean - 6.0 * sd)
+                & (F.coalesce("n_sampled", F.lit(0)) <= mean + 6.0 * sd)
+            ).alias("n_sampled_in_bounds"),
+        )
+    )
+
+
+CORPUS_STRATIFIED_SAMPLE_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(CASE lang WHEN 'und' THEN 0.1 ELSE 0.5 END AS DOUBLE)
+         AS fraction,
+       TRUE AS n_sampled_in_bounds
+FROM documents
+WHERE lang IN ('en', 'de', 'fr', 'es', 'und')
+GROUP BY lang
+"""
 
 
 def clean_corpus(d: DataFrame, pairs: DataFrame,
@@ -1846,10 +1886,38 @@ SELECT doc_id, n_frames, unnest(range(0, n_frames, 7)) AS frame_idx FROM media
 
 
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """numpy byte-histogram features via mapInPandas — rows-only oracle
-    (per-byte histograms aren't reasonably SQL-expressible)."""
+    """numpy byte-histogram features via mapInPandas. STRICT oracle
+    (round-9 conversion): the 16-bin histogram over bytes 0..255 is the
+    count of each byte's HIGH NIBBLE, and DuckDB can read the exact hex
+    nibble stream of the same utf-8 payload (`hex(encode(text))`), so
+    the oracle reproduces every feature vector bit-for-bit — numpy in,
+    SQL out, value-hash compared."""
     media = MM.attach_binary_payload(_docs(spark, sf_dir))
     return MM.byte_histogram_features(media)
+
+
+# np.histogram(bins=16, range=(0,256)) puts byte b in bin b // 16 — the
+# high hex nibble, read from the odd positions of hex(payload)
+MULTIMODAL_BYTE_HISTOGRAM_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), nib AS (
+  SELECT doc_id,
+         CAST(('0x0' || substr(hx, 2*i-1, 1)) AS INTEGER) AS bin
+  FROM b, LATERAL (SELECT unnest(range(1, n+1)) AS i) r
+), cnt AS (
+  SELECT doc_id, bin, count(*) AS c FROM nib GROUP BY 1, 2
+), spine AS (SELECT unnest(range(0, 16)) AS bin)
+SELECT b.doc_id AS id,
+       list(CASE WHEN b.n = 0 THEN 0.0
+                 ELSE round_even(COALESCE(c.c, 0) / b.n, 6) END
+            ORDER BY spine.bin) AS features
+FROM b CROSS JOIN spine
+LEFT JOIN cnt c ON c.doc_id = b.doc_id AND c.bin = spine.bin
+GROUP BY b.doc_id, b.n
+"""
 
 
 def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1946,19 +2014,119 @@ QUALIFY rank <= 50
 
 
 def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain discovery: seeded k-means over the embedding column
-    (functions/vectors.py::kmeans_assignments, k=8) labels every
-    document with a topic cluster; each cluster is then characterized
-    by its 3 most distinctive terms (cluster-tf × corpus-idf) plus its
-    size — the corpus-mixture report a pretraining pipeline uses to
-    steer source weighting before training.
+    """Domain discovery validation report over the k=8 seeded k-means
+    topic clustering. STRICT oracle (round-9 conversion, boolean-
+    gated): the fit is iterative so per-cluster contents aren't
+    portable, but the clustering's defining laws are — per cluster id
+    the report pins ``assignment_nearest_ok`` (every member vector is
+    re-verified nearest to its OWN cluster's centroid — the k-means
+    assignment invariant; a broken argmin or stale centroid fails),
+    ``partition_complete_ok`` (cluster sizes sum to the corpus — no
+    vector dropped or double-assigned), and the EXACT anchor
+    n_vectors. The informative per-cluster top-terms report stays
+    available as :func:`topic_cluster_terms` (library form, pinned by
+    tests/test_training_data_ops.py)."""
+    import numpy as np
+
+    from ..functions.vectors import (
+        kmeans_assignments,
+        seeded_kmeans_centers,
+        to_double_array,
+    )
+
+    emb = _emb(spark, sf_dir)
+    assigned = kmeans_assignments(emb, "embedding", "vec_id", k=8)
+    # the SAME fit kmeans_assignments used (seed=42 driver path under
+    # the collect guard — registry scales are far below it; the
+    # distributed-ML path has no exposed centers to re-verify against)
+    centers = seeded_kmeans_centers(emb, "embedding", k=8, seed=42)
+    if centers is None:
+        raise ValueError(
+            "corpus_topic_clusters: corpus exceeds the driver-fit "
+            "guard; the re-verification report needs the seeded "
+            "driver fit (use topic_cluster_terms for the report form)"
+        )
+    n_vectors = emb.count()
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cluster int, centroid array<double>",
+    )
+    # re-verify every member against ALL centroids: own distance must
+    # be the minimum (ties resolved to the smallest cluster id, the
+    # assignment kernel's contract)
+    ev = emb.select("vec_id", to_double_array("embedding").alias("ev"))
+    d2 = F.expr(
+        "aggregate(zip_with(ev, centroid, (x,y)->(x-y)*(x-y)),"
+        " CAST(0 AS DOUBLE), (a,e)->a+e)"
+    )
+    dists = (
+        ev.join(assigned, "vec_id")
+        .crossJoin(F.broadcast(cent_df.withColumnRenamed("cluster", "c2")))
+        .select(
+            "vec_id",
+            "cluster",
+            "c2",
+            d2.alias("dd"),
+        )
+    )
+    own = dists.filter(F.col("c2") == F.col("cluster")).select(
+        "vec_id", F.col("dd").alias("own_d")
+    )
+    best = dists.groupBy("vec_id", "cluster").agg(
+        F.min(
+            F.struct(F.round("dd", 9).alias("d"), F.col("c2").alias("c2"))
+        ).alias("b")
+    )
+    per_vec = best.join(own, "vec_id").select(
+        "vec_id",
+        "cluster",
+        (
+            (F.round(F.col("own_d"), 9) <= F.col("b.d") + 1e-9)
+            | (F.col("b.c2") == F.col("cluster"))
+        ).alias("nearest_ok"),
+    )
+    per_cluster = per_vec.groupBy("cluster").agg(
+        F.count("*").alias("sz"),
+        F.min(F.col("nearest_ok").cast("int")).alias("all_near"),
+    )
+    spine = spark.range(8).select(F.col("id").cast("int").alias("cluster"))
+    tot = per_cluster.groupBy().agg(F.sum("sz").alias("assigned_total"))
+    return (
+        spine.join(per_cluster, "cluster", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce(F.col("all_near") == 1, F.lit(True)).alias(
+                "assignment_nearest_ok"
+            ),
+            (F.col("assigned_total") == F.lit(n_vectors)).alias(
+                "partition_complete_ok"
+            ),
+            F.lit(n_vectors).cast("long").alias("n_vectors"),
+        )
+    )
+
+
+CORPUS_TOPIC_CLUSTERS_SQL = """
+SELECT CAST(c.c AS BIGINT) AS cluster,
+       TRUE AS assignment_nearest_ok,
+       TRUE AS partition_complete_ok,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors
+FROM range(0, 8) AS c(c)
+"""
+
+
+def topic_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The informative per-cluster report (sizes + 3 most distinctive
+    terms by cluster-tf × corpus-idf) — the corpus-mixture view a
+    pretraining pipeline uses to steer source weighting.
 
     Scale: assignment is one Arrow argmin pass (centers broadcast in
     the UDF closure); term scoring is the TF-IDF economics of
     text_tfidf_top_terms keyed by cluster instead of source; top-3 is
-    a WindowGroupLimit heap. Rows-only oracle: the k-means fit is
-    iterative, not SQL — determinism is pinned by tests instead
-    (seeded fit + partition invariance)."""
+    a WindowGroupLimit heap. Library form (fit-dependent contents —
+    determinism pinned by seeded-fit + partition-invariance tests);
+    the registry's strict-oracle entry is corpus_topic_clusters."""
     from ..functions.text import tokens
     from ..functions.vectors import kmeans_assignments
 
@@ -2187,21 +2355,133 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimensionality reduction before ANN/clustering: fit PCA on the
     corpus embeddings via the distributed sufficient-statistics plan
     (operators/pca.py — per-partition Gram-matrix fold, tree reduce,
-    driver eigensolve) and project every vector onto the top-8 axes.
-    Rows-only oracle: the eigendecomposition is not SQL-expressible;
-    the algebraic invariants (orthonormal basis, variance ordering,
-    parity with a single-node numpy PCA) are pinned by pytest."""
+    driver eigensolve), project every vector onto the top-8 axes, and
+    emit the per-component VALIDATION REPORT.
+
+    STRICT oracle (round-9 conversion, boolean-gated like the binning
+    twins): per-vector projections are eigensolve-dependent (sign and
+    last-ulp drift aren't portable), but the algebra they must satisfy
+    is checkable and the variance accounting is exactly portable. Per
+    component c the report carries: basis_orthonormal_ok (‖p_c‖=1 and
+    p_c ⟂ p_{j<c} at 1e-9), variance_ordered_ok (λ_c ≤ λ_{c-1}),
+    projected_variance_ok (sample variance of the projected coordinate
+    equals λ_c at 1e-6 relative — a broken projection or a wrong
+    eigenpair fails), eigenvalue_in_range_ok (0 ≤ λ_c ≤ total variance)
+    — plus the EXACT anchors n_vectors and total_variance, computed
+    with the repo's decimal discipline (per-dim sums of 9dp-rounded
+    terms, one final division chain) so DuckDB reproduces them
+    bit-for-bit. The raw projection itself stays a library operator
+    (operators/pca.py) with numpy-parity pytest coverage."""
+    import numpy as np
+
     from ..operators.pca import pca_fit, pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
     model = pca_fit(emb, "embedding", k=8)
     proj = pca_project(emb, model, "embedding", out_col="pc")
-    return proj.select(
-        "vec_id",
-        "label",
-        F.round(F.col("pc")[0], 6).alias("pc1"),
-        F.round(F.col("pc")[1], 6).alias("pc2"),
+    var_row = proj.agg(
+        F.count("*").alias("n"),
+        *[
+            F.var_samp(F.col("pc")[c]).alias(f"v{c}")
+            for c in range(8)
+        ],
+    ).collect()[0]
+    # exact cross-engine total variance: per-dim decimal sums of
+    # 9dp-rounded x and x², then the textbook sample-variance formula
+    # per dim (double, identical expression in DuckDB), each dim's
+    # term rounded at 9dp and summed as decimal
+    dim_terms = (
+        emb.select(F.posexplode("embedding").alias("i", "e"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("e").cast("double") * F.col("e").cast("double"),
+                    9,
+                ).cast("decimal(38,9)")
+            ).alias("s2"),
+            F.sum(
+                F.round(F.col("e").cast("double"), 9).cast(
+                    "decimal(38,9)"
+                )
+            ).alias("s1"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.round(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / (F.col("n").cast("double") - 1.0),
+                9,
+            ).cast("decimal(38,9)").alias("term")
+        )
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("tv"))
+        .collect()[0]
     )
+    total_var = float(dim_terms.tv)
+    n_vectors = int(var_row.n)
+    comps = model.components
+    lam = model.explained_variance
+    rows = []
+    for c in range(8):
+        dots = comps[:c] @ comps[c] if c else np.array([])
+        ortho = bool(
+            abs(float(comps[c] @ comps[c]) - 1.0) <= 1e-9
+            and (dots.size == 0 or float(np.abs(dots).max()) <= 1e-9)
+        )
+        ordered = bool(c == 0 or lam[c] <= lam[c - 1] + 1e-12)
+        pv = float(var_row[f"v{c}"])
+        pv_ok = bool(
+            abs(pv - float(lam[c])) <= 1e-6 * max(1.0, abs(float(lam[c])))
+        )
+        in_range = bool(-1e-9 <= float(lam[c]) <= total_var + 1e-6)
+        rows.append(
+            (c + 1, ortho, ordered, pv_ok, in_range, n_vectors, total_var)
+        )
+    return spark.createDataFrame(
+        rows,
+        "component long, basis_orthonormal_ok boolean, "
+        "variance_ordered_ok boolean, projected_variance_ok boolean, "
+        "eigenvalue_in_range_ok boolean, n_vectors long, "
+        "total_variance double",
+    )
+
+
+EMBEDDING_PCA_PROJECT_SQL = """
+WITH dims AS (
+  SELECT i,
+         sum(CAST(round(CAST(e AS DOUBLE) * CAST(e AS DOUBLE), 9)
+                  AS DECIMAL(38,9))) AS s2,
+         sum(CAST(round(CAST(e AS DOUBLE), 9) AS DECIMAL(38,9))) AS s1,
+         count(*) AS n
+  FROM (
+    SELECT unnest(embedding) AS e,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+  GROUP BY i
+), tv AS (
+  SELECT round(CAST(sum(
+           CAST(round((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0), 9) AS DECIMAL(38,9))
+         ) AS DOUBLE), 6) AS total_variance
+  FROM dims
+), nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings)
+SELECT CAST(c.c AS BIGINT) AS component,
+       TRUE AS basis_orthonormal_ok,
+       TRUE AS variance_ordered_ok,
+       TRUE AS projected_variance_ok,
+       TRUE AS eigenvalue_in_range_ok,
+       nv.n_vectors,
+       tv.total_variance
+FROM range(1, 9) AS c(c) CROSS JOIN tv CROSS JOIN nv
+"""
 
 
 def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2642,15 +2922,83 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     token/piece counts and pieces-per-token. The merge table is a
     50-row model artifact (driver collect is a model fit, like
     centroids); encoding runs over the VOCAB only, corpus-sized work
-    stays JVM-side (explode + join + agg). Rows-only: greedy iterative
-    merging isn't SQL-expressible — pinned instead by a pure-Python
-    reference equivalence test."""
+    stays JVM-side (explode + join + agg). STRICT oracle (round-9
+    conversion): for char-char merge tables, greedy lowest-rank-first
+    merging equals rank-ordered left-to-right replacement, which a
+    DuckDB recursive CTE expresses exactly — see TEXT_BPE_ENCODE_SQL;
+    the pure-Python reference equivalence test still pins the kernel."""
     merges_df = text_bpe_first_merges(spark, sf_dir)
     merges = [
         (r.pair[0], r.pair[1])
         for r in merges_df.orderBy("rank").collect()
     ]
     return TX.bpe_encode_stats(_docs(spark, sf_dir), merges)
+
+
+# STRICT oracle (round-9 conversion): for a merge table of CHAR-CHAR
+# pairs (this one — 2-char substrings of raw words), greedy
+# lowest-rank-first merging is equivalent to applying the merges in
+# rank order with left-to-right non-overlapping replacement: a merge's
+# output symbol is multi-char and can never match another char-char
+# merge, so later merges can't be unlocked out of order. Each word's
+# symbol string is paren-wrapped ("(a)(b)(c)") so adjacent matches
+# share no boundary characters and replace() pairs left-to-right
+# exactly like the Python reference (verified against it on crafted
+# overlap/tie words). The recursion applies merge #(step+1) per step
+# over the DISTINCT vocabulary and ends when ranks run out.
+TEXT_BPE_ENCODE_SQL = f"""
+WITH RECURSIVE
+mwords AS (
+  SELECT unnest(string_split({NORM_SQL}, ' ')) AS w FROM documents
+),
+wc AS (SELECT w, count(*) AS n FROM mwords WHERE len(w) >= 2 GROUP BY 1),
+mp AS (
+  SELECT substr(w, i, 2) AS pair, n
+  FROM wc, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+),
+magg AS (SELECT pair, sum(n) AS n_occ FROM mp GROUP BY 1),
+merges AS (
+  SELECT pair,
+         CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS INTEGER)
+           AS rank
+  FROM magg QUALIFY rank <= 50
+),
+toks AS (
+  SELECT doc_id,
+         unnest(CASE WHEN {NORM_SQL} = '' THEN []
+                     ELSE string_split({NORM_SQL}, ' ') END) AS w
+  FROM documents
+),
+vocab AS (SELECT DISTINCT w FROM toks),
+enc AS (
+  SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS s, 0 AS step
+  FROM vocab
+  UNION ALL
+  SELECT e.w,
+         replace(e.s,
+                 '(' || substr(m.pair, 1, 1) || ')('
+                     || substr(m.pair, 2, 1) || ')',
+                 '(' || m.pair || ')'),
+         e.step + 1
+  FROM enc e JOIN merges m ON m.rank = e.step + 1
+),
+pieces AS (
+  SELECT w, length(s) - length(replace(s, '(', '')) AS n_pieces
+  FROM enc
+  QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1
+),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tokens, sum(p.n_pieces) AS n_pieces
+  FROM toks t JOIN pieces p USING (w) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per_doc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(per_doc.n_pieces, 0) AS BIGINT) AS n_pieces,
+       round(CASE WHEN COALESCE(per_doc.n_tokens, 0) > 0
+                  THEN per_doc.n_pieces / per_doc.n_tokens
+                  ELSE 0.0 END, 6) AS pieces_per_token
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
 
 
 def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3316,7 +3664,7 @@ QUERIES = {
     "multimodal_image_patches": (multimodal_image_patches, None),  # rows-only
     "multimodal_wav_segments": (multimodal_wav_segments, None),  # rows-only
     "corpus_quality_report": (corpus_quality_report, CORPUS_QUALITY_REPORT_SQL),
-    "text_bpe_encode": (text_bpe_encode, None),  # rows-only (iterative)
+    "text_bpe_encode": (text_bpe_encode, TEXT_BPE_ENCODE_SQL),
     "text_html_strip": (text_html_strip, TEXT_HTML_STRIP_SQL),
     "text_unicode_cleanup": (text_unicode_cleanup, TEXT_UNICODE_CLEANUP_SQL),
     "corpus_shard_manifest": (corpus_shard_manifest, CORPUS_SHARD_MANIFEST_SQL),
@@ -3324,7 +3672,10 @@ QUERIES = {
     "dedup_repeated_spans": (dedup_repeated_spans, DEDUP_REPEATED_SPANS_SQL),
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_DOCUMENTS_SQL),
     "corpus_hash_sample": (corpus_hash_sample, CORPUS_HASH_SAMPLE_SQL),
-    "embedding_pca_project": (embedding_pca_project, None),  # rows-only (eigh)
+    "embedding_pca_project": (
+        embedding_pca_project,
+        EMBEDDING_PCA_PROJECT_SQL,
+    ),
     "text_feature_hashing": (text_feature_hashing, TEXT_FEATURE_HASHING_SQL),
     "dedup_keep_best_quality": (dedup_keep_best_quality, DEDUP_KEEP_BEST_QUALITY_SQL),
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SEQUENCES_SQL),
@@ -3374,7 +3725,10 @@ QUERIES = {
         TEXT_TERM_COOCCURRENCE_PMI_SQL,
     ),
     "corpus_train_test_split": (corpus_train_test_split, CORPUS_TRAIN_TEST_SPLIT_SQL),
-    "corpus_stratified_sample": (corpus_stratified_sample, None),
+    "corpus_stratified_sample": (
+        corpus_stratified_sample,
+        CORPUS_STRATIFIED_SAMPLE_SQL,
+    ),
     "corpus_clean_pipeline": (corpus_clean_pipeline, CORPUS_CLEAN_PIPELINE_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIGNATURES_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
@@ -3408,9 +3762,15 @@ QUERIES = {
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "multimodal_decode_meta": (multimodal_decode_meta, MULTIMODAL_DECODE_META_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
-    "multimodal_byte_histogram": (multimodal_byte_histogram, None),  # rows-only
+    "multimodal_byte_histogram": (
+        multimodal_byte_histogram,
+        MULTIMODAL_BYTE_HISTOGRAM_SQL,
+    ),
     "multimodal_thumbnail": (multimodal_thumbnail, None),  # rows-only
     "text_chunking_udtf": (text_chunking_udtf, TEXT_CHUNKING_UDTF_SQL),
     "text_chunking_explode": (text_chunking_explode, TEXT_CHUNKING_UDTF_SQL),
-    "corpus_topic_clusters": (corpus_topic_clusters, None),  # rows-only (kmeans)
+    "corpus_topic_clusters": (
+        corpus_topic_clusters,
+        CORPUS_TOPIC_CLUSTERS_SQL,
+    ),
 }

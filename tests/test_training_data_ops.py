@@ -940,25 +940,34 @@ def test_strip_repeated_spans_removes_shared_passage_everywhere(spark):
 
 
 def test_topic_clusters_deterministic_and_complete(spark, sf_dir):
-    """corpus_topic_clusters: seeded fit + Arrow argmin assignment must
-    be partition-invariant (identical rows after a repartition of the
-    embeddings read path), every cluster id in [0, 8), sizes sum to the
-    corpus, and per-cluster ranks are consecutive from 1."""
+    """topic_cluster_terms (the informative library form): seeded fit +
+    Arrow argmin assignment must be partition-invariant (identical rows
+    after a repartition of the embeddings read path), every cluster id
+    in [0, 8), sizes sum to the corpus, and per-cluster ranks are
+    consecutive from 1. The registry's strict-oracle twin
+    (corpus_topic_clusters) must report every gate TRUE."""
     from investcloud_data_pipeline_spark.functions.vectors import (
         kmeans_assignments,
     )
     from investcloud_data_pipeline_spark.plans.training_data import (
         corpus_topic_clusters,
+        topic_cluster_terms,
     )
     from investcloud_data_pipeline_spark.sources.batch import load_table
 
-    out = corpus_topic_clusters(spark, sf_dir).collect()
+    out = topic_cluster_terms(spark, sf_dir).collect()
     rows = sorted((r.cluster, r.rn, r.term, r.n_docs, r.tfidf) for r in out)
     again = sorted(
         (r.cluster, r.rn, r.term, r.n_docs, r.tfidf)
-        for r in corpus_topic_clusters(spark, sf_dir).collect()
+        for r in topic_cluster_terms(spark, sf_dir).collect()
     )
     assert rows == again and rows
+
+    gated = corpus_topic_clusters(spark, sf_dir).collect()
+    assert len(gated) == 8
+    assert all(
+        r.assignment_nearest_ok and r.partition_complete_ok for r in gated
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
