@@ -549,7 +549,116 @@ WHERE COALESCE(f.max_before < b.p_size, TRUE)
 """
 
 
+# ---------- watermark-closed window rollups (streaming-stage twins) ----------
+#
+# The BATCH contracts of the two streaming window stages
+# (streaming/windows.py): tumbling / sliding windowed aggregation over
+# the events table, RESTRICTED to windows closed by the final
+# watermark (max event time − 30 min) — exactly the set append mode
+# emits. tests/test_streaming_window_stages.py drives each stage on
+# the same input and asserts row-set equality with these queries, so
+# the strict DuckDB oracle transitively checks the streaming emission
+# — the round-9 "streaming aggregation queries registered as
+# batch-equivalence-tested stages" class. The micros value sum keeps
+# the aggregate integral (exact cross-engine).
+
+WM_DELAY_MIN = 30
+
+
+def tumbling_watermark_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    mx = e.groupBy().agg(F.max("ts").alias("mx"))
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000).cast("long")
+            ).alias("total_micros"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("window.end")
+            <= F.col("mx") - F.expr(f"INTERVAL {WM_DELAY_MIN} MINUTES")
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_micros",
+        )
+    )
+
+
+TUMBLING_WATERMARK_ROLLUP_SQL = f"""
+WITH m AS (SELECT max(ts) AS mx FROM events)
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_micros
+FROM events CROSS JOIN m
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= mx - INTERVAL {WM_DELAY_MIN} MINUTE
+GROUP BY 1, 2
+"""
+
+
+def sliding_watermark_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    mx = e.groupBy().agg(F.max("ts").alias("mx"))
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000).cast("long")
+            ).alias("total_micros"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("window.end")
+            <= F.col("mx") - F.expr(f"INTERVAL {WM_DELAY_MIN} MINUTES")
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_micros",
+        )
+    )
+
+
+SLIDING_WATERMARK_ROLLUP_SQL = f"""
+WITH m AS (SELECT max(ts) AS mx FROM events),
+g AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS g0, event_type, value
+  FROM events
+), expanded AS (
+  SELECT g0 - k.k * INTERVAL 15 MINUTE AS win_start, event_type, value
+  FROM g CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT win_start, event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_micros
+FROM expanded CROSS JOIN m
+WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL {WM_DELAY_MIN} MINUTE
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "tumbling_watermark_rollup": (
+        tumbling_watermark_rollup,
+        TUMBLING_WATERMARK_ROLLUP_SQL,
+    ),
+    "sliding_watermark_rollup": (
+        sliding_watermark_rollup,
+        SLIDING_WATERMARK_ROLLUP_SQL,
+    ),
     "customer_balance_ks_binned": (
         customer_balance_ks_binned,
         CUSTOMER_BALANCE_KS_BINNED_SQL,

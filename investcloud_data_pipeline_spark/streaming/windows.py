@@ -1,0 +1,116 @@
+"""Watermarked time-window aggregation stages: tumbling and sliding
+event rollups as production Structured Streaming stages (append mode,
+parquet sink, availableNow-capable).
+
+These are the canonical streaming-aggregation shapes (SURVEY §2 T1/T4
+exercised them inside tests; round-9 registers them as first-class
+stages): ``groupBy(window(ts, ...), event_type)`` with an event-time
+watermark — append mode emits each window exactly once, when the
+watermark passes its end. The BATCH contract of each stage is a
+registry query (plans/analytics_ext8.py::tumbling_watermark_rollup /
+sliding_watermark_rollup): batch windows restricted to those CLOSED by
+the final watermark (max event time − delay) — the e2e test asserts
+the streamed parquet equals the registry query on the same input, so
+the strict DuckDB oracle of the batch twin transitively checks the
+streaming emission.
+
+Scale notes: windowed aggregation state is per (window, event_type) —
+bounded by the watermark horizon; the RocksDB state store is the
+100 TB backend. The micros-encoded value sum keeps the aggregate an
+integer (exact, portable) — the repo's standard float discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _rollup(stream, window_args: tuple, watermark: str):
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", *window_args), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000).cast("long")
+            ).alias("total_micros"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_micros",
+        )
+    )
+
+
+def _start(df, out_dir: str, checkpoint_dir: str, name: str,
+           available_now: bool) -> StreamingQuery:
+    writer = (
+        df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_tumbling_rollup(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Tumbling-window rollup stage: one emission per closed
+    (window, event_type) cell."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    return _start(
+        _rollup(stream, (window,), watermark),
+        out_dir,
+        checkpoint_dir,
+        "tumbling_rollup",
+        available_now,
+    )
+
+
+def start_sliding_rollup(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Sliding-window rollup stage: each event lands in
+    window/slide overlapping windows; append emits each closed window
+    once."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    return _start(
+        _rollup(stream, (window, slide), watermark),
+        out_dir,
+        checkpoint_dir,
+        "sliding_rollup",
+        available_now,
+    )

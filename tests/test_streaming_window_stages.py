@@ -1,0 +1,91 @@
+"""Batch-equivalence for the registered streaming window stages: the
+streamed parquet of each stage must equal its registry twin
+(analytics_ext8.tumbling_watermark_rollup / sliding_watermark_rollup)
+evaluated on the SAME input — the twin's strict DuckDB oracle then
+transitively checks the streaming emission. Also pins replay
+idempotence (a second availableNow drain over the same checkpoint
+appends nothing)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from investcloud_data_pipeline_spark.plans.analytics_ext8 import (
+    sliding_watermark_rollup,
+    tumbling_watermark_rollup,
+)
+from investcloud_data_pipeline_spark.streaming.windows import (
+    start_sliding_rollup,
+    start_tumbling_rollup,
+)
+
+
+def _write_events(tmp_path, n=400):
+    rows = [
+        (
+            i,
+            # monotone across the two files: file 2's events are all
+            # later than file 1's, so nothing arrives behind the
+            # watermark and append-mode emission is loss-free
+            pd.Timestamp("2024-03-01") + pd.Timedelta(minutes=11 * i),
+            i % 37,
+            ["click", "view", "purchase"][i % 3],
+            float(i % 89) + 0.25,
+        )
+        for i in range(n)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).astype({"ts": "datetime64[us]"})
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two files → two availableNow micro-batches (default admission)
+    pdf.iloc[: n // 2].to_parquet(f"{src}/p1.parquet", index=False)
+    pdf.iloc[n // 2 :].to_parquet(f"{src}/p2.parquet", index=False)
+    # the registry twins read {sf_dir}/events.parquet via load_table:
+    # point sf_dir at a directory holding the same rows
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    pdf.assign(props="{}").to_parquet(
+        f"{sf_dir}/events.parquet", index=False
+    )
+    return src, sf_dir
+
+
+def _rowset(df, has_end=False):
+    cols = ["win_start", "event_type", "n", "total_micros"]
+    return {
+        (r.win_start, r.event_type, r.n, r.total_micros)
+        for r in df.select(*cols).collect()
+    }
+
+
+def test_tumbling_stage_matches_registry_twin(spark, tmp_path):
+    src, sf = _write_events(tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_tumbling_rollup(spark, src, out, ck)
+    q.awaitTermination(120)
+    streamed = _rowset(spark.read.parquet(out))
+    want = _rowset(tumbling_watermark_rollup(spark, sf))
+    assert streamed == want and want
+    # replay idempotence
+    q2 = start_tumbling_rollup(spark, src, out, ck)
+    q2.awaitTermination(120)
+    assert _rowset(spark.read.parquet(out)) == want
+
+
+def test_sliding_stage_matches_registry_twin(spark, tmp_path):
+    src, sf = _write_events(tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_sliding_rollup(spark, src, out, ck)
+    q.awaitTermination(120)
+    streamed = _rowset(spark.read.parquet(out))
+    want = _rowset(sliding_watermark_rollup(spark, sf))
+    assert streamed == want and want
+    # every tumbling cell appears in 4 sliding windows' worth of rows:
+    # the sliding set must be strictly larger on this input
+    assert len(want) > len(
+        _rowset(tumbling_watermark_rollup(spark, sf))
+    )
