@@ -134,8 +134,10 @@ FROM shares
 # PRICES — a relation bounded by the price domain, not the part count.
 # 100 TB posture: one shuffle for the per-price max, one single-
 # partition window over |distinct prices| rows (dimension-bounded; for
-# an unbounded price domain, band prices first and the same plan
-# holds), one broadcast-sized join back.
+# an unbounded price domain, the round-9 twin
+# analytics_ext8.part_pareto_frontier_banded bands prices into 256
+# fixed bins — superset semantics, no window), one broadcast-sized
+# join back.
 
 def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")

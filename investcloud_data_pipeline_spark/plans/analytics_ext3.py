@@ -388,6 +388,9 @@ SELECT node, cost, hops FROM {prev}
 # input is the ALREADY-AGGREGATED per-customer relation — at 100 TB
 # that's |customers| rows, not |orders|, and a per-nation sort of
 # aggregated rows is the irreducible cost of an exact rank statistic).
+# When even that per-nation sort is too large, the round-9 twin
+# analytics_ext8.customer_revenue_gini_binned brackets the exact Gini
+# from 256 per-nation revenue bins with no sort at all.
 
 
 def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:

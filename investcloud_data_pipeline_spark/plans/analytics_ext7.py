@@ -1010,9 +1010,9 @@ QUERIES["nation_seasonal_naive_backtest"] = (
 # Scale posture: the cumulative window runs over the DISTINCT-value
 # relation ordered globally (narrow: value + two counts ≈ 24 B/row) —
 # the same documented exact-total-order posture as the curriculum/RFM
-# family; at extreme scale swap the exact CDF grid for
-# approx_quantile_bins edges (operators/binning.py) and evaluate D on
-# the quantile grid.
+# family. The 100 TB form is the round-9 twin
+# analytics_ext8.customer_balance_ks_binned: 256 integer bins, no
+# single-partition window, strict-oracle d_lo ≤ D ≤ d_up brackets.
 
 KS_SEG_A = "BUILDING"
 KS_SEG_B = "MACHINERY"

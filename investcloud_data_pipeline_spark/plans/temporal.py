@@ -876,6 +876,10 @@ FROM deltas
 # |parts|-row aggregate (not the fact stream) in a deterministic
 # (revenue desc, partkey) order, and the share is ONE division per row
 # of two exact decimals — no float accumulation anywhere.
+# |parts| is unbounded, so the cumulative window is a single-partition
+# funnel at extreme scale — the 100 TB form is the round-9 twin
+# analytics_ext8.part_revenue_abc_binned (256 revenue bins, bracketed
+# classes, no single-partition window).
 
 def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
