@@ -252,6 +252,11 @@ def customer_revenue_gini_binned(
         .groupBy("n_name", "bin")
         .agg(F.count("*").alias("cnt"), F.sum("cents").alias("scents"))
     )
+    # per_bin (≤25×256 rows) feeds tot and both sides of the
+    # triangular join — materialize once instead of re-inlining the
+    # orders aggregation pipeline per reference (the NB-langid diet
+    # pattern; 31→~10 exchanges)
+    per_bin = per_bin.localCheckpoint(eager=True)
     tot = per_bin.groupBy("n_name").agg(
         F.sum("cnt").alias("n_cust"), F.sum("scents").alias("tot_cents")
     )
@@ -385,6 +390,10 @@ def part_revenue_abc_binned(
         _bin_expr("units", "lo", "hi", descending=True).alias("bin"),
         "total",
     )
+    # binned (|parts| narrow rows) feeds the bin aggregate AND the
+    # final per-part join — materialize once so the lineitem revenue
+    # aggregation doesn't re-inline per reference
+    binned = binned.localCheckpoint(eager=True)
     per_bin = binned.groupBy("bin").agg(F.sum("units").alias("brev"))
     l, r = per_bin.alias("l"), per_bin.alias("r")
     cum = (
