@@ -1412,6 +1412,90 @@ FROM c
 """
 
 
+# ---------- session path mining (clickstream path frequencies) ----------
+#
+# The path-analysis shape the transition matrix cannot express: a whole
+# ORDERED event sequence per session as one value, counted across
+# sessions ("view>click>purchase happened 412 times"). Transitions
+# (first-order Markov, above) lose everything beyond adjacent pairs;
+# paths keep the full prefix. Sessionization reuses the 30-minute-gap
+# definition of sessionize_events (plans/relational.py) so the two
+# queries agree on session boundaries.
+#
+# Order-sensitivity is the crux: collect_list gives NO ordering
+# guarantee across partitions/retries, so the path is assembled from
+# array_sort over struct(step, event_type) — step is row_number() on
+# the total order (ts, event_id), unique within a session, making the
+# assembled string deterministic under any physical plan.
+#
+# Scale: the step<=PATH_MAX_STEPS filter runs BEFORE collect_list, so
+# per-group state is bounded at 5 structs regardless of session length
+# (a mega-session of 10^6 events contributes 5 rows, not 10^6). Both
+# windows and the per-session agg share one hash partitioning on
+# user_id (HashPartitioning(user_id) satisfies the clustered
+# distribution of the (user_id, session_seq) window and groupBy — no
+# second exchange); the final path count is one mergeable groupBy whose
+# key domain is |event_types|^5, independent of fact size.
+
+PATH_MAX_STEPS = 5
+
+
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    with_sess = e.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "session_seq", F.sum(new_session).over(w)
+    )
+    step_w = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    steps = with_sess.withColumn("step", F.row_number().over(step_w)).filter(
+        F.col("step") <= PATH_MAX_STEPS
+    )
+    paths = steps.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "event_type"))),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("path"),
+        F.max("step").alias("path_len"),
+    )
+    return paths.groupBy("path", "path_len").agg(
+        F.count("*").alias("n_sessions")
+    )
+
+
+USER_EVENT_PATHS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts, 1) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), stepped AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS step
+  FROM sessions
+), paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY step) AS path,
+         CAST(max(step) AS INT) AS path_len
+  FROM stepped WHERE step <= 5 GROUP BY user_id, session_seq
+)
+SELECT path, path_len, count(*) AS n_sessions
+FROM paths GROUP BY path, path_len
+"""
+
+
 # ---------- item-item cosine similarity (co-purchase CF) ----------
 #
 # The classic neighborhood recommender: over binary order-baskets,
@@ -1514,6 +1598,7 @@ QUERIES = {
     "copurchase_item_cosine": (copurchase_item_cosine, COPURCHASE_ITEM_COSINE_SQL),
     "copurchase_kcore": (copurchase_kcore, COPURCHASE_KCORE_SQL),
     "event_type_transitions": (event_type_transitions, EVENT_TYPE_TRANSITIONS_SQL),
+    "user_event_paths": (user_event_paths, USER_EVENT_PATHS_SQL),
     "event_value_drift_psi": (event_value_drift_psi, EVENT_VALUE_DRIFT_PSI_SQL),
     "event_user_distinct_sketch_merge": (
         event_user_distinct_sketch_merge,

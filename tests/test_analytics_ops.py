@@ -351,6 +351,73 @@ def test_event_transitions_hand_computed(spark, tmp_path):
     }
 
 
+def test_user_event_paths_hand_computed(spark, tmp_path):
+    from investcloud_data_pipeline_spark.plans.mining import (
+        user_event_paths,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1, session 1: view > click > purchase
+        (1, t, 1, "view"),
+        (2, t + s, 1, "click"),
+        (3, t + 2 * s, 1, "purchase"),
+        # user 1, session 2 (90 min later): view > click > purchase again
+        (4, t + h + h, 1, "view"),
+        (5, t + h + h + s, 1, "click"),
+        (6, t + h + h + 2 * s, 1, "purchase"),
+        # user 2: single-event session
+        (7, t, 2, "view"),
+        # user 3: 7-event session — path truncates at 5 steps, and two
+        # same-instant events order by event_id (10 before 11)
+        (10, t, 3, "a"),
+        (11, t, 3, "b"),
+        (12, t + s, 3, "c"),
+        (13, t + 2 * s, 3, "d"),
+        (14, t + 3 * s, 3, "e"),
+        (15, t + 4 * s, 3, "f"),
+        (16, t + 5 * s, 3, "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.path: (r.path_len, r.n_sessions)
+        for r in user_event_paths(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view>click>purchase": (3, 2),
+        "view": (1, 1),
+        "a>b>c>d>e": (5, 1),
+    }
+
+
+def test_user_event_paths_conservation(spark, sf_dir):
+    """Every session contributes exactly one path: sum(n_sessions) ==
+    number of sessions from the shared 30-min-gap sessionizer, and no
+    path exceeds PATH_MAX_STEPS."""
+    from investcloud_data_pipeline_spark.plans.mining import (
+        PATH_MAX_STEPS,
+        user_event_paths,
+    )
+    from investcloud_data_pipeline_spark.plans.relational import (
+        sessionize_events,
+    )
+
+    out = user_event_paths(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    n_paths = sum(r.n_sessions for r in rows)
+    n_sessions = sessionize_events(spark, sf_dir).count()
+    assert n_paths == n_sessions
+    for r in rows:
+        assert 1 <= r.path_len <= PATH_MAX_STEPS
+        assert r.path.count(">") == r.path_len - 1
+
+
 def test_event_transitions_probabilities_sum_to_one(spark, sf_dir):
     from investcloud_data_pipeline_spark.plans.mining import (
         event_type_transitions,
