@@ -2379,18 +2379,18 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     model = pca_fit(emb, "embedding", k=8)
     proj = pca_project(emb, model, "embedding", out_col="pc")
-    var_row = proj.agg(
+    var_agg = proj.agg(
         F.count("*").alias("n"),
         *[
             F.var_samp(F.col("pc")[c]).alias(f"v{c}")
             for c in range(8)
         ],
-    ).collect()[0]
+    )
     # exact cross-engine total variance: per-dim decimal sums of
     # 9dp-rounded x and x², then the textbook sample-variance formula
     # per dim (double, identical expression in DuckDB), each dim's
     # term rounded at 9dp and summed as decimal
-    dim_terms = (
+    tv_agg = (
         emb.select(F.posexplode("embedding").alias("i", "e"))
         .groupBy("i")
         .agg(
@@ -2420,9 +2420,12 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(38,9)").alias("term")
         )
         .agg(F.round(F.sum("term").cast("double"), 6).alias("tv"))
-        .collect()[0]
     )
-    total_var = float(dim_terms.tv)
+    # one driver job for both report inputs: a 1-row × 1-row crossJoin
+    # (broadcast nested-loop over scalar aggregates — the sanctioned
+    # fold) instead of two sequential collects
+    var_row = var_agg.crossJoin(F.broadcast(tv_agg)).collect()[0]
+    total_var = float(var_row.tv)
     n_vectors = int(var_row.n)
     comps = model.components
     lam = model.explained_variance
