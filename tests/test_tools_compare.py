@@ -1,0 +1,118 @@
+"""Unit tests for tools/compare_baseline.py's adjudication logic.
+
+The tool is the round protocol's regression gate (VERDICT r4/r5/r8/r9),
+so its classification logic — raw threshold, host-drag calibration,
+semantic-change ledger — is pinned here on synthetic fixtures via the
+--bench/--baseline overrides and --no-retime (no Spark session).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+TOOL = REPO / "tools" / "compare_baseline.py"
+
+
+def _run(tmp_path, base: dict, now: dict, threshold: float = 2.0):
+    baseline_md = tmp_path / "BASELINE.md"
+    lines = ["# baseline", "", "## Recorded BASELINE", "",
+             "| query | sec |", "|---|---|"]
+    lines += [f"| {k} | {v} |" for k, v in base.items()]
+    lines += ["", "## next section", "| not_a_query | 9.9 |"]
+    baseline_md.write_text("\n".join(lines))
+    bench_json = tmp_path / "BENCH.json"
+    bench_json.write_text(json.dumps({"queries": now}))
+    proc = subprocess.run(
+        [sys.executable, str(TOOL), "--no-retime",
+         "--threshold", str(threshold),
+         "--bench", str(bench_json), "--baseline", str(baseline_md)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    return proc.returncode, proc.stdout
+
+
+def test_clean_run_exits_zero(tmp_path):
+    rc, out = _run(tmp_path, {"q1": 1.0, "q2": 2.0}, {"q1": 1.1, "q2": 1.9})
+    assert rc == 0
+    assert "no per-query regression" in out
+
+
+def test_table_parser_stops_at_next_section(tmp_path):
+    rc, out = _run(tmp_path, {"q1": 1.0}, {"q1": 1.0, "not_a_query": 99.0})
+    # not_a_query sits in a later pipe table and must NOT be absorbed
+    # into the baseline dict (it would read as a 10x regression)
+    assert rc == 0
+    assert "not_a_query" not in out.split("unbaselined")[0]
+
+
+def test_real_regression_is_fatal(tmp_path):
+    # one query 3x slower while 8 siblings hold at 1.0x: the median
+    # drag is 1.0, nothing divides the regression away
+    base = {f"q{i}": 1.0 for i in range(9)}
+    now = {f"q{i}": 1.0 for i in range(9)}
+    now["q0"] = 3.0
+    rc, out = _run(tmp_path, base, now)
+    assert rc == 1
+    assert "q0: 1.00s -> 3.00s (3.00x raw, 3.00x adjusted) *" in out
+
+
+def test_host_drag_divides_uniform_slowdown(tmp_path):
+    # EVERY query 2.2x slower — that is host drag, not nine
+    # simultaneous same-ratio regressions; the median calibration
+    # adjusts each to 1.0x and the run is not fatal
+    base = {f"q{i}": 1.0 for i in range(9)}
+    now = {f"q{i}": 2.2 for i in range(9)}
+    rc, out = _run(tmp_path, base, now)
+    assert rc == 0
+    assert "host-drag calibration" in out and "2.20x" in out
+    assert "1.00x adjusted" in out
+    # the header legend contains a literal '*'; no query LINE may end
+    # with the fatal marker
+    assert not any(
+        line.rstrip().endswith("*")
+        for line in out.splitlines()
+        if line.startswith("  q")
+    )
+
+
+def test_drag_clamped_at_one_on_faster_host(tmp_path):
+    # a faster host (median ratio 0.5) must NOT amplify: drag clamps
+    # to 1.0, so a genuine 3x regression stays fatal
+    base = {f"q{i}": 1.0 for i in range(9)}
+    now = {f"q{i}": 0.5 for i in range(9)}
+    now["q0"] = 3.0
+    rc, out = _run(tmp_path, base, now)
+    assert rc == 1
+    assert "calibration" in out and "1.00x" in out
+
+
+def test_semantic_change_is_reported_not_fatal(tmp_path):
+    # a ledgered query regresses past threshold: it lands in the
+    # SEMANTIC CHANGES section with its rationale, exit stays 0
+    from tools.compare_baseline import SEMANTIC_CHANGES
+
+    name = next(iter(SEMANTIC_CHANGES))
+    base = {name: 1.0, "q1": 1.0, "q2": 1.0}
+    now = {name: 5.0, "q1": 1.0, "q2": 1.0}
+    rc, out = _run(tmp_path, base, now)
+    assert rc == 0
+    assert "SEMANTIC CHANGES" in out
+    assert f"{name}: 1.00s -> 5.00s (5.00x)" in out
+
+
+def test_sub_drag_median_uses_only_big_baselines(tmp_path):
+    # sub-0.5s baselines are excluded from the calibration median —
+    # they are the lucky-minimum population the drag must not learn from
+    base = {"tiny1": 0.1, "tiny2": 0.2, "big1": 2.0, "big2": 3.0,
+            "big3": 4.0}
+    now = {"tiny1": 0.5, "tiny2": 0.9, "big1": 2.0, "big2": 3.0,
+           "big3": 4.0}
+    rc, out = _run(tmp_path, base, now)
+    # big queries at 1.0x -> drag 1.0; tiny blowups stay raw (and
+    # fatal, since --no-retime disables the min-of-N adjudication)
+    assert "calibration" in out and "1.00x" in out
+    assert rc == 1

@@ -119,11 +119,19 @@ def main() -> int:
     if "--threshold" in sys.argv:
         threshold = float(sys.argv[sys.argv.index("--threshold") + 1])
     retime = "--no-retime" not in sys.argv
+    # --bench/--baseline: override the default repo-root artifacts so
+    # the adjudication logic is unit-testable on synthetic fixtures
+    bench_path = "BENCH_DETAIL.json"
+    if "--bench" in sys.argv:
+        bench_path = sys.argv[sys.argv.index("--bench") + 1]
+    baseline_path = "BASELINE.md"
+    if "--baseline" in sys.argv:
+        baseline_path = sys.argv[sys.argv.index("--baseline") + 1]
 
-    with open("BENCH_DETAIL.json") as fh:
+    with open(bench_path) as fh:
         bench = json.load(fh)["queries"]
 
-    with open("BASELINE.md") as fh:
+    with open(baseline_path) as fh:
         text = fh.read()
     base: dict[str, float] = {}
     in_table = False
