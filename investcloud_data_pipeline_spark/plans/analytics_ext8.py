@@ -659,10 +659,80 @@ GROUP BY 1, 2
 """
 
 
+def session_watermark_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch contract of streaming/windows.py::start_session_rollup:
+    per-user 30-min-gap session windows (F.session_window — merging
+    state, exclusive end at last_ts + gap), restricted to sessions
+    CLOSED by the final watermark (max event time − 30 min) — exactly
+    the append-mode emission set. The oracle rebuilds the same sessions
+    with gaps-and-islands (new session when the gap since the previous
+    event is >= 30 min, matching session_window's exclusive end).
+    Scale: one grouped aggregate whose key domain is (user, session) —
+    no self-join, no global sort; the micros sum keeps the value
+    integral (exact cross-engine)."""
+    e = _t(spark, sf_dir, "events").select("ts", "user_id", "value")
+    mx = e.groupBy().agg(F.max("ts").alias("mx"))
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000).cast("long")
+            ).alias("total_micros"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("session_window.end")
+            <= F.col("mx") - F.expr(f"INTERVAL {WM_DELAY_MIN} MINUTES")
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n",
+            "total_micros",
+        )
+    )
+
+
+SESSION_WATERMARK_ROLLUP_SQL = f"""
+WITH m AS (SELECT max(ts) AS mx FROM events),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS total_micros
+  FROM sess GROUP BY user_id, sid
+)
+SELECT session_start, session_end, user_id, n, total_micros
+FROM agg CROSS JOIN m
+WHERE session_end <= mx - INTERVAL {WM_DELAY_MIN} MINUTE
+"""
+
+
 QUERIES = {
     "tumbling_watermark_rollup": (
         tumbling_watermark_rollup,
         TUMBLING_WATERMARK_ROLLUP_SQL,
+    ),
+    "session_watermark_rollup": (
+        session_watermark_rollup,
+        SESSION_WATERMARK_ROLLUP_SQL,
     ),
     "sliding_watermark_rollup": (
         sliding_watermark_rollup,

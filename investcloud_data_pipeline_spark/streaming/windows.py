@@ -114,3 +114,49 @@ def start_sliding_rollup(
         "sliding_rollup",
         available_now,
     )
+
+
+def start_session_rollup(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Session-window rollup stage: per-user dynamic-gap sessions as a
+    streaming aggregate — the MERGING-window state class the fixed
+    tumbling/sliding stages cannot express (two state entries fuse when
+    a bridging event arrives; a session's end moves as it absorbs
+    events). Append mode emits a session exactly once, when the
+    watermark passes its end (last event time + gap). Batch contract:
+    analytics_ext8.session_watermark_rollup (strict DuckDB oracle via
+    the gaps-and-islands construction, new session at gap >= 30 min —
+    the same boundary semantics as F.session_window's exclusive end).
+
+    Scale: state is one (user, open-session) entry, merged in place by
+    the session-window operator and evicted at the watermark — bounded
+    by active users per horizon, not history. Reference lineage: the
+    dedup + aggregation stages of 02/03 (`02_silver_layer_processing.py:19-23`,
+    `03_gold_layer_aggregation.py:21-31`) keyed state by user; this adds
+    the event-time-merging variant of that state class."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    df = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000).cast("long")
+            ).alias("total_micros"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n",
+            "total_micros",
+        )
+    )
+    return _start(df, out_dir, checkpoint_dir, "session_rollup", available_now)

@@ -89,3 +89,67 @@ def test_sliding_stage_matches_registry_twin(spark, tmp_path):
     assert len(want) > len(
         _rowset(tumbling_watermark_rollup(spark, sf))
     )
+
+
+def _write_bursty_events(tmp_path, n=402):
+    """Bursts of 3 events 5 min apart per user, bursts 2 h apart:
+    real session MERGING (unlike the 11-min-spaced fixture above,
+    where every event is its own session). ts is monotone in i, so
+    the two files split mid-burst — the session open at the end of
+    micro-batch 1 must merge with batch 2's continuation in state."""
+    rows = []
+    for i in range(n):
+        burst, k = divmod(i, 3)
+        rows.append(
+            (
+                i,
+                pd.Timestamp("2024-03-01")
+                + pd.Timedelta(hours=2 * burst, minutes=5 * k),
+                burst % 23,
+                ["click", "view", "purchase"][i % 3],
+                float(i % 89) + 0.25,
+            )
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).astype({"ts": "datetime64[us]"})
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf.iloc[: n // 2].to_parquet(f"{src}/p1.parquet", index=False)
+    pdf.iloc[n // 2 :].to_parquet(f"{src}/p2.parquet", index=False)
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    pdf.assign(props="{}").to_parquet(
+        f"{sf_dir}/events.parquet", index=False
+    )
+    return src, sf_dir
+
+
+def _session_rowset(df):
+    cols = ["session_start", "session_end", "user_id", "n", "total_micros"]
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_session_stage_matches_registry_twin(spark, tmp_path):
+    from investcloud_data_pipeline_spark.plans.analytics_ext8 import (
+        session_watermark_rollup,
+    )
+    from investcloud_data_pipeline_spark.streaming.windows import (
+        start_session_rollup,
+    )
+
+    src, sf = _write_bursty_events(tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_session_rollup(spark, src, out, ck)
+    q.awaitTermination(120)
+    streamed = _session_rowset(spark.read.parquet(out))
+    want = _session_rowset(session_watermark_rollup(spark, sf))
+    assert streamed == want and want
+    # the fixture's 3-event bursts must actually merge: some session
+    # holds >1 event, and sessions-per-user is far below events-per-user
+    assert any(t[3] > 1 for t in want)
+    # replay idempotence: a second drain over the same checkpoint
+    # appends nothing
+    q2 = start_session_rollup(spark, src, out, ck)
+    q2.awaitTermination(120)
+    assert _session_rowset(spark.read.parquet(out)) == want
