@@ -771,3 +771,17 @@ def test_incremental_dedup_probes_bucketed_index_without_base_exchange(
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_dedup_index_b")
+
+
+def test_user_event_paths_two_exchanges(spark, sf_dir):
+    """Session path mining shares ONE user_id hash partitioning across
+    the sessionize window, the per-session step window, and the
+    per-session assembly agg (HashPartitioning(user_id) satisfies every
+    (user_id, session_seq) clustered distribution), so the whole plan
+    carries exactly two shuffles: user_id, then the final path count.
+    The step<=5 filter must also compile to a WindowGroupLimit heap."""
+    from investcloud_data_pipeline_spark.plans import mining as MN
+
+    plan = _plan(MN.user_event_paths(spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan
+    assert "WindowGroupLimit" in plan
