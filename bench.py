@@ -25,6 +25,23 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    # Host calibration: a fixed single-core pure-python loop, timed
+    # before and after the sweep. This box is a VM with bursty
+    # hypervisor CPU steal — the same loop measured 1.05s..1.73s
+    # within one round-9 session — so every absolute wall in this
+    # report carries that multiplicative drag. Recording the
+    # calibration lets a reader normalize across runs taken at
+    # different steal levels (compare calib_s across reports before
+    # comparing query walls).
+    def _calib() -> float:
+        t0 = time.time()
+        x = 0
+        for i in range(20_000_000):
+            x += i * i
+        return round(time.time() - t0, 3)
+
+    calib_before = _calib()
     spark = get_spark("bench")
 
     # Warm the JVM / codegen / parquet footers so the first measured query
@@ -64,6 +81,7 @@ def main() -> None:
             if prev is None or prev < 0 or (0 <= elapsed < prev):
                 timings[name] = elapsed
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    calib = {"before_s": calib_before, "after_s": _calib()}
 
     # Full per-query detail goes to a sidecar file; the stdout line must fit
     # entirely inside the driver's 2000-char tail buffer or it records
@@ -77,6 +95,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_calibration": calib,
             },
             fh,
             indent=1,
@@ -95,6 +114,7 @@ def main() -> None:
         "queries_total": len(timings),
         "detail_file": "BENCH_DETAIL.json",
         "sf": sf,
+        "host_calibration": calib,
     }
     for name in sorted(timings, key=lambda k: -timings[k]):
         inlined[name] = timings[name]
