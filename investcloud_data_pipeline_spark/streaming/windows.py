@@ -124,6 +124,7 @@ def start_session_rollup(
     gap: str = "30 minutes",
     watermark: str = "30 minutes",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Session-window rollup stage: per-user dynamic-gap sessions as a
     streaming aggregate — the MERGING-window state class the fixed
@@ -141,7 +142,10 @@ def start_session_rollup(
     dedup + aggregation stages of 02/03 (`02_silver_layer_processing.py:19-23`,
     `03_gold_layer_aggregation.py:21-31`) keyed state by user; this adds
     the event-time-merging variant of that state class."""
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
     df = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), "user_id")
