@@ -153,3 +153,71 @@ def test_session_stage_matches_registry_twin(spark, tmp_path):
     q2 = start_session_rollup(spark, src, out, ck)
     q2.awaitTermination(120)
     assert _session_rowset(spark.read.parquet(out)) == want
+
+
+def test_session_stage_merges_across_restart(spark, tmp_path):
+    """Exactly-once across process restarts for MERGING state: drain 1
+    leaves user 7's session OPEN in the checkpointed state store (the
+    watermark has not passed its end); the continuation arrives while
+    the query is DOWN; the restarted drain must recover the open
+    session from the checkpoint and emit ONE merged row spanning both
+    drains — not two fragments, not a duplicate."""
+    from investcloud_data_pipeline_spark.plans.analytics_ext8 import (
+        session_watermark_rollup,
+    )
+    from investcloud_data_pipeline_spark.streaming.windows import (
+        start_session_rollup,
+    )
+
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+    m = pd.Timedelta(minutes=1)
+
+    def _write(path, rows):
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        ).astype({"ts": "datetime64[us]"}).to_parquet(path, index=False)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # wave 1: user 7's open session (2 events), plus an old closed
+    # session for user 3 an hour earlier (emitted in drain 1)
+    _write(
+        f"{src}/w1.parquet",
+        [
+            (1, t0 - 60 * m, 3, "view", 1.0),
+            (2, t0 - 55 * m, 3, "click", 2.0),
+            (10, t0, 7, "view", 1.0),
+            (11, t0 + 5 * m, 7, "click", 2.0),
+        ],
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_session_rollup(spark, src, out, ck)
+    q.awaitTermination(120)
+
+    # wave 2 lands while the query is DOWN: user 7's continuation
+    # (10 min after their last event — inside the 30-min gap) plus a
+    # far-future clock event that closes every session
+    _write(
+        f"{src}/w2.parquet",
+        [
+            (12, t0 + 15 * m, 7, "purchase", 3.0),
+            (99, t0 + 600 * m, 999, "view", 0.0),
+        ],
+    )
+    q2 = start_session_rollup(spark, src, out, ck)
+    q2.awaitTermination(120)
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    pd.concat(
+        [pd.read_parquet(f"{src}/w1.parquet"),
+         pd.read_parquet(f"{src}/w2.parquet")]
+    ).assign(props="{}").to_parquet(f"{sf_dir}/events.parquet", index=False)
+    got = _session_rowset(spark.read.parquet(out))
+    want = _session_rowset(session_watermark_rollup(spark, sf_dir))
+    assert got == want and want
+    # the cross-restart merge, explicitly: ONE user-7 session with all
+    # 3 events (two from before the restart, one after)
+    u7 = [t for t in got if t[2] == 7]
+    assert len(u7) == 1 and u7[0][3] == 3, u7
