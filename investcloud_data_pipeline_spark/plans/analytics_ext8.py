@@ -667,8 +667,11 @@ def session_watermark_rollup(
     state, exclusive end at last_ts + gap), restricted to sessions
     CLOSED by the final watermark (max event time − 30 min) — exactly
     the append-mode emission set. The oracle rebuilds the same sessions
-    with gaps-and-islands (new session when the gap since the previous
-    event is >= 30 min, matching session_window's exclusive end).
+    with gaps-and-islands (new session only when the gap since the
+    previous event is STRICTLY > 30 min: F.session_window merges an
+    event arriving exactly gap after the previous one — verified
+    empirically on PySpark 4.1.2, two events 30:00 apart form one
+    session — so the split predicate must be exclusive).
     Scale: one grouped aggregate whose key domain is (user, session) —
     no self-join, no global sort; the micros sum keeps the value
     integral (exact cross-engine)."""
@@ -702,7 +705,7 @@ WITH m AS (SELECT max(ts) AS mx FROM events),
 flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

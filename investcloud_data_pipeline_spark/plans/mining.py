@@ -78,12 +78,45 @@ FROM yearly
 # parts per order first stops duplicate lines from inflating counts.
 # Scale: both sides shuffle on l_orderkey (co-partitioned self-join —
 # one exchange, reused), the pair aggregate shuffles on the pair key.
-# Skew guard: a pathological order with thousands of lines would need a
-# per-order line cap before the join.
+# Skew guard: ``_order_parts`` caps lines per order BEFORE the join —
+# see its docstring.
+
+# Per-order distinct-part cap for the basket self-joins. TPC-H orders
+# hold ≤7 lineitems, so every committed fixture is far under the cap
+# and the capped projection is EXACT there (oracles unchanged); the cap
+# exists for the 100 TB posture, where one pathological hot order with
+# L lines would otherwise expand to L² pairs inside a single shuffle
+# partition (L=100k → 10¹⁰ rows from one key). 64 keeps the worst
+# per-order expansion at 64²=4096 pairs — skew-immune by construction.
+ORDER_LINE_CAP = 64
+
+
+def _order_parts(
+    spark: SparkSession, sf_dir: str, cap: int = ORDER_LINE_CAP
+) -> DataFrame:
+    """Shared basket projection: distinct (l_orderkey, l_partkey) with
+    at most ``cap`` parts per order (the cap smallest partkeys —
+    deterministic, so all five co-purchase queries see the SAME
+    truncation). One exchange on l_orderkey: collect_set does the
+    per-order dedup with map-side partial aggregation, the slice
+    truncates BEFORE explode so a hot order's row never rematerializes,
+    and the exploded output keeps hash(l_orderkey) partitioning — the
+    downstream self-join co-partitions with no further shuffle, exactly
+    like the uncapped ``.distinct()`` it replaces."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("l_partkey")), 1, cap
+            ).alias("parts")
+        )
+        .select("l_orderkey", F.explode("parts").alias("l_partkey"))
+    )
+
 
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    op = l.select("l_orderkey", "l_partkey").distinct()
+    op = _order_parts(spark, sf_dir)
     a = op.alias("a")
     b = op.alias("b")
     pairs = (
@@ -226,8 +259,7 @@ FROM deg d LEFT JOIN tri t ON d.v = t.v
 # l_orderkey like the pair build.
 
 def copurchase_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    op = l.select("l_orderkey", "l_partkey").distinct()
+    op = _order_parts(spark, sf_dir)
     a = op.alias("a")
     b = op.alias("b")
     # candidate pairs WITH the order id retained (support filter after
@@ -1001,8 +1033,7 @@ FROM scored
 # the entry across repeated calls by canonicalized plan).
 
 def copurchase_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    op = l.select("l_orderkey", "l_partkey").distinct().persist()
+    op = _order_parts(spark, sf_dir).persist()
     n_baskets = op.agg(
         F.count_distinct("l_orderkey").alias("n_baskets")
     )
@@ -1314,8 +1345,7 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     synchronous peeling. Oracle unrolls the identical rounds."""
     from ..operators.graph import k_core
 
-    l = _t(spark, sf_dir, "lineitem")
-    op = l.select("l_orderkey", "l_partkey").distinct()
+    op = _order_parts(spark, sf_dir)
     a = op.alias("a")
     b = op.alias("b")
     pairs = (
@@ -1512,8 +1542,7 @@ FROM paths GROUP BY path, path_len
 # sum-order nondeterminism; ties broken by neighbor id.
 
 def copurchase_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    op = l.select("l_orderkey", "l_partkey").distinct()
+    op = _order_parts(spark, sf_dir)
     a = op.alias("a")
     b = op.alias("b")
     # persisted: the symmetric union below consumes this relation TWICE

@@ -133,8 +133,10 @@ def start_session_rollup(
     events). Append mode emits a session exactly once, when the
     watermark passes its end (last event time + gap). Batch contract:
     analytics_ext8.session_watermark_rollup (strict DuckDB oracle via
-    the gaps-and-islands construction, new session at gap >= 30 min —
-    the same boundary semantics as F.session_window's exclusive end).
+    the gaps-and-islands construction, new session only at gap
+    STRICTLY > 30 min — F.session_window MERGES an event arriving
+    exactly gap after the previous one, so the boundary is inclusive
+    on the merge side).
 
     Scale: state is one (user, open-session) entry, merged in place by
     the session-window operator and evicted at the watermark — bounded

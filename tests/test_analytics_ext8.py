@@ -8,6 +8,8 @@ the data-cardinality total order the exact form funnels through.
 
 from __future__ import annotations
 
+import os
+
 from investcloud_data_pipeline_spark.plans import analytics_ext8 as AX8
 
 
@@ -136,3 +138,47 @@ def test_exact_twins_document_the_funnel(spark, sf_dir):
 
     for fn in (customer_balance_ks_test, part_revenue_abc):
         assert "Window" in _plan(fn(spark, sf_dir))
+
+
+def test_session_exact_gap_boundary_merges(spark, tmp_path):
+    """Pin the session-gap boundary on exact-gap data: two events
+    EXACTLY 30:00 apart must land in ONE session — F.session_window
+    merges an event arriving exactly gap after the previous one
+    (verified on PySpark 4.1.2) — and the gaps-and-islands DuckDB
+    oracle must agree (its split predicate is strictly `>`; an `>=`
+    split would produce two sessions and a false mismatch on
+    second-granularity data)."""
+    import duckdb
+    import pandas as pdlib
+
+    rows = [
+        (0, pdlib.Timestamp("2024-03-01 00:00:00"), 1, "click", 1.0),
+        # exactly gap after the previous event: MERGES
+        (1, pdlib.Timestamp("2024-03-01 00:30:00"), 1, "view", 2.0),
+        # strictly beyond the gap from event 1: NEW session
+        (2, pdlib.Timestamp("2024-03-01 01:00:01"), 1, "click", 4.0),
+        # far-future closer so the watermark passes every session end
+        (3, pdlib.Timestamp("2024-03-02 00:00:00"), 2, "view", 8.0),
+    ]
+    pdf = pdlib.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).astype({"ts": "datetime64[us]"})
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pdf.assign(props="{}").to_parquet(f"{sf}/events.parquet", index=False)
+
+    got = {
+        (r.session_start, r.session_end, r.user_id, r.n, r.total_micros)
+        for r in AX8.session_watermark_rollup(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", pdf)
+    oracle = {
+        tuple(r)
+        for r in con.execute(AX8.SESSION_WATERMARK_ROLLUP_SQL).fetchall()
+    }
+    assert got == oracle
+    # user 1: the exact-gap pair is ONE session (n=2), the +1s event
+    # its own (n=1); user 2's closer session is still open → 2 rows
+    by_user = sorted((u, n) for _, _, u, n, _ in got)
+    assert by_user == [(1, 1), (1, 2)]

@@ -633,3 +633,54 @@ def test_ewma_hand_computed(spark, tmp_path):
     assert got[0] == 10.0
     assert got[1] == ewma([10.0, 20.0])
     assert got[2] == ewma([10.0, 20.0, 30.0])
+
+
+def test_order_parts_caps_hot_order(spark, tmp_path):
+    """Skew guard for the basket self-joins: one pathological order
+    with 200 distinct parts (TPC-H max is 7) must truncate to the
+    ORDER_LINE_CAP smallest partkeys — deterministically — while
+    under-cap orders pass through exactly (so the committed-fixture
+    oracles are unchanged), and the downstream pair expansion is
+    bounded at cap^2 instead of 200^2."""
+    from investcloud_data_pipeline_spark.plans.mining import (
+        ORDER_LINE_CAP,
+        _order_parts,
+        copurchase_part_pairs,
+    )
+
+    hot = [(1, 1000 + k) for k in range(200)]
+    # duplicate lines in the hot order: the cap must dedup first
+    hot += [(1, 1000 + k) for k in range(10)]
+    normal = [(2, 7), (2, 8), (2, 9), (3, 7), (3, 8), (4, 7), (4, 8)]
+    df = spark.createDataFrame(
+        hot + normal, "l_orderkey long, l_partkey long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    op = _order_parts(spark, str(tmp_path))
+    got = {}
+    for r in op.collect():
+        got.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    # hot order: exactly cap rows, the cap SMALLEST partkeys
+    assert len(got[1]) == ORDER_LINE_CAP
+    assert got[1] == {1000 + k for k in range(ORDER_LINE_CAP)}
+    # under-cap orders: identical to the uncapped distinct projection
+    assert got[2] == {7, 8, 9} and got[3] == {7, 8} and got[4] == {7, 8}
+    # bounded expansion end-to-end: the pair plan's within-order blowup
+    # is cap*(cap-1)/2 for the hot order, not 200*199/2
+    n_hot_pairs = ORDER_LINE_CAP * (ORDER_LINE_CAP - 1) // 2
+    pairs = copurchase_part_pairs(spark, str(tmp_path))
+    # support threshold 3 kills the hot order's singleton pairs; (7,8)
+    # appears in orders 2,3,4 -> survives
+    rows = {(r.part1, r.part2): r.n_orders for r in pairs.collect()}
+    assert rows == {(7, 8): 3}
+    # and the raw (pre-threshold) expansion is bounded
+    from pyspark.sql import functions as F
+
+    a, b = op.alias("a"), op.alias("b")
+    raw = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .count()
+    )
+    assert raw == n_hot_pairs + 3 + 1 + 1

@@ -92,19 +92,24 @@ def test_sliding_stage_matches_registry_twin(spark, tmp_path):
 
 
 def _write_bursty_events(tmp_path, n=402):
-    """Bursts of 3 events 5 min apart per user, bursts 2 h apart:
-    real session MERGING (unlike the 11-min-spaced fixture above,
-    where every event is its own session). ts is monotone in i, so
-    the two files split mid-burst — the session open at the end of
-    micro-batch 1 must merge with batch 2's continuation in state."""
+    """Bursts of 4 events per user at minutes 0/5/10/40 — the 4th
+    arrives EXACTLY 30 min (= the session gap) after the 3rd, pinning
+    the inclusive-merge boundary: F.session_window fuses an event
+    arriving exactly gap after the previous one, so the oracle's
+    gaps-and-islands split must be strictly `>` (an `>=` oracle would
+    split every burst here and mismatch). Bursts 2 h apart: real
+    session MERGING (unlike the 11-min-spaced fixture above, where
+    every event is its own session). ts is monotone in i, so the two
+    files split mid-burst — the session open at the end of micro-batch
+    1 must merge with batch 2's continuation in state."""
     rows = []
     for i in range(n):
-        burst, k = divmod(i, 3)
+        burst, k = divmod(i, 4)
         rows.append(
             (
                 i,
                 pd.Timestamp("2024-03-01")
-                + pd.Timedelta(hours=2 * burst, minutes=5 * k),
+                + pd.Timedelta(hours=2 * burst, minutes=(0, 5, 10, 40)[k]),
                 burst % 23,
                 ["click", "view", "purchase"][i % 3],
                 float(i % 89) + 0.25,
@@ -145,9 +150,11 @@ def test_session_stage_matches_registry_twin(spark, tmp_path):
     streamed = _session_rowset(spark.read.parquet(out))
     want = _session_rowset(session_watermark_rollup(spark, sf))
     assert streamed == want and want
-    # the fixture's 3-event bursts must actually merge: some session
-    # holds >1 event, and sessions-per-user is far below events-per-user
+    # the fixture's 4-event bursts must actually merge — including the
+    # exact-gap 4th event: a full burst lands in ONE session of n=4
+    # (an `>=` gaps-and-islands oracle would cap sessions at 3 events)
     assert any(t[3] > 1 for t in want)
+    assert any(t[3] == 4 for t in want)
     # replay idempotence: a second drain over the same checkpoint
     # appends nothing
     q2 = start_session_rollup(spark, src, out, ck)

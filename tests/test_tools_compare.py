@@ -17,15 +17,26 @@ REPO = Path(__file__).resolve().parent.parent
 TOOL = REPO / "tools" / "compare_baseline.py"
 
 
-def _run(tmp_path, base: dict, now: dict, threshold: float = 2.0):
+def _run(tmp_path, base: dict, now: dict, threshold: float = 2.0,
+         base_calib: float | None = None,
+         bench_calib: tuple[float, float] | None = None):
     baseline_md = tmp_path / "BASELINE.md"
-    lines = ["# baseline", "", "## Recorded BASELINE", "",
-             "| query | sec |", "|---|---|"]
+    lines = ["# baseline", ""]
+    if base_calib is not None:
+        lines.append(f"Host calibration (single-core loop): "
+                     f"{base_calib} s")
+    lines += ["## Recorded BASELINE", "",
+              "| query | sec |", "|---|---|"]
     lines += [f"| {k} | {v} |" for k, v in base.items()]
     lines += ["", "## next section", "| not_a_query | 9.9 |"]
     baseline_md.write_text("\n".join(lines))
     bench_json = tmp_path / "BENCH.json"
-    bench_json.write_text(json.dumps({"queries": now}))
+    doc: dict = {"queries": now}
+    if bench_calib is not None:
+        doc["host_calibration"] = {
+            "before_s": bench_calib[0], "after_s": bench_calib[1]
+        }
+    bench_json.write_text(json.dumps(doc))
     proc = subprocess.run(
         [sys.executable, str(TOOL), "--no-retime",
          "--threshold", str(threshold),
@@ -60,16 +71,19 @@ def test_real_regression_is_fatal(tmp_path):
     assert "q0: 1.00s -> 3.00s (3.00x raw, 3.00x adjusted) *" in out
 
 
-def test_host_drag_divides_uniform_slowdown(tmp_path):
-    # EVERY query 2.2x slower — that is host drag, not nine
-    # simultaneous same-ratio regressions; the median calibration
-    # adjusts each to 1.0x and the run is not fatal
+def test_corroborated_uniform_drag_divides_out(tmp_path):
+    # EVERY query 2.2x slower AND the query-independent calibration
+    # loop is itself ~2.2x slower than the baseline session's: genuine
+    # host drag — ratios adjust to 1.0x, exit 0
     base = {f"q{i}": 1.0 for i in range(9)}
     now = {f"q{i}": 2.2 for i in range(9)}
-    rc, out = _run(tmp_path, base, now)
+    rc, out = _run(tmp_path, base, now,
+                   base_calib=1.0, bench_calib=(2.15, 2.25))
     assert rc == 0
-    assert "host-drag calibration" in out and "2.20x" in out
+    assert "median estimate" in out and "2.20x" in out
+    assert "calibration estimate" in out
     assert "1.00x adjusted" in out
+    assert "UNCORROBORATED" not in out
     # the header legend contains a literal '*'; no query LINE may end
     # with the fatal marker
     assert not any(
@@ -77,6 +91,55 @@ def test_host_drag_divides_uniform_slowdown(tmp_path):
         for line in out.splitlines()
         if line.startswith("  q")
     )
+
+
+def test_uncorroborated_uniform_slowdown_is_fatal(tmp_path):
+    # EVERY query 2.2x slower but no calibration exists to blame the
+    # host: that is the shape of a genuine uniform regression (e.g. a
+    # session/config change) — the tool must NOT divide it away and
+    # must exit nonzero with a loud warning (round-10 ADVICE)
+    base = {f"q{i}": 1.0 for i in range(9)}
+    now = {f"q{i}": 2.2 for i in range(9)}
+    rc, out = _run(tmp_path, base, now)
+    assert rc == 1
+    assert "UNCORROBORATED DRAG" in out
+
+
+def test_calibration_caps_the_applied_drag(tmp_path):
+    # median says 2.4x but the calibration loop only degraded 1.1x:
+    # the applied drag caps at 1.1 * tolerance, the uniform slowdown
+    # survives as per-query regressions, and the run is fatal
+    base = {f"q{i}": 1.0 for i in range(9)}
+    now = {f"q{i}": 2.4 for i in range(9)}
+    rc, out = _run(tmp_path, base, now,
+                   base_calib=1.0, bench_calib=(1.1, 1.1))
+    assert rc == 1
+    assert "UNCORROBORATED DRAG" in out
+    # applied drag = min(2.4, 1.1 * 1.25) = 1.375 -> adjusted 1.75x is
+    # below threshold per-query, but the uncorroborated alarm still
+    # fails the run
+    assert "applied drag: 1.38x" in out
+
+
+def test_moderate_uncalibrated_drag_stays_lenient(tmp_path):
+    # a sub-threshold median (1.8x) with no calibration available is
+    # still divided out — the hard alarm only trips past the threshold
+    base = {f"q{i}": 1.0 for i in range(9)}
+    now = {f"q{i}": 1.8 for i in range(9)}
+    now["q0"] = 3.4  # 3.4x raw -> 1.89x adjusted: not fatal
+    rc, out = _run(tmp_path, base, now)
+    assert rc == 0
+    assert "UNCORROBORATED" not in out
+
+
+def test_even_length_ratio_list_uses_true_median(tmp_path):
+    # ratios [1.0, 1.0, 2.0, 2.0]: true median 1.50, not the 2.0 the
+    # old upper-middle pick produced (round-10 ADVICE)
+    base = {f"q{i}": 1.0 for i in range(4)}
+    now = {"q0": 1.0, "q1": 1.0, "q2": 2.0, "q3": 2.0}
+    rc, out = _run(tmp_path, base, now)
+    assert rc == 0
+    assert "median estimate" in out and "1.50x" in out
 
 
 def test_drag_clamped_at_one_on_faster_host(tmp_path):

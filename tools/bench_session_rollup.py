@@ -41,6 +41,15 @@ def main() -> int:
     )
 
     spark = get_spark("bench_session_rollup")
+    # recentProgress retains only the last ~100 updates by default:
+    # with n_batches above that, the per-batch series (and the
+    # state-boundedness / last-over-first claims built on it) would
+    # silently truncate to the tail. Retain at least one slot per
+    # expected micro-batch, plus slack for empty/startup triggers.
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(100, 2 * n_batches + 10)),
+    )
     work = tempfile.mkdtemp(prefix="session_rollup_bench_")
     src, out, ck = (os.path.join(work, d) for d in ("src", "out", "ck"))
     os.makedirs(src)
@@ -129,6 +138,13 @@ def main() -> int:
     )
     diff = emitted.exceptAll(want).count() + want.exceptAll(emitted).count()
 
+    if len(per_batch_ms) < n_batches:
+        print(
+            f"WARNING: only {len(per_batch_ms)}/{n_batches} per-batch "
+            "progress rows retained — per-batch series is truncated; "
+            "raise spark.sql.streaming.numRecentProgressUpdates",
+            file=sys.stderr,
+        )
     steady = [b["trigger_ms"] for b in per_batch_ms[1:]]
     out_doc = {
         "metric": "session_rollup_events_per_sec",

@@ -37,8 +37,16 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+
+# A median-based drag estimate LARGER than the independent calibration
+# ratio by more than this factor is treated as uncorroborated: the
+# population is slower than the host is, which is what a genuine
+# uniform regression looks like. 1.25 leaves room for steal hitting
+# multi-core Spark stages harder than the single-core calibration loop.
+CALIB_TOLERANCE = 1.25
 
 # min-of-5: round 9 found min-of-3 still lands within ±10% of the
 # 2.0x line for queries whose frozen baseline is itself a lucky
@@ -129,10 +137,19 @@ def main() -> int:
         baseline_path = sys.argv[sys.argv.index("--baseline") + 1]
 
     with open(bench_path) as fh:
-        bench = json.load(fh)["queries"]
+        bench_doc = json.load(fh)
+    bench = bench_doc["queries"]
+    bench_calib = bench_doc.get("host_calibration")
 
     with open(baseline_path) as fh:
         text = fh.read()
+    # Baseline-side calibration: the re-anchored table header records
+    # the single-core loop time measured on the SAME host session that
+    # produced the frozen numbers ("Host calibration ... 1.234 s").
+    base_calib = None
+    mcal = re.search(r"[Hh]ost calibration[^0-9]*([0-9.]+)\s*s", text)
+    if mcal:
+        base_calib = float(mcal.group(1))
     base: dict[str, float] = {}
     in_table = False
     for line in text.splitlines():
@@ -172,19 +189,41 @@ def main() -> int:
         elif ratio < 1 / threshold:
             improvements.append((name, b, now, ratio))
 
-    # Host-drag calibration: this box is a VM with bursty hypervisor
-    # CPU steal (/proc/stat steal; a fixed single-core python loop
-    # measured ±20% wall on an idle box in round 9). The MEDIAN
-    # same-code ratio across all >=0.5s-baseline queries estimates that
-    # multiplicative drag — a real single-query regression cannot move
-    # the median of ~200 queries. Clamped at 1.0 so a faster host never
-    # hides a true regression. Reported alongside raw ratios; a
-    # survivor is only exit-code-fatal if it exceeds the threshold
-    # AFTER dividing out the drag.
-    host_drag = 1.0
+    # Host-drag estimation, two independent signals (round-10 ADVICE):
+    #
+    # 1. MEDIAN same-code ratio across all >=0.5s-baseline queries — a
+    #    real single-query regression cannot move the median of ~200
+    #    queries, but a genuine UNIFORM regression (session/config
+    #    change slowing everything) CAN, so the median alone must not
+    #    be allowed to divide itself away.
+    # 2. The query-independent host calibration: bench.py times a fixed
+    #    single-core pure-python loop before and after the sweep, and
+    #    the re-anchored BASELINE.md records the same loop's time on
+    #    the session that froze the numbers. current/baseline of that
+    #    loop measures HOST drag only — no repo code runs in it.
+    #
+    # The drag actually divided out of regression ratios is the median
+    # estimate CAPPED at calibration * CALIB_TOLERANCE when both sides
+    # of the calibration exist. A median the calibration does not
+    # corroborate (or a median past the threshold with no calibration
+    # available) trips a loud warning and a nonzero exit: that shape is
+    # a uniform regression until proven otherwise. Clamped at 1.0 so a
+    # faster host never hides a true regression.
+    median_drag = 1.0
     if ratios:
-        rs = sorted(ratios)
-        host_drag = max(1.0, rs[len(rs) // 2])
+        median_drag = max(1.0, statistics.median(ratios))
+    calib_drag = None
+    calib_drift = None
+    if bench_calib and base_calib:
+        mid = (bench_calib["before_s"] + bench_calib["after_s"]) / 2
+        calib_drag = max(1.0, mid / base_calib)
+        calib_drift = bench_calib["after_s"] / bench_calib["before_s"]
+    if calib_drag is not None:
+        host_drag = max(1.0, min(median_drag, calib_drag * CALIB_TOLERANCE))
+        drag_corroborated = median_drag <= calib_drag * CALIB_TOLERANCE
+    else:
+        host_drag = median_drag
+        drag_corroborated = median_drag <= threshold
 
     semantic = [
         (name, b, now, ratio)
@@ -232,8 +271,24 @@ def main() -> int:
         print("no baselined query overlaps BENCH_DETAIL.json — "
               "nothing to compare")
     print(f"unbaselined new queries: {len(new)}")
-    print(f"host-drag calibration (median same-code ratio, >=0.5s "
-          f"baselines): {host_drag:.2f}x")
+    print(f"host drag, median estimate (same-code ratio, >=0.5s "
+          f"baselines): {median_drag:.2f}x")
+    if calib_drag is not None:
+        print(f"host drag, calibration estimate (single-core loop vs "
+              f"baseline {base_calib:.3f}s): {calib_drag:.2f}x "
+              f"(within-run drift {calib_drift:.2f}x)")
+    else:
+        print("host drag, calibration estimate: unavailable "
+              "(baseline table has no recorded calibration or bench "
+              "report has no host_calibration)")
+    print(f"applied drag: {host_drag:.2f}x")
+    if not drag_corroborated:
+        print("\n!!! UNCORROBORATED DRAG: the median same-code ratio "
+              f"({median_drag:.2f}x) exceeds what the query-independent "
+              "host calibration supports — this is the shape of a "
+              "GENUINE UNIFORM REGRESSION, not host steal. The excess "
+              "is NOT divided out; treat this run as failing until "
+              "explained.")
     fatal = [r for r in regressions if r[3] / host_drag > threshold]
     if regressions:
         print(f"\nREGRESSIONS (> {threshold}x raw; drag-adjusted in "
@@ -263,7 +318,7 @@ def main() -> int:
         print(f"\nimprovements (< {1/threshold:.2f}x):")
         for name, b, now, r in sorted(improvements, key=lambda x: x[3]):
             print(f"  {name}: {b:.2f}s -> {now:.2f}s ({r:.2f}x)")
-    return 1 if fatal else 0
+    return 1 if fatal or not drag_corroborated else 0
 
 
 if __name__ == "__main__":
