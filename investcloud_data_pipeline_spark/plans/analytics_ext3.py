@@ -148,11 +148,21 @@ edges AS (
 
 # ---------- Adamic-Adar link prediction ----------
 #
-# Predict missing edges: for every non-adjacent pair (u, w) sharing at
-# least 2 common neighbors, score = sum over common neighbors z of
+# Predict missing edges: for every non-adjacent pair (u, w) sharing a
+# common neighbor, score = sum over common neighbors z of
 # 1 / ln(deg(z)) — frequent co-purchase hubs count less. The top-100
 # scored pairs are the "customers who bought these also bought"
 # candidate list.
+#
+# Round-10 redefinition (data-adaptive support): the original
+# common_neighbors >= 2 cut goes empty as the support-2 graph thins
+# (0 rows at sf0.1 — r9 ledger `empty_pass`), leaving the value path
+# uncompared at bench scale. Standard Adamic-Adar has no min-common
+# constraint; scoring every wedge-connected non-adjacent pair measures
+# 15.6k/13.1k/1.4k scored pairs at sf0.001/0.01/0.1 — non-empty at
+# every scale — and the top-100 emission bound is unchanged. The
+# deterministic total-order tie-break (score, common_neighbors, u, w)
+# matters more now: single-neighbor pairs tie in score en masse.
 #
 # Plan: undirected adjacency (each edge stored both ways), wedge
 # enumeration z: (u,z),(z,w) with u<w — the SAME two-hop self-join
@@ -208,7 +218,6 @@ def copurchase_link_prediction(
             F.count("*").alias("common_neighbors"),
             F.sum("c").alias("dec_score"),
         )
-        .filter(F.col("common_neighbors") >= 2)
         .select(
             "u",
             "w",
@@ -242,7 +251,7 @@ und AS (
   WHERE NOT EXISTS (
     SELECT 1 FROM edges e WHERE e.p1 = wedges.u AND e.p2 = wedges.w
   )
-  GROUP BY u, w HAVING count(*) >= 2
+  GROUP BY u, w
 )
 SELECT u, w, common_neighbors, aa_score
 FROM scored

@@ -147,8 +147,18 @@ GROUP BY n_name, year(o_orderdate)
 
 # --- Q11-style: parts holding an outsized share of shipped value.
 # partsupp inventory value becomes shipped value (price × qty) of ASIA
-# suppliers' lines; the defining scalar-subquery-in-HAVING survives:
-# HAVING sum(value) > 0.001 × (total over the same restricted set).
+# suppliers' lines; the defining scalar-subquery-in-HAVING survives.
+# Round-10 redefinition (data-adaptive threshold): the original fixed
+# 0.001 fraction goes EMPTY once the part count outgrows 1000 — at
+# sf0.1 no single part holds 0.1% of total value, so the query's value
+# path was uncompared at bench scale (r9 ledger `empty_pass`). TPC-H
+# itself scales Q11's fraction by 1/SF; the equivalent scale-free form
+# used here is a mean-multiple: a part is important when its shipped
+# value exceeds 2× the MEAN per-part value (measured 19/91/957 rows at
+# sf0.001/0.01/0.1 — non-empty and bounded at every scale). The
+# predicate is evaluated in exact DECIMAL space
+# (part_value · n_parts > 2 · total_value) so the boundary cannot flip
+# on float summation order in either engine.
 # Scale: the scalar total is one extra pass over the SAME filtered join
 # — Spark computes it as a 1-row aggregate broadcast into the filter;
 # both passes share the scan via exchange reuse.
@@ -164,15 +174,20 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     per_part = asian_lines.groupBy("l_partkey").agg(
-        F.sum(value).cast("double").alias("part_value")
+        F.sum(value).alias("pv_dec")
     )
     total = asian_lines.agg(
-        (F.sum(value).cast("double") * F.lit(0.001)).alias("threshold")
+        F.sum(value).alias("tv_dec"),
+        F.count_distinct("l_partkey").alias("np"),
     )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
-        .select("l_partkey", "part_value")
+        .filter(
+            F.col("pv_dec") * F.col("np") > F.lit(2) * F.col("tv_dec")
+        )
+        .select(
+            "l_partkey", F.col("pv_dec").cast("double").alias("part_value")
+        )
     )
 
 
@@ -185,12 +200,17 @@ WITH asian_lines AS (
   JOIN nation ON s_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = 'ASIA'
+),
+per_part AS (
+  SELECT l_partkey, sum(value) AS pv_dec FROM asian_lines GROUP BY 1
+),
+tot AS (
+  SELECT sum(value) AS tv_dec, count(DISTINCT l_partkey) AS np
+  FROM asian_lines
 )
-SELECT l_partkey, CAST(sum(value) AS DOUBLE) AS part_value
-FROM asian_lines
-GROUP BY l_partkey
-HAVING CAST(sum(value) AS DOUBLE) >
-       (SELECT CAST(sum(value) AS DOUBLE) * 0.001 FROM asian_lines)
+SELECT l_partkey, CAST(pv_dec AS DOUBLE) AS part_value
+FROM per_part, tot
+WHERE pv_dec * np > 2 * tv_dec
 """
 
 
