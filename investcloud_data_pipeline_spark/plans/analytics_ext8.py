@@ -728,10 +728,57 @@ WHERE session_end <= mx - INTERVAL {WM_DELAY_MIN} MINUTE
 """
 
 
+def user_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch contract of streaming/stateful.py::start_user_topk (the
+    value-dependent-eviction state class): each user's top-TOPK_K
+    events by (value DESC, event_id ASC) with rank and the user's
+    lifetime event count n_seen — exactly the stage's final emission
+    (its max-n_seen rows per user). Strict oracle: pure row_number /
+    count windows, no arithmetic, both engines compare doubles
+    identically. Scale: one exchange on user_id (both windows share
+    the partitioning); per-user partitions are bounded by user
+    activity, no global sort. Reference lineage: the gold rank window
+    (`03_gold_layer_aggregation.py:25-28`) generalized from argmax to
+    top-k."""
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import TOPK_K
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        e.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n_seen",
+            F.count("*").over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("rank") <= TOPK_K)
+        .select("user_id", "rank", "event_id", "value", "n_seen")
+    )
+
+
+USER_TOPK_EVENTS_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id
+         ) AS BIGINT) AS rank,
+         count(*) OVER (PARTITION BY user_id) AS n_seen
+  FROM events
+)
+SELECT user_id, rank, event_id, value, n_seen
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "tumbling_watermark_rollup": (
         tumbling_watermark_rollup,
         TUMBLING_WATERMARK_ROLLUP_SQL,
+    ),
+    "user_topk_events": (
+        user_topk_events,
+        USER_TOPK_EVENTS_SQL,
     ),
     "session_watermark_rollup": (
         session_watermark_rollup,

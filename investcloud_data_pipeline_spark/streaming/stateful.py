@@ -364,3 +364,129 @@ def user_quota_gate(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------- per-user running top-k (value-dependent eviction) ----------
+#
+# The arbitrary-state class the window/dedup stages cannot express:
+# whether an arriving event ENTERS the state and which state row it
+# EVICTS depends on the event's VALUE relative to the rows already
+# held — not on time, keys, or uniqueness. Per user the state is the
+# running top-K events by (value DESC, event_id ASC) plus a lifetime
+# event counter; an arriving event displaces the current minimum iff
+# it outranks it. State is exactly K (value, event_id) pairs + one
+# counter per user — bounded for unbounded input, O(|users| · K).
+#
+# Emission contract (append mode): each batch a user appears in emits
+# the user's FULL current top-k tagged with the lifetime counter
+# n_seen; n_seen strictly increases per emission, so the FINAL ranking
+# is the emission with max(n_seen) per user — the same latest-pick
+# convention as the MG heavy-hitter stage. The batch contract is
+# plans/analytics_ext8.user_topk_events (strict DuckDB oracle):
+# final streamed rows == row_number()-top-K over the complete input,
+# INCLUDING the n_seen counter (== the user's total event count).
+#
+# Reference lineage: the gold layer's rank-within-user window
+# (`03_gold_layer_aggregation.py:25-28`) is this shape's batch
+# ancestor; the streaming form keeps the heap in the state store
+# instead of re-scanning history each trigger.
+
+TOPK_K = 5
+TOPK_OUTPUT_SCHEMA = (
+    "user_id long, rank long, event_id long, value double, n_seen long"
+)
+TOPK_STATE_SCHEMA = StructType(
+    [
+        StructField("event_ids", ArrayType(LongType())),
+        StructField("values", ArrayType(DoubleType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _make_topk_update(k: int):
+    def _update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, vals, n_seen = state.get
+            cur = list(zip(vals, ids))
+        else:
+            cur, n_seen = [], 0
+        for pdf in batches:
+            n_seen += len(pdf)
+            cur.extend(
+                zip(
+                    (float(v) for v in pdf["value"]),
+                    (int(i) for i in pdf["event_id"]),
+                )
+            )
+        # total order (value DESC, event_id ASC): ties cannot depend on
+        # arrival order, so replays emit identical rankings
+        cur.sort(key=lambda t: (-t[0], t[1]))
+        cur = cur[:k]
+        state.update(
+            (
+                [i for _, i in cur],
+                [v for v, _ in cur],
+                int(n_seen),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(cur),
+                "rank": list(range(1, len(cur) + 1)),
+                "event_id": [i for _, i in cur],
+                "value": [v for v, _ in cur],
+                "n_seen": [int(n_seen)] * len(cur),
+            }
+        )
+
+    return _update
+
+
+def user_running_topk(
+    events_stream: DataFrame, k: int = TOPK_K
+) -> DataFrame:
+    """Streaming per-user running top-k events by value — see the
+    section comment above for the state class and emission contract."""
+    return (
+        events_stream.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_topk_update(k),
+            outputStructType=TOPK_OUTPUT_SCHEMA,
+            stateStructType=TOPK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def start_user_topk(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = TOPK_K,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Production stage wrapper: file-stream source → running top-k →
+    append parquet sink with exactly-once checkpointing (same harness
+    as the window stages in streaming/windows.py)."""
+    from .windows import EVENTS_SCHEMA, _start
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+    return _start(
+        user_running_topk(stream, k),
+        out_dir,
+        checkpoint_dir,
+        "user_topk",
+        available_now,
+    )
