@@ -874,14 +874,20 @@ QUERIES["ann_pq_adc_kmeans_topk"] = (ann_pq_adc_kmeans_topk, None)
 # floor-pinned in tests/test_analytics_ext5.py.
 
 IVFPQ_NLIST = 16
-# Operating point (round-9 re-tune, ANN_TRADEOFF_r8 + the r9 probe):
-# nprobe=8's candidate-coverage ceiling is 0.811 recall@10 — no refine
-# depth can pass 0.80 with headroom there. nprobe=10 lifts coverage so
-# refine=100 reaches 0.849 at ~flat wall (the refine join is bounded
-# by |Q|·refine rows; the probe phase grows 1.25×, a small share of
-# the fit-dominated wall). Measured ladder at sf0.1 (100 queries):
-# (8,50) 0.707 → (8,150) 0.803 → (10,100) 0.849 → (10,150) 0.876.
-IVFPQ_NPROBE = 10
+# Operating point (round-10 re-tune; full ladder in ANN_RECALL_r10):
+# the binding constraint is CANDIDATE COVERAGE, measured exactly per
+# nprobe against the pipeline's own cell assignment —
+# nprobe 8/10/12/14/16 → ceiling 0.811/0.892/0.943/0.983/1.0 — so
+# nprobe=10 can never reach 0.90 at any refine depth. nprobe=12 +
+# refine=200 measures recall@10 = 0.933 (vs ceiling 0.943: the
+# shortlist captures ~99% of covered neighbors) at a wall
+# indistinguishable from (10,100) — the probe and refine deltas are
+# |Q|-bounded and the k-means fits dominate. Ladder at sf0.1
+# (100 queries): (10,100) 0.849 → (10,150) 0.876 → (12,100) 0.890 →
+# (12,150) 0.922 → (12,200) 0.933 → (14,150) 0.952. At fleet scale
+# nlist grows with the corpus and nprobe/nlist falls; 12/16 here is a
+# fixture-sized ratio, not the 100 TB one.
+IVFPQ_NPROBE = 12
 IVFPQ_CODEBOOK = 256
 IVFPQ_SEED = 67
 
@@ -1166,8 +1172,10 @@ def ivf_pq_adc_topk(
     )
 
 
-IVFPQ_REFINE = 100  # exact-refine shortlist depth (10× k was 50;
-# 100 buys 0.849 vs 0.707 recall@10 at flat wall — see ANN_TRADEOFF)
+IVFPQ_REFINE = 200  # exact-refine shortlist depth: 20× k. With
+# nprobe=12's 0.943 coverage ceiling, 200 recovers 0.933 recall@10
+# (150 → 0.922, 100 → 0.890); the refine join is |Q|·refine rows —
+# wall-invisible next to the k-means fits. See ANN_RECALL_r10.
 
 
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -332,16 +332,19 @@ def test_pq_adc_recall_sanity_and_kmeans_upgrade(spark, sf_dir):
     assert r_km64 >= r_sampled, (r_km64, r_sampled)
     assert r_km64 > 0.0
 
-    # The IVF-PQ + exact-refine registry query (round-9 re-tune,
-    # ANN_RECALL_r9: recall@10 0.849 at sf0.1 with nprobe=10,
-    # refine=100 — was 0.707 at nprobe=8/refine=50): residual coding +
-    # shortlist re-rank must clearly beat the codes-only kmeans path —
-    # pin a floor above it so a regression in the coarse probe, the
-    # residual codebook, or the refine join fails here. (At sf0.001
-    # the tiny corpus measures ~1.0; 0.7 is the conservative floor.)
+    # The IVF-PQ + exact-refine registry query (round-10 re-tune,
+    # ANN_RECALL_r10: recall@10 0.933 at sf0.1 with nprobe=12,
+    # refine=200 — the nprobe=10 ceiling was 0.892, so the probe width
+    # had to rise): residual coding + shortlist re-rank must clearly
+    # beat the codes-only kmeans path — pin a floor above it so a
+    # regression in the coarse probe, the residual codebook, or the
+    # refine join fails here. (At sf0.001 the tiny corpus measures
+    # ~1.0; the sweep test runs at sf0.01 where the measured point is
+    # lower than sf0.1's 0.933 — 0.8 is the conservative cross-sf
+    # floor, raised from 0.7 with the r10 operating point.)
     r_ivfpq = recall(AX5.ann_ivf_pq_topk(spark, sf_dir))
     emb.unpersist()
-    assert r_ivfpq >= max(0.7, r_km64), (r_ivfpq, r_km64)
+    assert r_ivfpq >= max(0.8, r_km64), (r_ivfpq, r_km64)
 
 
 def test_pq_codes_arrow_matches_expression_path(spark, sf_dir):

@@ -49,3 +49,20 @@ def test_rows_only_allowlist_is_exhaustive_and_minimal():
     )
     for name, reason in entrymod.ROWS_ONLY.items():
         assert reason.strip(), f"empty justification for {name}"
+
+
+def test_coverage_registry_section_in_sync():
+    """COVERAGE.md's generated registry inventory must match the live
+    registry — regenerate with `python tools/gen_coverage.py` when a
+    query is added/removed or its oracle strictness changes."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "tools" / "gen_coverage.py"),
+         "--check"],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr + proc.stdout
