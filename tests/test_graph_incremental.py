@@ -1,0 +1,223 @@
+"""Incremental connected-components maintenance (operators/
+graph_incremental.py): per batch of new dedup-graph edges, only the
+touched components are recontracted; the labelling after every batch
+must equal a from-scratch ``connected_components_auto`` over all edges
+seen so far (same min-member-id labels).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from investcloud_data_pipeline_spark.operators.graph import (
+    connected_components_auto,
+)
+from investcloud_data_pipeline_spark.operators.graph_incremental import (
+    cc_read,
+    cc_update_batch,
+    start_cluster_ingest,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id1 long, id2 long")
+
+
+def _labels(df):
+    return {(r.node, r.component) for r in df.collect()}
+
+
+def _scratch(spark, all_pairs):
+    return _labels(
+        connected_components_auto(
+            _edges_df(spark, all_pairs), src="id1", dst="id2"
+        ).selectExpr("node", "component")
+    )
+
+
+def test_incremental_equals_scratch_per_batch(spark, tmp_path):
+    """Three batches covering every interesting transition:
+    batch 1 creates components {1,2,3} and {10,11};
+    batch 2 BRIDGES them (value-carrying merge of two existing
+    components) and adds a fresh one {20,21};
+    batch 3 merges THAT into the big component — the remap row written
+    in batch 2 must chase the batch-3 merge (composition/single-hop
+    invariant), and {30,31} stays untouched."""
+    members, remap = str(tmp_path / "m"), str(tmp_path / "r")
+    batches = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(3, 10), (20, 21), (30, 31)],
+        [(21, 11)],
+    ]
+    seen = []
+    for edges in batches:
+        seen.extend(edges)
+        cc_update_batch(
+            spark, _edges_df(spark, edges), members, remap
+        )
+        got = _labels(cc_read(spark, members, remap))
+        assert got == _scratch(spark, seen), f"after {edges}"
+    # final shape: {1,2,3,10,11,20,21} -> 1, {30,31} -> 30
+    got = dict(_labels(cc_read(spark, members, remap)))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 20: 1, 21: 1,
+                   30: 30, 31: 30}
+    # single-hop invariant: no remap key appears as a value
+    from investcloud_data_pipeline_spark.operators.graph_incremental import (
+        _read_remap,
+    )
+
+    r = _read_remap(spark, remap)
+    keys = {x.comp_old for x in r.collect()}
+    vals = {x.comp_new for x in r.collect()}
+    assert not keys & vals
+
+
+def test_duplicate_and_intra_component_edges_are_noops(spark, tmp_path):
+    members, remap = str(tmp_path / "m"), str(tmp_path / "r")
+    cc_update_batch(spark, _edges_df(spark, [(1, 2), (2, 3)]),
+                    members, remap)
+    before = _labels(cc_read(spark, members, remap))
+    # replayed edge + intra-component edge: labelling unchanged, no
+    # member-store growth
+    n0 = spark.read.parquet(members).count()
+    cc_update_batch(spark, _edges_df(spark, [(1, 2), (1, 3)]),
+                    members, remap)
+    assert _labels(cc_read(spark, members, remap)) == before
+    assert spark.read.parquet(members).count() == n0
+
+
+def test_member_store_is_append_only_and_shard_pruned(spark, tmp_path):
+    """Affected-component-only contract, storage side: folding new
+    edges must never rewrite existing member files (stored components
+    are updated via the remap, not in place), and the probe plan's
+    scan carries a shard partition filter."""
+    members, remap = str(tmp_path / "m"), str(tmp_path / "r")
+    cc_update_batch(
+        spark,
+        _edges_df(spark, [(i, i + 1000) for i in range(50)]),
+        members,
+        remap,
+    )
+
+    def _files(d):
+        return {
+            os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before = _files(members)
+    cc_update_batch(
+        spark, _edges_df(spark, [(0, 1), (2000, 2001)]), members, remap
+    )
+    after = _files(members)
+    # every pre-existing file untouched byte-for-byte (same path, same
+    # mtime); growth is new files only
+    assert set(before) <= set(after)
+    assert all(after[p] == t for p, t in before.items())
+    assert _labels(cc_read(spark, members, remap)) == _scratch(
+        spark,
+        [(i, i + 1000) for i in range(50)] + [(0, 1), (2000, 2001)],
+    )
+    # the probe's member scan is shard-partition-filtered
+    probe = spark.read.schema(
+        "node long, comp0 long, shard int"
+    ).parquet(members).filter(F.col("shard").isin([3, 7]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "shard" in m.group(0), plan
+
+
+def test_streaming_cluster_ingest_e2e(spark, tmp_path):
+    """File-stream form: three pair files drained as micro-batches;
+    after the drain the labelling equals from-scratch CC over the
+    union, and a replay drain changes nothing (exactly-once)."""
+    import pandas as pd
+
+    src = str(tmp_path / "pairs")
+    os.makedirs(src)
+    batches = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(3, 10), (20, 21)],
+        [(21, 11), (40, 41)],
+    ]
+    for i, pairs in enumerate(batches):
+        pd.DataFrame(pairs, columns=["id1", "id2"]).to_parquet(
+            f"{src}/p{i}.parquet", index=False
+        )
+    members, remap, ck = (
+        str(tmp_path / d) for d in ("m", "r", "ck")
+    )
+    q = start_cluster_ingest(spark, src, members, remap, ck)
+    q.awaitTermination(120)
+    want = _scratch(spark, [p for b in batches for p in b])
+    assert _labels(cc_read(spark, members, remap)) == want and want
+
+    n0 = spark.read.parquet(members).count()
+    q2 = start_cluster_ingest(spark, src, members, remap, ck)
+    q2.awaitTermination(120)
+    assert _labels(cc_read(spark, members, remap)) == want
+    assert spark.read.parquet(members).count() == n0
+
+
+def test_chained_behind_pair_ingest(spark, tmp_path):
+    """Full chain: documents -> start_neardup_pair_ingest (pairs_dir)
+    -> start_cluster_ingest; incremental cluster ids equal the batch
+    connected_components_auto over the emitted pair set."""
+    import pandas as pd
+
+    from investcloud_data_pipeline_spark.streaming.documents import (
+        start_neardup_pair_ingest,
+    )
+
+    docs_src = str(tmp_path / "docs")
+    os.makedirs(docs_src)
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "the quick brown fox jumps over the lazy dog today",
+        3: "an entirely different document about spark streaming",
+        4: "the quick brown fox jumps over the lazy dog yesterday",
+        5: "an entirely different document about spark streaming",
+    }
+    for i, (doc_id, text) in enumerate(sorted(texts.items())):
+        pd.DataFrame(
+            {"doc_id": [doc_id], "text": [text]}
+        ).to_parquet(f"{docs_src}/d{i}.parquet", index=False)
+
+    pairs_dir, members_dir, ck1 = (
+        str(tmp_path / d) for d in ("pairs", "pmembers", "ck1")
+    )
+    table = "t_ccchain_band_index"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a crashed earlier run can leave the managed-table LOCATION behind
+    # without its catalog entry; saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS — clear the orphan too
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    q = start_neardup_pair_ingest(
+        spark, docs_src, pairs_dir, members_dir, ck1, index_table=table
+    )
+    q.awaitTermination(180)
+
+    cc_m, cc_r, ck2 = (
+        str(tmp_path / d) for d in ("ccm", "ccr", "ck2")
+    )
+    q2 = start_cluster_ingest(spark, pairs_dir, cc_m, cc_r, ck2)
+    q2.awaitTermination(120)
+
+    pairs = [
+        (r.id1, r.id2)
+        for r in spark.read.parquet(pairs_dir)
+        .select("id1", "id2")
+        .collect()
+    ]
+    assert pairs  # the exact-dup + near-dup fixtures must collide
+    want = _scratch(spark, pairs)
+    assert _labels(cc_read(spark, cc_m, cc_r)) == want

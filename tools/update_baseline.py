@@ -20,12 +20,26 @@ def main() -> int:
         for name, sec in sorted(d["queries"].items())
         if sec >= 0
     )
+    calib = d.get("host_calibration")
+    calib_line = ""
+    if calib:
+        mid = round((calib["before_s"] + calib["after_s"]) / 2, 3)
+        # the midpoint must be the FIRST number after the phrase — the
+        # compare tool's parser takes the first match
+        calib_line = (
+            f"\nHost calibration (single-core loop): {mid} s "
+            f"(midpoint; before {calib['before_s']} / after "
+            f"{calib['after_s']}) — tools/compare_baseline.py divides "
+            "future runs' calibration by this to get the "
+            "query-independent host-drag estimate.\n"
+        )
     section = f"""## Recorded BASELINE ({label}, min of 2 warm passes at sf{d['sf']})
 
 Config: Spark 4.1.2 `local[32]`, AQE on, shuffle.partitions=32, UTC,
 Arrow enabled; single warm JVM, every query materialized via the `noop`
 sink twice, per-query minimum recorded (single-run variance on this
 host is ±40%, so min-of-2 is the reproducible number).
+{calib_line}
 
 | query | sec |
 |---|---|
