@@ -19,7 +19,8 @@ TOOL = REPO / "tools" / "compare_baseline.py"
 
 def _run(tmp_path, base: dict, now: dict, threshold: float = 2.0,
          base_calib: float | None = None,
-         bench_calib: tuple[float, float] | None = None):
+         bench_calib: tuple[float, float] | None = None,
+         extra: list | None = None):
     baseline_md = tmp_path / "BASELINE.md"
     lines = ["# baseline", ""]
     if base_calib is not None:
@@ -40,7 +41,8 @@ def _run(tmp_path, base: dict, now: dict, threshold: float = 2.0,
     proc = subprocess.run(
         [sys.executable, str(TOOL), "--no-retime",
          "--threshold", str(threshold),
-         "--bench", str(bench_json), "--baseline", str(baseline_md)],
+         "--bench", str(bench_json), "--baseline", str(baseline_md)]
+        + (extra or []),
         capture_output=True, text=True, cwd=REPO,
     )
     return proc.returncode, proc.stdout
@@ -155,13 +157,13 @@ def test_drag_clamped_at_one_on_faster_host(tmp_path):
 
 def test_semantic_change_is_reported_not_fatal(tmp_path):
     # a ledgered query regresses past threshold: it lands in the
-    # SEMANTIC CHANGES section with its rationale, exit stays 0
-    from tools.compare_baseline import SEMANTIC_CHANGES
-
-    name = next(iter(SEMANTIC_CHANGES))
+    # SEMANTIC CHANGES section with its rationale, exit stays 0.
+    # The live ledger is empty post-re-anchor, so the entry is
+    # injected via the --semantic test hook.
+    name = "qsem"
     base = {name: 1.0, "q1": 1.0, "q2": 1.0}
     now = {name: 5.0, "q1": 1.0, "q2": 1.0}
-    rc, out = _run(tmp_path, base, now)
+    rc, out = _run(tmp_path, base, now, extra=["--semantic", name])
     assert rc == 0
     assert "SEMANTIC CHANGES" in out
     assert f"{name}: 1.00s -> 5.00s (5.00x)" in out

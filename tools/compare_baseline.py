@@ -62,29 +62,12 @@ RETIME_BASELINE_CUTOFF_S = 1.0
 # that changed the contract and what changed; entries are reported in
 # their own section (never silently dropped) and do not affect the
 # exit code. Remove an entry when the baseline is next re-anchored.
-SEMANTIC_CHANGES: dict[str, str] = {
-    "embedding_pca_project": (
-        "round-9 strict-oracle conversion (5835aca): output contract "
-        "changed from a per-vector 2-component projection to an "
-        "8-component validation report with exact decimal-disciplined "
-        "variance anchors — the report adds a full decimal variance "
-        "pass over the embeddings that the frozen 0.865s never ran"
-    ),
-    "corpus_topic_clusters": (
-        "round-9 strict-oracle conversion (5835aca): output changed "
-        "from a top-terms report to a per-cluster validation relation "
-        "that re-verifies EVERY member nearest its own centroid — an "
-        "extra all-members x all-centroids distance pass the frozen "
-        "1.208s never ran (the old report lives on as "
-        "topic_cluster_terms)"
-    ),
-    "corpus_stratified_sample": (
-        "round-9 strict-oracle conversion (5835aca): output changed "
-        "from sampled rows to a per-stratum report with exact totals, "
-        "fractions, and Binomial mean+-6sigma sample-size gates — "
-        "per-stratum aggregation passes the frozen 0.221s never ran"
-    ),
-}
+# Emptied at the round-10 re-anchor: the new frozen table measured the
+# current definition of every query (including the r9 strict-oracle
+# conversions and the r10 data-adaptive redefinitions), so no ledgered
+# divergence remains. Add entries ONLY when a query's computation
+# changes after the freeze; remove them at the next re-anchor.
+SEMANTIC_CHANGES: dict[str, str] = {}
 
 
 def _retime_min(names: list[str], sf_dir: str) -> dict[str, float]:
@@ -135,6 +118,12 @@ def main() -> int:
     baseline_path = "BASELINE.md"
     if "--baseline" in sys.argv:
         baseline_path = sys.argv[sys.argv.index("--baseline") + 1]
+    # test hook: inject a semantic-change entry so the (currently
+    # empty, post-re-anchor) ledger's reporting path stays unit-tested
+    if "--semantic" in sys.argv:
+        SEMANTIC_CHANGES[sys.argv[sys.argv.index("--semantic") + 1]] = (
+            "synthetic test entry (--semantic)"
+        )
 
     with open(bench_path) as fh:
         bench_doc = json.load(fh)
