@@ -320,3 +320,79 @@ def start_cluster_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cc_compact(
+    spark: SparkSession, members_dir: str, remap_dir: str
+) -> dict:
+    """Fold the remap into the member store and reset it — the
+    long-run maintenance op that keeps the remap broadcastable: the
+    remap grows with the number of components ever merged, and at
+    fleet scale months of ingest would eventually push it past
+    broadcast size. Compaction rewrites every member row with its
+    CURRENT component (one broadcast join, shard partitioning
+    preserved) and commits an empty remap, restoring the steady state
+    where reads are a scan plus a tiny broadcast.
+
+    OFFLINE op (the `compact_parquet_dir` contract): stop
+    ``start_cluster_ingest`` before calling. Crash discipline:
+    - the rewrite lands in a temp sibling and swaps in by rename
+      (readers never see a partial store; the store is briefly absent
+      mid-swap, as with `operators/maintenance.py`);
+    - the remap reset commits under the SAME epoch id as the current
+      marker (a `v_<epoch>_compact` version dir), so the stream's
+      replay guard (`epoch_id <= committed`) is untouched and the next
+      micro-batch is not mis-skipped;
+    - a crash after the swap but before the remap reset leaves
+      remap rows whose keys no longer appear as any comp0 — harmless
+      no-op rows, removed by re-running compaction.
+    """
+    import shutil
+
+    remap = _read_remap(spark, remap_dir)
+    n_remap = remap.count()
+    members = _read_members(spark, members_dir)
+    compacted = (
+        members.join(
+            F.broadcast(remap),
+            members.comp0 == remap.comp_old,
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("comp_new", "comp0").alias("comp0"),
+            "shard",
+        )
+    )
+    tmp = members_dir.rstrip("/") + "__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        compacted.repartition(CC_SHARDS, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    # preserve the epoch markers: replay idempotence must survive
+    markers = os.path.join(members_dir, "_epochs")
+    if os.path.isdir(markers):
+        shutil.copytree(markers, os.path.join(tmp, "_epochs"))
+    old = members_dir.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(members_dir, old)
+    os.rename(tmp, members_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+    committed, _ = read_committed(remap_dir)
+    vdir = os.path.join(remap_dir, f"v_{committed}_compact")
+    spark.createDataFrame([], _REMAP_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(vdir)
+    commit_version(remap_dir, committed, vdir)
+    return {
+        "remap_rows_folded": int(n_remap),
+        "nodes": int(
+            spark.read.schema(_MEMBERS_SCHEMA + ", shard int")
+            .parquet(members_dir)
+            .count()
+        ),
+    }

@@ -221,3 +221,52 @@ def test_chained_behind_pair_ingest(spark, tmp_path):
     assert pairs  # the exact-dup + near-dup fixtures must collide
     want = _scratch(spark, pairs)
     assert _labels(cc_read(spark, cc_m, cc_r)) == want
+
+
+def test_compaction_folds_remap_and_preserves_labels(spark, tmp_path):
+    """cc_compact folds the accumulated merge history into comp0 and
+    resets the remap: labels identical before/after, remap 0 rows,
+    shard partitioning + epoch markers preserved, and subsequent
+    incremental updates keep matching from-scratch CC."""
+    from investcloud_data_pipeline_spark.operators.graph_incremental import (
+        _read_remap,
+        cc_compact,
+    )
+
+    members, remap = str(tmp_path / "m"), str(tmp_path / "r")
+    batches = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(3, 10), (20, 21), (30, 31)],
+        [(21, 11)],
+    ]
+    seen = []
+    for edges in batches:
+        seen.extend(edges)
+        cc_update_batch(spark, _edges_df(spark, edges), members, remap)
+    before = _labels(cc_read(spark, members, remap))
+    assert _read_remap(spark, remap).count() > 0  # history to fold
+
+    n_markers = len(os.listdir(os.path.join(members, "_epochs")))
+    stats = cc_compact(spark, members, remap)
+    assert stats["remap_rows_folded"] > 0
+    assert _read_remap(spark, remap).count() == 0
+    assert _labels(cc_read(spark, members, remap)) == before
+    # shard layout + markers survive the swap
+    assert any(
+        e.startswith("shard=") for e in os.listdir(members)
+    )
+    assert len(os.listdir(os.path.join(members, "_epochs"))) == n_markers
+
+    # the stream keeps going after compaction: a new bridge merge
+    # composed against the RESET remap still equals from-scratch
+    more = [(31, 1), (50, 51)]
+    seen.extend(more)
+    cc_update_batch(spark, _edges_df(spark, more), members, remap)
+    assert _labels(cc_read(spark, members, remap)) == _scratch(
+        spark, seen
+    )
+    # idempotence: compacting again folds the new (tiny) history too
+    cc_compact(spark, members, remap)
+    assert _labels(cc_read(spark, members, remap)) == _scratch(
+        spark, seen
+    )
