@@ -490,3 +490,114 @@ def start_user_topk(
         "user_topk",
         available_now,
     )
+
+
+# ---------- event-time-expiring sessions (EventTimeTimeout timers) ----------
+#
+# Completes the custom-state timer matrix: NoTimeout (running totals /
+# top-k), ProcessingTimeTimeout (expiring_user_sessions), and — here —
+# EventTimeTimeout: the session closes when the WATERMARK passes
+# last_event_time + gap, i.e. deterministically in event time (replays
+# and re-runs close sessions at identical points, which the wall-clock
+# variant cannot promise). This is the custom-state generalization of
+# F.session_window — the built-in emits fixed aggregates, while the
+# timer form can emit ARBITRARY per-session state (here count + exact
+# micros sum + first/last event time). State: one row per OPEN session,
+# evicted by its timer — bounded by active users per watermark horizon.
+
+ET_SESSION_OUTPUT = (
+    "user_id long, n_events long, total_micros long, "
+    "session_start timestamp, session_end timestamp"
+)
+ET_SESSION_STATE = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_micros", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _make_event_time_session(gap_ms: int):
+    def _session(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, micros, start_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_micros": [micros],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [
+                        pd.Timestamp(last_us, unit="us")
+                        + pd.Timedelta(milliseconds=gap_ms)
+                    ],
+                }
+            )
+            return
+        n, micros, start_us, last_us = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            # integer-micros sum: exact, replay-identical
+            micros += int(
+                (pdf["value"] * 1_000_000).astype("int64").sum()
+            )
+            ts_us = pdf["ts"].astype("int64") // 1000
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, micros, start_us, last_us))
+        # event-time timer: fires when the watermark passes this point
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [],
+                "n_events": [],
+                "total_micros": [],
+                "session_start": [],
+                "session_end": [],
+            }
+        ).astype(
+            {
+                "user_id": "int64",
+                "n_events": "int64",
+                "total_micros": "int64",
+                "session_start": "datetime64[us]",
+                "session_end": "datetime64[us]",
+            }
+        )
+
+    return _session
+
+
+def event_time_user_sessions(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Watermark-closed per-user sessions with arbitrary state — the
+    EventTimeTimeout timer class. ``events_stream`` needs (ts, user_id,
+    value); the watermark on ``ts`` drives both late-row admission and
+    the session-closing timers."""
+    return (
+        events_stream.withWatermark("ts", gap)
+        .select("ts", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_event_time_session(gap_ms),
+            outputStructType=ET_SESSION_OUTPUT,
+            stateStructType=ET_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -198,3 +198,77 @@ def test_user_quota_gate_across_batches(spark, tmp_path):
     # per-user admitted counts never exceed the quota
     for u in (1, 2):
         assert sum(1 for r in rows if r.user_id == u and r.admitted) == 3
+
+
+def test_event_time_sessions_close_at_watermark(spark, tmp_path):
+    """EventTimeTimeout timer class: a session closes exactly when the
+    WATERMARK (driven by later events, not wall clock) passes
+    last_event + gap; its emitted row equals the batch F.session_window
+    aggregate over the same events; a session still inside the horizon
+    stays open (no emission). Cross-batch: batch 2 extends user 1's
+    open session before a batch-3 far-future event closes everything
+    closable."""
+    from pyspark.sql import functions as F
+
+    from investcloud_data_pipeline_spark.streaming.stateful import (
+        event_time_user_sessions,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+
+    def write(name, rows):
+        os.makedirs(src, exist_ok=True)
+        pd.DataFrame(rows, columns=["ts", "user_id", "value"]).astype(
+            {"ts": "datetime64[us]"}
+        ).to_parquet(f"{src}/{name}", index=False)
+
+    def drain():
+        stream = event_time_user_sessions(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = pd.Timestamp("2024-03-01")
+    m = pd.Timedelta(minutes=1)
+    write("b1.parquet", [(t, 1, 1.25), (t + 5 * m, 1, 2.5)])
+    # batch 2 EXTENDS the open session (within the 30-min gap) — the
+    # timer must move, not fire
+    write("b2.parquet", [(t + 20 * m, 1, 4.0)])
+    # batch 3: a far-future event pushes the watermark past user 1's
+    # last_event + gap, closing the session; user 2's own session
+    # stays OPEN (inside the horizon relative to the new watermark)
+    write("b3.parquet", [(t + pd.Timedelta(hours=6), 2, 8.0)])
+    drain()
+
+    rows = spark.read.parquet(out).collect()
+    got = {r.user_id: r for r in rows}
+    # exactly ONE closed session: user 1's, spanning all three events
+    assert set(got) == {1}
+    r = got[1]
+    assert r.n_events == 3
+    assert r.total_micros == int((1.25 + 2.5 + 4.0) * 1_000_000)
+    assert r.session_start == t.to_pydatetime()
+    assert r.session_end == (
+        t + 20 * m + pd.Timedelta(minutes=30)
+    ).to_pydatetime()
+    # replay idempotence: another drain over the same checkpoint
+    # appends nothing and leaves user 2's session open
+    drain()
+    assert spark.read.parquet(out).count() == 1
