@@ -7,22 +7,98 @@ Each query is executed with a count-style action (collect to driver is not
 the workload being measured; we force full materialization of the plan via
 ``df.write.format("noop")`` which executes every operator but discards
 rows — the standard Spark benchmarking sink).
+
+Budget protocol (round 11, fixing the round-10 cold-pass artifact): with
+263 registry queries a full pass takes ~350-420s depending on host drag,
+so the old "2 full passes unless the budget is exceeded" design degraded
+to a SINGLE COLD pass whenever the host ran slow — and BASELINE.md is
+min-of-warm, so comparing cold-vs-warm produced 8 false >2x regression
+flags in round 10 (all <=1.42x when re-timed warm). The new protocol:
+
+1. Pass 1 runs every query once (cold).
+2. The remaining budget is spent on WARM re-runs in worst-ratio-first
+   order against BASELINE.md's frozen per-query table (unbaselined
+   queries last, by descending cold time) — the queries most likely to
+   be falsely flagged get their warm sample first.
+3. Any query whose COLD ratio already exceeds the 2.0x flag threshold is
+   GUARANTEED a warm re-run even past the soft budget, inside a bounded
+   reserve (SPARK_GRAFT_BENCH_FLAG_RESERVE_S, default 180s): a false
+   flag costs a full adjudication cycle, which is worse than a bounded
+   overrun. Round 9's two-full-pass sweep ran ~700s wall under the same
+   driver without issue, so soft 560s + 180s reserve stays inside
+   demonstrated tolerance.
+4. BENCH_DETAIL.json records per-query pass provenance ("cold" first-run
+   wall and "passes" run counts) so tools/compare_baseline.py can tell a
+   warm-confirmed number from a first-touch-only sample.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Raw per-query flag threshold used by tools/compare_baseline.py; a cold
+# sample past this line is guaranteed a warm re-run (see module docstring).
+FLAG_THRESHOLD = 2.0
+
+
+def load_baseline_table(path: str) -> dict[str, float]:
+    """Parse BASELINE.md's '## Recorded BASELINE' pipe table into
+    {query: frozen_sec}. Same grammar as tools/compare_baseline.py;
+    returns {} when the file or table is absent (warm phase then falls
+    back to descending-cold-time order)."""
+    try:
+        with open(path) as fh:
+            text = fh.read()
+    except OSError:
+        return {}
+    base: dict[str, float] = {}
+    in_table = False
+    for line in text.splitlines():
+        if line.startswith("## Recorded BASELINE"):
+            in_table = True
+            continue
+        if in_table and line.startswith("## "):
+            break
+        if not in_table:
+            continue
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
+        if m:
+            base[m.group(1)] = float(m.group(2))
+    return base
+
+
+def warm_priority(
+    cold: dict[str, float], baseline: dict[str, float]
+) -> list[str]:
+    """Warm-phase ordering: baselined queries by descending cold/baseline
+    ratio (the most-likely-false-flag queries first), then unbaselined
+    queries by descending cold wall (their numbers seed the NEXT
+    baseline, so the expensive ones benefit most from a warm sample).
+    Errored queries (wall < 0) are excluded — re-running a failure
+    wastes budget without producing a comparable number."""
+
+    def key(name: str):
+        b = baseline.get(name)
+        if b is not None and b > 0:
+            return (1, cold[name] / b, cold[name])
+        return (0, 0.0, cold[name])
+
+    return sorted(
+        (n for n, t in cold.items() if t >= 0), key=key, reverse=True
+    )
 
 
 def main() -> None:
     import __spark_entry__ as entrymod
     from investcloud_data_pipeline_spark.session import get_spark
 
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
@@ -52,41 +128,92 @@ def main() -> None:
     for t in ("lineitem", "events"):
         load_table(spark, sf_dir, t).limit(1).count()
 
-    # Two passes, min per query: single-run timings on this box swing
-    # ±40% (JIT, page cache, GC alignment); min-of-2 warm runs is the
-    # achievable number and is what BASELINE.md's per-query table holds.
+    # BASELINE.md's frozen table is sf0.1: at any other sf its ratios
+    # are meaningless, so the warm phase falls back to cold-time order
+    # and nothing is "flagged" (no false reserve spend at dev sfs).
+    baseline = (
+        load_baseline_table(os.path.join(repo_dir, "BASELINE.md"))
+        if abs(sf - 0.1) < 1e-9
+        else {}
+    )
+
+    # Soft budget: the warm phase stops starting new re-runs past this.
+    # Reserve: bounded extra wall available ONLY to warm-confirm queries
+    # whose cold sample already crossed the flag threshold.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "560"))
+    reserve_s = float(
+        os.environ.get("SPARK_GRAFT_BENCH_FLAG_RESERVE_S", "180")
+    )
+    # Max warm re-runs per query (total passes = this + the cold pass).
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    # Budget guard: never start a later pass if the elapsed wall clock
-    # already exceeds this — protects any driver-side timeout while
-    # keeping min-of-2 on the normal path.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+
+    queries = entrymod.queries()
     bench_t0 = time.time()
-    timings: dict[str, float] = {}
-    for pass_i in range(n_passes):
-        if pass_i > 0 and time.time() - bench_t0 > budget_s:
-            print(
-                f"bench: skipping pass {pass_i + 1} (budget {budget_s}s exceeded)",
-                file=sys.stderr,
-            )
-            break
-        for name, fn in entrymod.queries().items():
-            t0 = time.time()
-            try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                elapsed = round(time.time() - t0, 3)
-            except Exception as exc:  # noqa: BLE001
-                print(f"bench error in {name}: {exc}", file=sys.stderr)
-                elapsed = -1.0
-            prev = timings.get(name)
-            if prev is None or prev < 0 or (0 <= elapsed < prev):
-                timings[name] = elapsed
+
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        try:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+            return -1.0
+
+    # --- pass 1: cold ---
+    cold: dict[str, float] = {}
+    for name in queries:
+        cold[name] = run_once(name)
+    timings = dict(cold)
+    passes = {name: 1 for name in cold}
+
+    # --- warm phase: worst-ratio-first within budget ---
+    order = warm_priority(cold, baseline)
+    flagged = {
+        n
+        for n in order
+        if baseline.get(n, 0) > 0
+        and cold[n] / baseline[n] > FLAG_THRESHOLD
+    }
+    warm_reruns = 0
+    for warm_round in range(max(0, n_passes - 1)):
+        for name in order:
+            elapsed = time.time() - bench_t0
+            if elapsed > budget_s + reserve_s:
+                break
+            if elapsed > budget_s and (
+                name not in flagged or passes[name] > 1
+            ):
+                # past the soft budget the reserve is spent ONLY on
+                # not-yet-warm flagged queries
+                continue
+            t = run_once(name)
+            if t >= 0:
+                warm_reruns += 1
+                passes[name] += 1
+                if timings[name] < 0 or t < timings[name]:
+                    timings[name] = t
+        else:
+            continue
+        break
+    skipped_warm = sum(1 for n in order if passes.get(n, 0) < 2)
+    if skipped_warm:
+        print(
+            f"bench: {skipped_warm} queries did not get a warm pass "
+            f"(soft budget {budget_s}s, reserve {reserve_s}s); all raw "
+            f">{FLAG_THRESHOLD}x cold candidates "
+            f"{'were warm-confirmed' if all(passes[n] > 1 for n in flagged) else 'INCLUDE COLD-ONLY SAMPLES'}",
+            file=sys.stderr,
+        )
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     calib = {"before_s": calib_before, "after_s": _calib()}
 
     # Full per-query detail goes to a sidecar file; the stdout line must fit
     # entirely inside the driver's 2000-char tail buffer or it records
     # parsed:null (this happened in round 1 with all ~90 queries inlined).
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -94,6 +221,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold": cold,
+                "passes": passes,
+                "warm_reruns": warm_reruns,
+                "budget_s": budget_s,
+                "flag_reserve_s": reserve_s,
+                "bench_wall_s": round(time.time() - bench_t0, 1),
                 "sf": sf,
                 "host_calibration": calib,
             },
@@ -112,6 +245,7 @@ def main() -> None:
         "unit": "sec",
         "queries": inlined,
         "queries_total": len(timings),
+        "warm_reruns": warm_reruns,
         "detail_file": "BENCH_DETAIL.json",
         "sf": sf,
         "host_calibration": calib,

@@ -922,6 +922,125 @@ def repeated_spans(df: DataFrame, k: int = 8,
     return spans
 
 
+def exactsubstr_keep_first(df: DataFrame, k: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr dedup with Lee et al. 2022's ACTUAL removal rule —
+    keep the FIRST occurrence of every duplicated substring, strip the
+    rest — where :func:`strip_repeated_spans` is the conservative
+    strip-everywhere variant. Two semantic deltas, each a new operator
+    shape (round-11 registry class):
+
+    1. CANONICAL-OCCURRENCE SELECTION: duplicated k-token windows are
+       ranked corpus-globally (row_number over the window hash, ordered
+       by (doc_id, pos)); only occurrences ranked >= 2 are stripped, so
+       exactly one copy of each duplicated passage survives in the
+       corpus — at min (doc_id, pos), the deterministic total order.
+    2. WITHIN-DOC REPEATS COUNT: a window occurring twice inside one
+       document is duplicated (the existence-flag variant requires two
+       distinct docs and misses self-repetition — the "repeated lorem
+       blocks inside one crawl page" failure mode).
+
+    Approximation note (inherent to span-merging, documented not
+    hidden): a canonical occurrence's tokens can still be removed when
+    a DIFFERENT window's non-canonical occurrence overlaps them; the
+    guarantee is "every duplicated window survives somewhere" per
+    window, not per merged span.
+
+    Plan shape = tokenizer barrier -> window explode (O(total tokens)
+    rows of (id, pos, hash) — the documented memory bound: no suffix
+    array, nothing per-task beyond one doc's token array) -> ONE
+    shuffle on the window hash for the global rank -> per-doc
+    gaps-and-islands span merge -> JVM token filter. Cites the
+    reference's dedup stage (02_silver_layer_processing.py:21) as the
+    whole-row ancestor this generalizes."""
+    tok = tokenized(df, text_col, id_col)
+    n_tok = F.size("toks")
+    win = tok.select(
+        "id",
+        F.explode(
+            F.when(
+                n_tok < k,
+                F.array().cast("array<struct<pos:int,gh:bigint>>"),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), n_tok - F.lit(k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(F.slice("toks", i, k)).alias("gh"),
+                    ),
+                )
+            )
+        ).alias("w"),
+    ).select("id", F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
+    w_occ = Window.partitionBy("gh").orderBy("id", "pos")
+    strip = (
+        win.withColumn("occ", F.row_number().over(w_occ))
+        .filter(F.col("occ") >= 2)
+        .select("id", "pos")
+    )
+
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        strip.withColumn(
+            "prev_end", F.max(F.col("pos") + k - 1).over(w_prev)
+        )
+        .withColumn(
+            "new_grp",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("pos") > F.col("prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("new_grp").over(w_run))
+        .groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                F.col("span_end").alias("e"),
+            )
+        ).alias("spans")
+    )
+    joined = tok.join(per_doc, "id", "left")
+    kept_pos = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda p: ~F.exists(
+            F.coalesce(
+                F.col("spans"),
+                F.array().cast("array<struct<s:int,e:int>>"),
+            ),
+            lambda sp: (p >= sp["s"]) & (p <= sp["e"]),
+        ),
+    )
+    kept = F.transform(kept_pos, lambda p: F.element_at("toks", p))
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.when(F.size("toks") == 0, F.lit("")).otherwise(
+            F.array_join(kept, " ")
+        ).alias("text_dedup"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.when(F.size("toks") == 0, F.lit(0).cast("long")).otherwise(
+            (F.size("toks") - F.size(kept)).cast("long")
+        ).alias("n_removed"),
+    )
+
+
 def strip_repeated_spans(df: DataFrame, k: int = 8,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:

@@ -51,7 +51,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming.atomic import commit_version, read_committed, version_path
+from ..streaming.atomic import (
+    commit_version,
+    drop_superseded,
+    read_committed,
+    version_path,
+)
 from ..streaming.bronze import mark_sink_epoch, sink_epoch_committed
 
 CC_SHARDS = 64
@@ -271,6 +276,11 @@ def cc_update_batch(
         vdir = version_path(remap_dir, epoch_id)
         new_remap.coalesce(1).write.mode("overwrite").parquet(vdir)
         commit_version(remap_dir, epoch_id, vdir)
+        # GC superseded remap versions: without this every micro-batch
+        # left one full remap copy on disk forever (round-11 ADVICE).
+        # retain=2 keeps the previous version readable for incident
+        # debugging, same dial as the other versioned sinks.
+        drop_superseded(remap_dir, vdir, retain=2)
     finally:
         for df in caches:
             df.unpersist()
@@ -383,11 +393,16 @@ def cc_compact(
     shutil.rmtree(old, ignore_errors=True)
 
     committed, _ = read_committed(remap_dir)
+    # Same-epoch re-commit under a suffixed dir: the replay guard
+    # (epoch_id <= committed) must not move, and overwriting v_<epoch>
+    # in place would expose a partial read window. atomic._epoch_of
+    # parses the suffix, so GC/list still work (round-11 ADVICE).
     vdir = os.path.join(remap_dir, f"v_{committed}_compact")
     spark.createDataFrame([], _REMAP_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(vdir)
     commit_version(remap_dir, committed, vdir)
+    drop_superseded(remap_dir, vdir, retain=1)
     return {
         "remap_rows_folded": int(n_remap),
         "nodes": int(

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.batch import load_table
+from ..streaming.stateful import TOPK_K
 
 N_BINS = 256
 DEC = "decimal(18,2)"
@@ -742,8 +743,6 @@ def user_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k."""
     from pyspark.sql import Window
 
-    from ..streaming.stateful import TOPK_K
-
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
     return (
@@ -757,7 +756,10 @@ def user_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-USER_TOPK_EVENTS_SQL = """
+# TOPK_K interpolated, not hardcoded: bumping the streaming stage's K
+# must not silently desync this strict oracle from the DataFrame twin
+# (round-11 ADVICE).
+USER_TOPK_EVENTS_SQL = f"""
 WITH ranked AS (
   SELECT user_id, event_id, value,
          CAST(row_number() OVER (
@@ -767,7 +769,7 @@ WITH ranked AS (
   FROM events
 )
 SELECT user_id, rank, event_id, value, n_seen
-FROM ranked WHERE rank <= 5
+FROM ranked WHERE rank <= {TOPK_K}
 """
 
 

@@ -125,6 +125,53 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def interval_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER interval attribution (round 11): every attributed
+    (purchase, click) pair PLUS unattributed purchases (null click
+    columns) PLUS clicks that converted nothing (null purchase columns)
+    — the batch form of the one stream-stream join mode the module
+    lacked. ``streaming/joins.py::attribute_purchases(how="full_outer")``
+    runs the IDENTICAL plan on two unbounded streams, where both sides'
+    state evicts on watermark + the 15-minute bound.
+
+    Scale: same single user_id shuffle as the inner form — outer-ness
+    adds no extra exchange, only null-padding at the join operator; the
+    interval bound is what keeps streaming state (and a 100 TB batch
+    join's per-key fan-out) finite."""
+    from ..streaming.joins import attribute_purchases
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    return attribute_purchases(
+        clicks, purchases, window="15 minutes", how="full_outer"
+    )
+
+
+INTERVAL_ATTRIBUTION_FULL_SQL = """
+WITH p AS (
+  SELECT user_id, ts AS purchase_ts, value AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT coalesce(p.user_id, c.user_id) AS user_id,
+       p.purchase_ts, p.amount, c.click_id, c.click_ts
+FROM p FULL OUTER JOIN c
+  ON p.user_id = c.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 15 MINUTE
+"""
+
+
 def gap_fill_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + forward fill: per user, a dense hourly grid
     from their first to last event hour, carrying the latest observed
@@ -1018,6 +1065,10 @@ QUERIES = {
     "attribution_linear": (attribution_linear, ATTRIBUTION_LINEAR_SQL),
     "time_decayed_user_value": (time_decayed_user_value, TIME_DECAYED_USER_VALUE_SQL),
     "interval_attribution": (interval_attribution, INTERVAL_ATTRIBUTION_SQL),
+    "interval_attribution_full": (
+        interval_attribution_full,
+        INTERVAL_ATTRIBUTION_FULL_SQL,
+    ),
     "gap_fill_hourly_values": (gap_fill_hourly_values, GAP_FILL_HOURLY_VALUES_SQL),
     "range_join_nearby_events": (range_join_nearby_events, RANGE_JOIN_NEARBY_EVENTS_SQL),
     "top_orders_global": (top_orders_global, TOP_ORDERS_GLOBAL_SQL),

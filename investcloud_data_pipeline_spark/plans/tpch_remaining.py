@@ -158,7 +158,15 @@ GROUP BY n_name, year(o_orderdate)
 # sf0.001/0.01/0.1 — non-empty and bounded at every scale). The
 # predicate is evaluated in exact DECIMAL space
 # (part_value · n_parts > 2 · total_value) so the boundary cannot flip
-# on float summation order in either engine.
+# on float summation order in either engine. Precision ceiling
+# (round-11 ADVICE): pv_dec·np and 2·tv_dec widen the intermediates,
+# and Spark caps DECIMAL at 38 digits — the exactness claim holds while
+# total ASIA value × n_parts stays under 10^36 (≈10^5 beyond a 100 TB
+# lineitem), past which Spark loses digits (or nulls under ANSI) while
+# DuckDB stays exact. Rewriting as pv_dec > 2·tv_dec/np would shrink
+# the intermediates but introduces DECIMAL division ROUNDING, whose
+# engine-specific scale rules can flip the boundary at any size — the
+# documented ceiling is the better trade.
 # Scale: the scalar total is one extra pass over the SAME filtered join
 # — Spark computes it as a 1-row aggregate broadcast into the filter;
 # both passes share the scan via exchange reuse.

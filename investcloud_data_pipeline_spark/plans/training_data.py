@@ -3519,6 +3519,81 @@ FROM k
 """
 
 
+def dedup_exactsubstr_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ExactSubstr with the paper's keep-first rule (Lee et al. 2022):
+    rank every duplicated 8-token window's occurrences corpus-globally
+    by (doc_id, pos) and strip only ranks >= 2 — exactly one copy of
+    each duplicated passage survives, and WITHIN-DOC repeats are
+    deduplicated too (both deltas vs dedup_strip_spans, which strips
+    every occurrence and only sees cross-doc duplication)."""
+    return DF.exactsubstr_keep_first(_docs(spark, sf_dir), k=8)
+
+
+DEDUP_EXACTSUBSTR_KEEP_FIRST_SQL = f"""
+WITH docs AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM docs WHERE norm <> ''),
+win AS (
+  SELECT doc_id, pos, gh FROM (
+    SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos,
+           [md5(array_to_string(t[i:i+7], ' ')) FOR i IN range(1, len(t) - 6)] AS ghs
+    FROM toks WHERE len(t) >= 8
+  ) x, LATERAL (SELECT ghs[pos] AS gh)
+),
+flagged AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS occ
+    FROM win
+  ) WHERE occ >= 2
+),
+marked AS (
+  SELECT doc_id, pos,
+         max(pos + 7) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM flagged
+),
+grouped AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM grouped GROUP BY doc_id, grp
+),
+sp AS (SELECT doc_id, list([s, e]) AS spans FROM spans GROUP BY 1),
+j AS (
+  SELECT d.doc_id, t.t, coalesce(sp.spans, []) AS spans
+  FROM documents d
+  LEFT JOIN toks t USING (doc_id)
+  LEFT JOIN sp USING (doc_id)
+),
+k AS (
+  SELECT doc_id, t, spans,
+         CASE WHEN t IS NULL THEN []
+              ELSE list_filter(range(1, len(t) + 1),
+                               p -> len(list_filter(spans,
+                                    s -> p >= s[1] AND p <= s[2])) = 0)
+         END AS kept
+  FROM j
+)
+SELECT doc_id,
+       CASE WHEN t IS NULL THEN ''
+            -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+            ELSE coalesce(array_to_string([t[p] FOR p IN kept], ' '), '')
+       END AS text_dedup,
+       CAST(coalesce(len(t), 0) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN t IS NULL THEN 0 ELSE len(t) - len(kept) END AS BIGINT)
+         AS n_removed
+FROM k
+"""
+
+
 # ---------- BM25 lexical retrieval ----------
 #
 # Sparse keyword search over the corpus: Okapi BM25 (Robertson et al.,
@@ -3654,6 +3729,10 @@ LIMIT {BM25_TOPK}
 QUERIES = {
     "text_bm25_search": (text_bm25_search, TEXT_BM25_SEARCH_SQL),
     "dedup_strip_spans": (dedup_strip_spans, DEDUP_STRIP_SPANS_SQL),
+    "dedup_exactsubstr_keep_first": (
+        dedup_exactsubstr_keep_first,
+        DEDUP_EXACTSUBSTR_KEEP_FIRST_SQL,
+    ),
     "corpus_leakage_free_split": (
         corpus_leakage_free_split,
         CORPUS_LEAKAGE_FREE_SPLIT_SQL,

@@ -50,6 +50,15 @@ def version_path(root: str, epoch_id: int) -> str:
     return os.path.join(root, f"v_{epoch_id}")
 
 
+def _epoch_of(name: str) -> int:
+    """Epoch id of a version dir name. Accepts both the plain
+    ``v_<epoch>`` form and suffixed variants like ``v_<epoch>_compact``
+    (written by offline maintenance ops that must re-commit under the
+    SAME epoch to keep the stream's replay guard intact — round-11
+    ADVICE: ``int("5_compact")`` used to raise here)."""
+    return int(name[2:].split("_", 1)[0])
+
+
 def drop_superseded(root: str, keep_dir: str, retain: int = 1) -> None:
     """Best-effort GC of older version dirs (never the committed one).
 
@@ -60,7 +69,10 @@ def drop_superseded(root: str, keep_dir: str, retain: int = 1) -> None:
     keep = os.path.basename(keep_dir)
     versions = sorted(
         (n for n in os.listdir(root) if n.startswith("v_")),
-        key=lambda n: int(n[2:]),
+        # tie-break same-epoch names lexically so a suffixed re-commit
+        # (v_5_compact) deterministically outranks the plain v_5 it
+        # supersedes, letting GC drop the stale one
+        key=lambda n: (_epoch_of(n), n),
         reverse=True,
     )
     retained = set(versions[: max(retain, 1)]) | {keep}
@@ -70,7 +82,9 @@ def drop_superseded(root: str, keep_dir: str, retain: int = 1) -> None:
 
 
 def list_versions(root: str) -> list[int]:
-    """Epoch ids of every version still on disk, oldest first."""
+    """Epoch ids of every version still on disk, oldest first. A
+    suffixed maintenance re-commit (``v_5_compact`` next to ``v_5``)
+    can yield a duplicated id until GC removes the superseded dir."""
     return sorted(
-        int(n[2:]) for n in os.listdir(root) if n.startswith("v_")
+        _epoch_of(n) for n in os.listdir(root) if n.startswith("v_")
     )

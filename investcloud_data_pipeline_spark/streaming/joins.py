@@ -37,8 +37,16 @@ def attribute_purchases(
     click columns) once the click-side watermark proves no match can
     arrive; outer rows therefore only materialize after the watermark
     advances past ``purchase_ts + window``.
+    ``how="full_outer"`` (round 11) emits unmatched rows from BOTH
+    sides — unattributed purchases (null click columns) AND clicks that
+    converted nothing (null purchase columns). The output key is
+    ``coalesce`` of the two sides' user_id so outer rows keep their key;
+    both sides' state evicts on the same watermark + interval bound, so
+    a full-outer row for a click materializes once the purchase-side
+    watermark passes ``click_ts + window`` (OSS supports this
+    watermark-bounded since Spark 3.1).
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported stream-stream join type: {how}")
     c = clicks.withWatermark("click_ts", watermark_delay).alias("c")
     p = purchases.withWatermark("purchase_ts", watermark_delay).alias("p")
@@ -51,8 +59,13 @@ def attribute_purchases(
         )
     )
     joined = p.join(c, cond, how)
+    user = (
+        F.coalesce(F.col("p.user_id"), F.col("c.user_id"))
+        if how == "full_outer"
+        else F.col("p.user_id")
+    )
     return joined.select(
-        F.col("p.user_id").alias("user_id"),
+        user.alias("user_id"),
         F.col("p.purchase_ts").alias("purchase_ts"),
         F.col("p.amount").alias("amount"),
         F.col("c.click_id").alias("click_id"),

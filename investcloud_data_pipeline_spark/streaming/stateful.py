@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -548,9 +549,12 @@ def _make_event_time_session(gap_ms: int):
             if not len(pdf):
                 continue
             n += len(pdf)
-            # integer-micros sum: exact, replay-identical
+            # integer-micros sum: exact, replay-identical. np.floor
+            # before the cast — astype('int64') truncates toward zero,
+            # which diverges from the batch plans' F.floor convention
+            # for negative values (round-11 ADVICE).
             micros += int(
-                (pdf["value"] * 1_000_000).astype("int64").sum()
+                np.floor(pdf["value"] * 1_000_000).astype("int64").sum()
             )
             ts_us = pdf["ts"].astype("int64") // 1000
             lo, hi = int(ts_us.min()), int(ts_us.max())
@@ -580,15 +584,39 @@ def _make_event_time_session(gap_ms: int):
     return _session
 
 
+def _interval_ms(interval: str) -> int:
+    """Milliseconds in a Spark-style interval string like '30 minutes'.
+    Single source of truth for the session gap: the old twin defaults
+    (gap='30 minutes' AND gap_ms=1800000) could silently drift
+    (round-11 ADVICE)."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(millisecond|second|minute|hour|day)s?\s*",
+        interval,
+    )
+    if not m:
+        raise ValueError(f"unsupported interval string: {interval!r}")
+    unit_ms = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[m.group(2)]
+    return int(m.group(1)) * unit_ms
+
+
 def event_time_user_sessions(
     events_stream: DataFrame,
     gap: str = "30 minutes",
-    gap_ms: int = 30 * 60 * 1000,
 ) -> DataFrame:
     """Watermark-closed per-user sessions with arbitrary state — the
     EventTimeTimeout timer class. ``events_stream`` needs (ts, user_id,
     value); the watermark on ``ts`` drives both late-row admission and
-    the session-closing timers."""
+    the session-closing timers. The timer offset is DERIVED from
+    ``gap`` so watermark delay and session gap cannot drift apart."""
+    gap_ms = _interval_ms(gap)
     return (
         events_stream.withWatermark("ts", gap)
         .select("ts", "user_id", "value")

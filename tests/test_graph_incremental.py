@@ -270,3 +270,53 @@ def test_compaction_folds_remap_and_preserves_labels(spark, tmp_path):
     assert _labels(cc_read(spark, members, remap)) == _scratch(
         spark, seen
     )
+
+
+def test_remap_version_gc_and_compact_dir_parses(spark, tmp_path):
+    """Round-11 ADVICE: (a) cc_update_batch must GC superseded remap
+    version dirs (one full remap copy per micro-batch accumulated
+    forever), and (b) cc_compact's same-epoch `v_<n>_compact` name must
+    parse through atomic.list_versions/drop_superseded (int('5_compact')
+    used to raise) with the stale plain v_<n> deterministically GC'd."""
+    from investcloud_data_pipeline_spark.operators.graph_incremental import (
+        cc_compact,
+    )
+    from investcloud_data_pipeline_spark.streaming.atomic import (
+        list_versions,
+        read_committed,
+    )
+
+    members, remap = str(tmp_path / "m"), str(tmp_path / "r")
+    batches = [
+        [(1, 2), (10, 11)],
+        [(2, 10)],
+        [(20, 21)],
+        [(21, 1)],
+        [(30, 31)],
+    ]
+    seen = []
+    for edges in batches:
+        seen.extend(edges)
+        cc_update_batch(spark, _edges_df(spark, edges), members, remap)
+    vdirs = [n for n in os.listdir(remap) if n.startswith("v_")]
+    # retain=2: committed + one predecessor, never one-per-batch
+    assert len(vdirs) <= 2, vdirs
+
+    cc_compact(spark, members, remap)
+    committed, vdir = read_committed(remap)
+    assert os.path.basename(vdir) == f"v_{committed}_compact"
+    # parses without ValueError and the stale plain v_<n> is gone
+    assert list_versions(remap) == [committed]
+    assert _labels(cc_read(spark, members, remap)) == _scratch(
+        spark, seen
+    )
+
+    # post-compact updates still GC correctly and labels stay right
+    more = [(31, 20)]
+    seen.extend(more)
+    cc_update_batch(spark, _edges_df(spark, more), members, remap)
+    vdirs = [n for n in os.listdir(remap) if n.startswith("v_")]
+    assert len(vdirs) <= 2, vdirs
+    assert _labels(cc_read(spark, members, remap)) == _scratch(
+        spark, seen
+    )

@@ -144,3 +144,92 @@ def test_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     unmatched = [(r.user_id, r.click_id) for r in rows if r.click_id is None]
     assert (4, None) in unmatched
+
+
+def test_full_outer_emits_both_sides_unmatched(spark, tmp_path):
+    """Round-11 join mode: full_outer emits the unattributed purchase
+    (null click columns) AND the convert-nothing click (null purchase
+    columns) once the opposing watermark proves no match can arrive;
+    inner pairs emit immediately and the batch twin agrees."""
+    cdir, pdir, out, ck = (
+        str(tmp_path / d) for d in ("fclicks", "fpurchases", "fout", "fck")
+    )
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+
+    def write(d, name, rows, cols):
+        pd.DataFrame(rows, columns=cols).to_parquet(
+            f"{d}/{name}", index=False, coerce_timestamps="us"
+        )
+
+    def drain():
+        streamed = attribute_purchases(
+            spark.readStream.schema(CLICKS_SCHEMA).parquet(cdir),
+            spark.readStream.schema(PURCHASES_SCHEMA).parquet(pdir),
+            window="15 minutes",
+            watermark_delay="10 minutes",
+            how="full_outer",
+        )
+        q = (
+            streamed.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # wave 1: one inner match, one clickless purchase (user 4), one
+    # purchaseless click (user 3)
+    write(cdir, "w1.parquet", [(1, _ts(0), 100), (3, _ts(0), 300)],
+          ["user_id", "click_ts", "click_id"])
+    write(pdir, "w1.parquet", [(1, _ts(10), 9.99), (4, _ts(10), 1.00)],
+          ["user_id", "purchase_ts", "amount"])
+    drain()
+
+    # wave 2: far-future rows push both watermarks past every bound
+    far = datetime(2026, 1, 1, 18, 0, 0)
+    write(cdir, "w2.parquet", [(9, far, 900)],
+          ["user_id", "click_ts", "click_id"])
+    write(pdir, "w2.parquet", [(9, far, 0.5)],
+          ["user_id", "purchase_ts", "amount"])
+    drain()
+    drain()  # outer flush lands as the advanced watermark commits
+
+    rows = spark.read.parquet(out).collect()
+    got = {
+        (r.user_id, r.amount, r.click_id) for r in rows
+    }
+    assert (1, 9.99, 100) in got            # inner pair
+    assert (4, 1.00, None) in got           # purchase-side outer row
+    assert (3, None, 300) in got            # click-side outer row (the
+    #                                         mode left_outer cannot emit)
+    # no key is lost to null-padding: outer rows carry their user_id
+    assert all(r.user_id is not None for r in rows)
+
+    # batch twin on the union of both waves produces the same relation
+    # (sans the user-9 far rows' own pairing, included in both)
+    batch = attribute_purchases(
+        spark.createDataFrame(
+            [(1, _ts(0), 100), (3, _ts(0), 300), (9, far, 900)],
+            CLICKS_SCHEMA,
+        ),
+        spark.createDataFrame(
+            [(1, _ts(10), 9.99), (4, _ts(10), 1.00), (9, far, 0.5)],
+            PURCHASES_SCHEMA,
+        ),
+        window="15 minutes",
+        how="full_outer",
+    )
+    expected = {
+        (r.user_id, r.amount, r.click_id) for r in batch.collect()
+    }
+    assert got == expected
+
+
+def test_full_outer_rejects_unknown_mode():
+    import pytest
+
+    with pytest.raises(ValueError):
+        attribute_purchases(None, None, how="right_outer_nested")

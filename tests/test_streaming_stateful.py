@@ -272,3 +272,28 @@ def test_event_time_sessions_close_at_watermark(spark, tmp_path):
     # appends nothing and leaves user 2's session open
     drain()
     assert spark.read.parquet(out).count() == 1
+
+
+def test_interval_ms_single_source_of_gap_truth():
+    """Round-11 ADVICE: gap_ms is DERIVED from the gap string (the old
+    twin defaults could silently drift), and the micros fold uses
+    np.floor to match the batch plans' F.floor for negative values."""
+    import numpy as np
+    import pytest
+
+    from investcloud_data_pipeline_spark.streaming.stateful import (
+        _interval_ms,
+    )
+
+    assert _interval_ms("30 minutes") == 30 * 60 * 1000
+    assert _interval_ms("1 minute") == 60 * 1000
+    assert _interval_ms("2 hours") == 2 * 3600 * 1000
+    assert _interval_ms("45 seconds") == 45 * 1000
+    assert _interval_ms("500 milliseconds") == 500
+    assert _interval_ms("1 day") == 86_400_000
+    with pytest.raises(ValueError):
+        _interval_ms("3 fortnights")
+    # floor-vs-truncate: -0.3 value -> F.floor gives -300001 micros for
+    # -0.300001; plain astype('int64') truncation would give -300000
+    vals = np.floor(np.array([-0.3000015]) * 1_000_000).astype("int64")
+    assert int(vals[0]) == -300002

@@ -20,6 +20,7 @@ TOOL = REPO / "tools" / "compare_baseline.py"
 def _run(tmp_path, base: dict, now: dict, threshold: float = 2.0,
          base_calib: float | None = None,
          bench_calib: tuple[float, float] | None = None,
+         passes: dict | None = None,
          extra: list | None = None):
     baseline_md = tmp_path / "BASELINE.md"
     lines = ["# baseline", ""]
@@ -33,6 +34,8 @@ def _run(tmp_path, base: dict, now: dict, threshold: float = 2.0,
     baseline_md.write_text("\n".join(lines))
     bench_json = tmp_path / "BENCH.json"
     doc: dict = {"queries": now}
+    if passes is not None:
+        doc["passes"] = passes
     if bench_calib is not None:
         doc["host_calibration"] = {
             "before_s": bench_calib[0], "after_s": bench_calib[1]
@@ -181,3 +184,65 @@ def test_sub_drag_median_uses_only_big_baselines(tmp_path):
     # fatal, since --no-retime disables the min-of-N adjudication)
     assert "calibration" in out and "1.00x" in out
     assert rc == 1
+
+
+def test_cold_only_regression_is_labeled(tmp_path):
+    # a >2x candidate whose bench number is a single cold pass gets the
+    # loud first-touch label; a warm-confirmed sibling does not
+    base = {"q0": 1.0, "q1": 1.0, "q2": 1.0}
+    now = {"q0": 3.0, "q1": 3.0, "q2": 1.0}
+    rc, out = _run(tmp_path, base, now,
+                   passes={"q0": 1, "q1": 2, "q2": 2})
+    assert rc == 1
+    q0_line = next(l for l in out.splitlines() if l.startswith("  q0:"))
+    q1_line = next(l for l in out.splitlines() if l.startswith("  q1:"))
+    assert "COLD-ONLY" in q0_line
+    assert "COLD-ONLY" not in q1_line
+
+
+# --- bench.py warm-phase unit tests (round 11: the cold-pass fix) ---
+
+import importlib.util as _ilu
+
+_spec = _ilu.spec_from_file_location("bench", REPO / "bench.py")
+_bench = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_bench)
+
+
+def test_warm_priority_worst_ratio_first():
+    cold = {"fast": 1.0, "slow_ok": 10.0, "flagged": 3.0, "mild": 1.5}
+    baseline = {"fast": 1.0, "slow_ok": 10.0, "flagged": 1.0,
+                "mild": 1.0}
+    order = _bench.warm_priority(cold, baseline)
+    # ratios: flagged 3.0, mild 1.5, fast/slow_ok 1.0 (tie broken by
+    # descending cold wall)
+    assert order == ["flagged", "mild", "slow_ok", "fast"]
+
+
+def test_warm_priority_unbaselined_last_by_cold_time():
+    cold = {"old_mild": 1.2, "new_big": 50.0, "new_small": 0.1}
+    baseline = {"old_mild": 1.0}
+    order = _bench.warm_priority(cold, baseline)
+    # baselined queries outrank even a huge unbaselined one; among the
+    # unbaselined, expensive-first
+    assert order == ["old_mild", "new_big", "new_small"]
+
+
+def test_warm_priority_excludes_errored():
+    cold = {"ok": 1.0, "boom": -1.0}
+    assert _bench.warm_priority(cold, {}) == ["ok"]
+
+
+def test_load_baseline_table_matches_compare_grammar(tmp_path):
+    md = tmp_path / "BASELINE.md"
+    md.write_text(
+        "# b\n\nHost calibration: 1.2 s\n\n## Recorded BASELINE\n\n"
+        "| query | sec |\n|---|---|\n| q_a | 1.5 |\n| q_b | 0.25 |\n\n"
+        "## next\n| not_a_query | 9.9 |\n"
+    )
+    got = _bench.load_baseline_table(str(md))
+    assert got == {"q_a": 1.5, "q_b": 0.25}
+
+
+def test_load_baseline_table_missing_file():
+    assert _bench.load_baseline_table("/nonexistent/BASELINE.md") == {}

@@ -1245,3 +1245,55 @@ def test_shingle_novelty_crafted_sources(spark, monkeypatch):
         .count()
     )
     assert total_novel == distinct_shingles
+
+
+def test_exactsubstr_keep_first_keeps_one_copy(spark):
+    """Round-11 class: the keep-first rule preserves the canonical
+    (min doc_id, pos) occurrence of a duplicated passage and strips the
+    rest — including WITHIN-DOC repeats, which the existence-flag
+    variant cannot see."""
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        exactsubstr_keep_first,
+        strip_repeated_spans,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {passage} closing words"),
+            (2, f"{passage} different ending entirely now"),
+            (3, "wholly original content with no shared passages at all"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in exactsubstr_keep_first(docs, k=8).collect()}
+    # doc 1 holds the canonical occurrence (min doc_id) — it KEEPS the
+    # passage, where strip_repeated_spans removes it from both
+    assert passage in out[1].text_dedup
+    assert out[1].n_removed == 0
+    assert out[2].text_dedup == "different ending entirely now"
+    assert out[2].n_removed == 8
+    assert out[3].n_removed == 0
+    assert out[4].text_dedup == "" and out[4].n_tokens == 0
+
+    # within-doc repetition: the second copy inside ONE document is
+    # stripped (strip_repeated_spans sees no cross-doc duplication here
+    # and removes nothing)
+    rep = spark.createDataFrame(
+        [(7, f"{passage} and then once more {passage}")],
+        "doc_id long, text string",
+    )
+    got = exactsubstr_keep_first(rep, k=8).collect()[0]
+    assert got.n_removed == 8
+    assert got.text_dedup == f"{passage} and then once more"
+    old = strip_repeated_spans(rep, k=8).collect()[0]
+    assert old.n_removed == 0  # the delta this operator exists for
+
+    # exactly-one-copy corpus-wide: the passage occurs once across all
+    # deduped docs
+    total = sum(
+        r.text_dedup.count(passage)
+        for r in exactsubstr_keep_first(docs, k=8).collect()
+    )
+    assert total == 1

@@ -124,6 +124,11 @@ def main() -> int:
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         try:
+            # exchange counts must not depend on audit order: a sibling
+            # query's persisted/cached relation turns exchanges into
+            # InMemoryTableScan reuse (round-10 measured 9 vs 32 on
+            # copurchase_link_prediction depending on what ran before)
+            spark.catalog.clearCache()
             df = fn(spark, sf_dir)
             jplan = df._jdf.queryExecution().executedPlan()
             counts = count_nodes(jplan)

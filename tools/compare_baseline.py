@@ -129,6 +129,11 @@ def main() -> int:
         bench_doc = json.load(fh)
     bench = bench_doc["queries"]
     bench_calib = bench_doc.get("host_calibration")
+    # Pass provenance (round 11): bench.py records how many times each
+    # query ran. A regression candidate whose number is a single COLD
+    # pass is first-touch-vs-warm-baseline — the exact shape that
+    # produced 8 false flags in round 10 — so it is labeled loudly.
+    bench_passes: dict = bench_doc.get("passes") or {}
 
     with open(baseline_path) as fh:
         text = fh.read()
@@ -285,8 +290,13 @@ def main() -> int:
         for name, b, now, r in sorted(regressions, key=lambda x: -x[3]):
             adj = r / host_drag
             mark = " *" if adj > threshold else ""
+            cold_note = ""
+            if bench_passes.get(name) == 1:
+                cold_note = (" [COLD-ONLY sample: single first-touch "
+                             "pass vs a min-of-warm baseline — re-time "
+                             "before trusting]")
             print(f"  {name}: {b:.2f}s -> {now:.2f}s ({r:.2f}x raw, "
-                  f"{adj:.2f}x adjusted){mark}")
+                  f"{adj:.2f}x adjusted){mark}{cold_note}")
     else:
         print(f"no per-query regression past {threshold}x")
     if adjudicated:
