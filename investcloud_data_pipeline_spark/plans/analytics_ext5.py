@@ -874,20 +874,19 @@ QUERIES["ann_pq_adc_kmeans_topk"] = (ann_pq_adc_kmeans_topk, None)
 # floor-pinned in tests/test_analytics_ext5.py.
 
 IVFPQ_NLIST = 16
-# Operating point (round-10 re-tune; full ladder in ANN_RECALL_r10):
+# Operating point (round-11 re-tune; ladders in ANN_RECALL_r10/_r11):
 # the binding constraint is CANDIDATE COVERAGE, measured exactly per
 # nprobe against the pipeline's own cell assignment —
 # nprobe 8/10/12/14/16 → ceiling 0.811/0.892/0.943/0.983/1.0 — so
-# nprobe=10 can never reach 0.90 at any refine depth. nprobe=12 +
-# refine=200 measures recall@10 = 0.933 (vs ceiling 0.943: the
-# shortlist captures ~99% of covered neighbors) at a wall
-# indistinguishable from (10,100) — the probe and refine deltas are
-# |Q|-bounded and the k-means fits dominate. Ladder at sf0.1
-# (100 queries): (10,100) 0.849 → (10,150) 0.876 → (12,100) 0.890 →
-# (12,150) 0.922 → (12,200) 0.933 → (14,150) 0.952. At fleet scale
-# nlist grows with the corpus and nprobe/nlist falls; 12/16 here is a
-# fixture-sized ratio, not the 100 TB one.
-IVFPQ_NPROBE = 12
+# nprobe=12 caps at 0.943 regardless of refine depth; round 11 widens
+# to nprobe=14 (ceiling 0.983), where refine=200 measures past the
+# 0.95 bar at a wall within noise of nprobe=12 — the probe and refine
+# deltas are |Q|-bounded and the k-means fits dominate the query.
+# Ladder at sf0.1 (100 queries): (10,100) 0.849 → (12,150) 0.922 →
+# (12,200) 0.933 → (14,150) 0.952 → (14,200) see ANN_RECALL_r11. At
+# fleet scale nlist grows with the corpus and nprobe/nlist falls;
+# 14/16 here is a fixture-sized ratio, not the 100 TB one.
+IVFPQ_NPROBE = 14
 IVFPQ_CODEBOOK = 256
 IVFPQ_SEED = 67
 

@@ -332,19 +332,19 @@ def test_pq_adc_recall_sanity_and_kmeans_upgrade(spark, sf_dir):
     assert r_km64 >= r_sampled, (r_km64, r_sampled)
     assert r_km64 > 0.0
 
-    # The IVF-PQ + exact-refine registry query (round-10 re-tune,
-    # ANN_RECALL_r10: recall@10 0.933 at sf0.1 with nprobe=12,
-    # refine=200 — the nprobe=10 ceiling was 0.892, so the probe width
-    # had to rise): residual coding + shortlist re-rank must clearly
-    # beat the codes-only kmeans path — pin a floor above it so a
-    # regression in the coarse probe, the residual codebook, or the
-    # refine join fails here. (At sf0.001 the tiny corpus measures
-    # ~1.0; the sweep test runs at sf0.01 where the measured point is
-    # lower than sf0.1's 0.933 — 0.8 is the conservative cross-sf
-    # floor, raised from 0.7 with the r10 operating point.)
+    # The IVF-PQ + exact-refine registry query (round-11 re-tune,
+    # ANN_RECALL_r11: recall@10 0.970 at sf0.1 with nprobe=14,
+    # refine=200 — nprobe=12's candidate-coverage ceiling was 0.943,
+    # so the probe width had to rise again; the registry query's warm
+    # wall moved 7.7s -> 8.3s, within noise): residual coding +
+    # shortlist re-rank must clearly beat the codes-only kmeans path —
+    # pin a floor above it so a regression in the coarse probe, the
+    # residual codebook, or the refine join fails here. (sf0.01
+    # measures ~0.98 at this operating point; 0.9 is the conservative
+    # cross-sf floor, raised from 0.8 with the r11 retune.)
     r_ivfpq = recall(AX5.ann_ivf_pq_topk(spark, sf_dir))
     emb.unpersist()
-    assert r_ivfpq >= max(0.8, r_km64), (r_ivfpq, r_km64)
+    assert r_ivfpq >= max(0.9, r_km64), (r_ivfpq, r_km64)
 
 
 def test_pq_codes_arrow_matches_expression_path(spark, sf_dir):

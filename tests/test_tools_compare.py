@@ -246,3 +246,36 @@ def test_load_baseline_table_matches_compare_grammar(tmp_path):
 
 def test_load_baseline_table_missing_file():
     assert _bench.load_baseline_table("/nonexistent/BASELINE.md") == {}
+
+
+# --- update_baseline.py min-merge unit tests (round 11: quiet-host
+# re-merge discipline) ---
+
+_uspec = _ilu.spec_from_file_location(
+    "update_baseline", REPO / "tools" / "update_baseline.py"
+)
+_ub = _ilu.module_from_spec(_uspec)
+_uspec.loader.exec_module(_ub)
+
+
+def test_merge_tables_keeps_per_query_min():
+    old = {"a": 1.0, "b": 2.0, "c": 3.0}
+    new = {"a": 0.8, "b": 2.5, "d": 4.0}
+    merged, prov = _ub.merge_tables(old, new, replace=set())
+    assert merged == {"a": 0.8, "b": 2.0, "c": 3.0, "d": 4.0}
+    assert prov == {"a": "new", "b": "old", "c": "old", "d": "new"}
+
+
+def test_merge_tables_replace_overrides_min():
+    # a redefined query takes the NEW number even when slower: the
+    # frozen minimum measured a different computation
+    old = {"q": 1.0}
+    new = {"q": 1.6}
+    merged, prov = _ub.merge_tables(old, new, replace={"q"})
+    assert merged == {"q": 1.6}
+    assert prov == {"q": "replaced"}
+
+
+def test_merge_tables_drops_errored_new_rows():
+    merged, _ = _ub.merge_tables({"a": 1.0}, {"a": -1.0, "b": 2.0}, set())
+    assert merged == {"a": 1.0, "b": 2.0}

@@ -1,7 +1,23 @@
 """Rewrite BASELINE.md's recorded per-query table from the latest
-BENCH_DETAIL.json (run `python bench.py` first — two-pass min).
+BENCH_DETAIL.json (run `python bench.py` first — warm-phase min).
 
-Usage: python tools/update_baseline.py [round_label]
+Usage:
+  python tools/update_baseline.py [round_label]
+      REPLACE the whole table with BENCH_DETAIL's numbers (full
+      re-anchor — use on a definitively quiet host).
+  python tools/update_baseline.py --merge [round_label] [--replace q1,q2]
+      MIN-MERGE BENCH_DETAIL into the existing table: per query keep
+      min(frozen, new) — a quiet-window sweep can only tighten the
+      anchor, never loosen it (the round-10 anchor was taken while the
+      host degraded mid-sweep; this is the re-merge it proposed).
+      Queries named in --replace take the NEW number unconditionally
+      (their definition/plan changed since the freeze, so the frozen
+      minimum measured a different computation); queries new to the
+      table are inserted. The header calibration becomes the merged
+      sweep's (the compare tool divides future drag by it, so it must
+      describe the session that produced the CURRENT minima — after a
+      min-merge that is the quieter of the two, i.e. the min of the
+      calibrations too).
 """
 
 from __future__ import annotations
@@ -11,51 +27,143 @@ import re
 import sys
 
 
+def parse_baseline_table(text: str) -> dict[str, float]:
+    base: dict[str, float] = {}
+    in_table = False
+    for line in text.splitlines():
+        if line.startswith("## Recorded BASELINE"):
+            in_table = True
+            continue
+        if in_table and line.startswith("## "):
+            break
+        if not in_table:
+            continue
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
+        if m:
+            base[m.group(1)] = float(m.group(2))
+    return base
+
+
+def merge_tables(
+    old: dict[str, float],
+    new: dict[str, float],
+    replace: set[str],
+) -> tuple[dict[str, float], dict[str, str]]:
+    """(merged table, per-query provenance in {'old','new','replaced'})."""
+    merged: dict[str, float] = {}
+    prov: dict[str, str] = {}
+    for name, sec in new.items():
+        if sec < 0:
+            continue
+        if name in replace or name not in old:
+            merged[name] = sec
+            prov[name] = "replaced" if name in replace else "new"
+        elif sec < old[name]:
+            merged[name] = sec
+            prov[name] = "new"
+        else:
+            merged[name] = old[name]
+            prov[name] = "old"
+    # queries absent from the new sweep keep their frozen number —
+    # dropping them would silently unbaseline a regression target
+    for name, sec in old.items():
+        if name not in merged:
+            merged[name] = sec
+            prov[name] = "old"
+    return merged, prov
+
+
 def main() -> int:
-    label = sys.argv[1] if len(sys.argv) > 1 else "round 2"
+    args = sys.argv[1:]
+    do_merge = "--merge" in args
+    if do_merge:
+        args.remove("--merge")
+    replace: set[str] = set()
+    if "--replace" in args:
+        i = args.index("--replace")
+        replace = {
+            n.strip() for n in args[i + 1].split(",") if n.strip()
+        }
+        del args[i : i + 2]
+    label = args[0] if args else "round 2"
+
     with open("BENCH_DETAIL.json") as fh:
         d = json.load(fh)
-    rows = "\n".join(
-        f"| {name} | {sec} |"
-        for name, sec in sorted(d["queries"].items())
-        if sec >= 0
-    )
+    new = {n: s for n, s in d["queries"].items() if s >= 0}
     calib = d.get("host_calibration")
+    new_calib_mid = (
+        round((calib["before_s"] + calib["after_s"]) / 2, 3)
+        if calib
+        else None
+    )
+
+    with open("BASELINE.md") as fh:
+        text = fh.read()
+    head = re.split(
+        r"^## Recorded BASELINE.*$", text, maxsplit=1, flags=re.M
+    )[0]
+
+    merge_note = ""
+    if do_merge:
+        old = parse_baseline_table(text)
+        if not old:
+            print("--merge: no existing table found; doing a full "
+                  "re-anchor instead", file=sys.stderr)
+        mold = re.search(r"[Hh]ost calibration[^0-9]*([0-9.]+)\s*s", text)
+        old_calib = float(mold.group(1)) if mold else None
+        table, prov = merge_tables(old, new, replace)
+        n_new = sum(1 for p in prov.values() if p == "new")
+        n_old = sum(1 for p in prov.values() if p == "old")
+        n_rep = sum(1 for p in prov.values() if p == "replaced")
+        merge_note = (
+            f"\nMin-merged table: {n_new} minima tightened by this "
+            f"sweep, {n_old} kept from the prior anchor, {n_rep} "
+            f"replaced outright (definition changed: "
+            f"{', '.join(sorted(replace)) or 'none'}).\n"
+        )
+        # the calibration describing the minima is the quieter session
+        if old_calib is not None and new_calib_mid is not None:
+            new_calib_mid = min(old_calib, new_calib_mid)
+    else:
+        table = new
+
+    total = round(sum(table.values()), 3)
+    rows = "\n".join(
+        f"| {name} | {sec} |" for name, sec in sorted(table.items())
+    )
     calib_line = ""
-    if calib:
-        mid = round((calib["before_s"] + calib["after_s"]) / 2, 3)
+    if new_calib_mid is not None:
         # the midpoint must be the FIRST number after the phrase — the
         # compare tool's parser takes the first match
         calib_line = (
-            f"\nHost calibration (single-core loop): {mid} s "
-            f"(midpoint; before {calib['before_s']} / after "
+            f"\nHost calibration (single-core loop): {new_calib_mid} s "
+            f"(this sweep's before {calib['before_s']} / after "
             f"{calib['after_s']}) — tools/compare_baseline.py divides "
             "future runs' calibration by this to get the "
             "query-independent host-drag estimate.\n"
         )
-    section = f"""## Recorded BASELINE ({label}, min of 2 warm passes at sf{d['sf']})
+    mode = "min-merge of warm-phase minima" if do_merge else "warm-phase min"
+    section = f"""## Recorded BASELINE ({label}, {mode} at sf{d['sf']})
 
 Config: Spark 4.1.2 `local[32]`, AQE on, shuffle.partitions=32, UTC,
 Arrow enabled; single warm JVM, every query materialized via the `noop`
-sink twice, per-query minimum recorded (single-run variance on this
-host is ±40%, so min-of-2 is the reproducible number).
-{calib_line}
+sink, cold pass + worst-ratio-first warm re-passes, per-query minimum
+recorded (single-run variance on this host is ±40%, so the min over
+warm passes is the reproducible number).
+{calib_line}{merge_note}
 
 | query | sec |
 |---|---|
 {rows}
-| **total** | **{d['value']}** |
+| **total** | **{total}** |
 
 High run-to-run variance on this host (±40% observed on identical
 plans); treat comparisons within ~2× as noise-equivalent.
 """
-    with open("BASELINE.md") as fh:
-        text = fh.read()
-    head = re.split(r"^## Recorded BASELINE.*$", text, maxsplit=1, flags=re.M)[0]
     with open("BASELINE.md", "w") as fh:
         fh.write(head + section)
-    print(f"BASELINE.md table refreshed: {len(d['queries'])} queries, "
-          f"total {d['value']}s")
+    print(f"BASELINE.md table refreshed ({mode}): {len(table)} queries, "
+          f"total {total}s")
     return 0
 
 
