@@ -279,3 +279,14 @@ def test_merge_tables_replace_overrides_min():
 def test_merge_tables_drops_errored_new_rows():
     merged, _ = _ub.merge_tables({"a": 1.0}, {"a": -1.0, "b": 2.0}, set())
     assert merged == {"a": 1.0, "b": 2.0}
+
+
+def test_merge_tables_caps_suspect_rider_minima():
+    # a sample below MERGE_TIGHTEN_FLOOR x frozen is an ordering/rider
+    # artifact (shared write-once build paid by a different query this
+    # sweep) — the frozen value holds; a 0.5x genuine correction merges
+    old = {"rider": 8.0, "corrected": 2.0}
+    new = {"rider": 0.3, "corrected": 1.0}
+    merged, prov = _ub.merge_tables(old, new, replace=set())
+    assert merged == {"rider": 8.0, "corrected": 1.0}
+    assert prov == {"rider": "capped", "corrected": "new"}

@@ -44,12 +44,28 @@ def parse_baseline_table(text: str) -> dict[str, float]:
     return base
 
 
+# A merge never tightens a frozen number past this fraction of itself.
+# Rationale: the near-dup family shares a session-scoped write-once
+# artifact (training_data.jaccard_pairs_cached) — whichever family
+# query runs FIRST pays the build, the rest ride it. The warm phase's
+# worst-ratio-first ordering can therefore hand a query a rider run
+# 20x under its payer-position number (corpus_leakage_free_split:
+# frozen 7.66s as the registry-order payer, 0.33s riding a sibling's
+# artifact in the r11 sweep). Freezing a rider minimum would flag that
+# query in every future registry-order sweep. 0.4 still admits the
+# up-to-2.5x corrections a degraded-anchor re-merge exists for;
+# repeated quiet sweeps can walk a genuine bigger improvement down
+# over rounds.
+MERGE_TIGHTEN_FLOOR = 0.4
+
+
 def merge_tables(
     old: dict[str, float],
     new: dict[str, float],
     replace: set[str],
 ) -> tuple[dict[str, float], dict[str, str]]:
-    """(merged table, per-query provenance in {'old','new','replaced'})."""
+    """(merged table, per-query provenance in
+    {'old','new','replaced','capped'})."""
     merged: dict[str, float] = {}
     prov: dict[str, str] = {}
     for name, sec in new.items():
@@ -58,6 +74,10 @@ def merge_tables(
         if name in replace or name not in old:
             merged[name] = sec
             prov[name] = "replaced" if name in replace else "new"
+        elif sec < old[name] * MERGE_TIGHTEN_FLOOR:
+            # suspect rider/ordering artifact — hold the frozen line
+            merged[name] = old[name]
+            prov[name] = "capped"
         elif sec < old[name]:
             merged[name] = sec
             prov[name] = "new"
@@ -115,12 +135,23 @@ def main() -> int:
         n_new = sum(1 for p in prov.values() if p == "new")
         n_old = sum(1 for p in prov.values() if p == "old")
         n_rep = sum(1 for p in prov.values() if p == "replaced")
+        capped = sorted(n for n, p in prov.items() if p == "capped")
         merge_note = (
             f"\nMin-merged table: {n_new} minima tightened by this "
             f"sweep, {n_old} kept from the prior anchor, {n_rep} "
             f"replaced outright (definition changed: "
-            f"{', '.join(sorted(replace)) or 'none'}).\n"
+            f"{', '.join(sorted(replace)) or 'none'}), "
+            f"{len(capped)} suspect sub-{MERGE_TIGHTEN_FLOOR}x samples "
+            f"capped at the frozen value"
+            f"{' (' + ', '.join(capped) + ')' if capped else ''}.\n"
         )
+        for n in capped:
+            print(
+                f"capped: {n} sampled {new[n]}s < "
+                f"{MERGE_TIGHTEN_FLOOR}x frozen {old[n]}s — suspect "
+                "ordering/rider artifact, frozen value kept",
+                file=sys.stderr,
+            )
         # the calibration describing the minima is the quieter session
         if old_calib is not None and new_calib_mid is not None:
             new_calib_mid = min(old_calib, new_calib_mid)
