@@ -16,7 +16,11 @@ from investcloud_data_pipeline_spark.datagen import (
 from investcloud_data_pipeline_spark.streaming.pipeline import start_continuous
 
 
-def _wait_for(fn, timeout_s=90):
+def _wait_for(fn, timeout_s=180):
+    # 180s, not 90: under full-suite contention plus hypervisor steal
+    # (calibration 2.5-3.9x nominal measured in round 11) the 90s
+    # budget flaked once; polling exits early on success, so the
+    # higher ceiling only slows genuinely failing runs.
     deadline = time.time() + timeout_s
     while time.time() < deadline:
         try:
