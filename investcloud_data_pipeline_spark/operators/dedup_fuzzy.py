@@ -857,17 +857,18 @@ def repeated_span_stats(df: DataFrame, k: int = 8,
     )
 
 
-def repeated_spans(df: DataFrame, k: int = 8,
-                   text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
-    """(id, n_tokens, span_start, span_end) — the merged maximal spans
-    of k-token windows occurring in >= 2 docs (1-based inclusive token
-    positions). Shared upstream of the stats and strip operators."""
-    tok = tokenized(df, text_col, id_col)
+def _kgram_windows(tok: DataFrame, k: int,
+                   with_len: bool = False) -> DataFrame:
+    """One row per k-token window over the tokenizer barrier:
+    (id[, n_tokens], pos, gh) where gh is the xxhash64 digest of the
+    window's token slice. Shared stage of the whole ExactSubstr family
+    (repeated_spans / strip / keep-first)."""
     n_tok = F.size("toks")
-    win = tok.select(
+    carried = [n_tok.alias("n_tokens")] if with_len else []
+    tail = ["n_tokens"] if with_len else []
+    return tok.select(
         "id",
-        n_tok.alias("n_tokens"),
+        *carried,
         F.explode(
             F.when(
                 n_tok < k,
@@ -882,15 +883,17 @@ def repeated_spans(df: DataFrame, k: int = 8,
                 )
             )
         ).alias("w"),
-    ).select("id", "n_tokens", F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
-    w_gh = Window.partitionBy("gh")
-    flagged = (
-        win.withColumn("id_min", F.min("id").over(w_gh))
-        .withColumn("id_max", F.max("id").over(w_gh))
-        .filter(F.col("id_min") != F.col("id_max"))
-        .select("id", "n_tokens", "pos")
+    ).select(
+        "id", *tail, F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh")
     )
 
+
+def _merge_spans(flagged: DataFrame, k: int,
+                 keys: tuple = ("id",)) -> DataFrame:
+    """Gaps-and-islands merge of flagged window positions into maximal
+    spans: (*keys, span_start, span_end), 1-based inclusive. ``keys``
+    must start with "id" (the merge partitions per doc; extra keys are
+    doc-constant carry-through columns like n_tokens)."""
     w_prev = (
         Window.partitionBy("id")
         .orderBy("pos")
@@ -901,8 +904,10 @@ def repeated_spans(df: DataFrame, k: int = 8,
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    spans = (
-        flagged.withColumn("prev_end", F.max(F.col("pos") + k - 1).over(w_prev))
+    return (
+        flagged.withColumn(
+            "prev_end", F.max(F.col("pos") + k - 1).over(w_prev)
+        )
         .withColumn(
             "new_grp",
             F.when(
@@ -912,14 +917,70 @@ def repeated_spans(df: DataFrame, k: int = 8,
             ).otherwise(0),
         )
         .withColumn("grp", F.sum("new_grp").over(w_run))
-        .groupBy("id", "n_tokens", "grp")
+        .groupBy(*keys, "grp")
         .agg(
             F.min("pos").alias("span_start"),
             (F.max("pos") + F.lit(k - 1)).alias("span_end"),
         )
-        .select("id", "n_tokens", "span_start", "span_end")
+        .select(*keys, "span_start", "span_end")
     )
-    return spans
+
+
+def _strip_spans_rebuild(df: DataFrame, spans: DataFrame,
+                         text_col: str, id_col: str) -> DataFrame:
+    """Drop every token covered by a span and rebuild the text:
+    (id_col, text_dedup, n_tokens, n_removed). ``spans`` needs
+    (id, span_start, span_end); docs with no span pass through
+    unchanged via the left join."""
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                F.col("span_end").alias("e"),
+            )
+        ).alias("spans")
+    )
+    tok = tokenized(df, text_col, id_col)
+    joined = tok.join(per_doc, "id", "left")
+    kept_pos = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda p: ~F.exists(
+            F.coalesce(
+                F.col("spans"),
+                F.array().cast("array<struct<s:int,e:int>>"),
+            ),
+            lambda sp: (p >= sp["s"]) & (p <= sp["e"]),
+        ),
+    )
+    kept = F.transform(kept_pos, lambda p: F.element_at("toks", p))
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.when(F.size("toks") == 0, F.lit("")).otherwise(
+            F.array_join(kept, " ")
+        ).alias("text_dedup"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.when(F.size("toks") == 0, F.lit(0).cast("long")).otherwise(
+            (F.size("toks") - F.size(kept)).cast("long")
+        ).alias("n_removed"),
+    )
+
+
+def repeated_spans(df: DataFrame, k: int = 8,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, span_start, span_end) — the merged maximal spans
+    of k-token windows occurring in >= 2 docs (1-based inclusive token
+    positions). Shared upstream of the stats and strip operators."""
+    tok = tokenized(df, text_col, id_col)
+    win = _kgram_windows(tok, k, with_len=True)
+    w_gh = Window.partitionBy("gh")
+    flagged = (
+        win.withColumn("id_min", F.min("id").over(w_gh))
+        .withColumn("id_max", F.max("id").over(w_gh))
+        .filter(F.col("id_min") != F.col("id_max"))
+        .select("id", "n_tokens", "pos")
+    )
+    return _merge_spans(flagged, k, keys=("id", "n_tokens"))
 
 
 def exactsubstr_keep_first(df: DataFrame, k: int = 8,
@@ -947,98 +1008,23 @@ def exactsubstr_keep_first(df: DataFrame, k: int = 8,
     guarantee is "every duplicated window survives somewhere" per
     window, not per merged span.
 
-    Plan shape = tokenizer barrier -> window explode (O(total tokens)
-    rows of (id, pos, hash) — the documented memory bound: no suffix
-    array, nothing per-task beyond one doc's token array) -> ONE
-    shuffle on the window hash for the global rank -> per-doc
-    gaps-and-islands span merge -> JVM token filter. Cites the
-    reference's dedup stage (02_silver_layer_processing.py:21) as the
-    whole-row ancestor this generalizes."""
+    Plan shape = tokenizer barrier -> _kgram_windows explode (O(total
+    tokens) rows of (id, pos, hash) — the documented memory bound: no
+    suffix array, nothing per-task beyond one doc's token array) -> ONE
+    shuffle on the window hash for the global rank -> _merge_spans
+    gaps-and-islands -> _strip_spans_rebuild JVM token filter. Cites
+    the reference's dedup stage (02_silver_layer_processing.py:21) as
+    the whole-row ancestor this generalizes."""
     tok = tokenized(df, text_col, id_col)
-    n_tok = F.size("toks")
-    win = tok.select(
-        "id",
-        F.explode(
-            F.when(
-                n_tok < k,
-                F.array().cast("array<struct<pos:int,gh:bigint>>"),
-            ).otherwise(
-                F.transform(
-                    F.sequence(F.lit(1), n_tok - F.lit(k - 1)),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.xxhash64(F.slice("toks", i, k)).alias("gh"),
-                    ),
-                )
-            )
-        ).alias("w"),
-    ).select("id", F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
+    win = _kgram_windows(tok, k)
     w_occ = Window.partitionBy("gh").orderBy("id", "pos")
     strip = (
         win.withColumn("occ", F.row_number().over(w_occ))
         .filter(F.col("occ") >= 2)
         .select("id", "pos")
     )
-
-    w_prev = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    spans = (
-        strip.withColumn(
-            "prev_end", F.max(F.col("pos") + k - 1).over(w_prev)
-        )
-        .withColumn(
-            "new_grp",
-            F.when(
-                F.col("prev_end").isNull()
-                | (F.col("pos") > F.col("prev_end")),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("grp", F.sum("new_grp").over(w_run))
-        .groupBy("id", "grp")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
-        )
-    )
-    per_doc = spans.groupBy("id").agg(
-        F.collect_list(
-            F.struct(
-                F.col("span_start").alias("s"),
-                F.col("span_end").alias("e"),
-            )
-        ).alias("spans")
-    )
-    joined = tok.join(per_doc, "id", "left")
-    kept_pos = F.filter(
-        F.sequence(F.lit(1), F.size("toks")),
-        lambda p: ~F.exists(
-            F.coalesce(
-                F.col("spans"),
-                F.array().cast("array<struct<s:int,e:int>>"),
-            ),
-            lambda sp: (p >= sp["s"]) & (p <= sp["e"]),
-        ),
-    )
-    kept = F.transform(kept_pos, lambda p: F.element_at("toks", p))
-    return joined.select(
-        F.col("id").alias(id_col),
-        F.when(F.size("toks") == 0, F.lit("")).otherwise(
-            F.array_join(kept, " ")
-        ).alias("text_dedup"),
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.when(F.size("toks") == 0, F.lit(0).cast("long")).otherwise(
-            (F.size("toks") - F.size(kept)).cast("long")
-        ).alias("n_removed"),
-    )
+    spans = _merge_spans(strip, k)
+    return _strip_spans_rebuild(df, spans, text_col, id_col)
 
 
 def strip_repeated_spans(df: DataFrame, k: int = 8,
@@ -1052,34 +1038,10 @@ def strip_repeated_spans(df: DataFrame, k: int = 8,
     Plan: the shared spans relation collapses to one array per doc
     (collect_list over the doc-id partition — bounded by the doc's own
     span count), joins back onto the tokenizer barrier, and the token
-    filter + rejoin is pure JVM higher-order functions. Docs with no
-    flagged span pass through unchanged via the left join."""
-    spans = repeated_spans(df, k, text_col, id_col)
-    per_doc = spans.groupBy("id").agg(
-        F.collect_list(
-            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
-        ).alias("spans")
+    filter + rejoin is pure JVM higher-order functions
+    (_strip_spans_rebuild). Docs with no flagged span pass through
+    unchanged via the left join."""
+    spans = repeated_spans(df, k, text_col, id_col).select(
+        "id", "span_start", "span_end"
     )
-    tok = tokenized(df, text_col, id_col)
-    joined = tok.join(per_doc, "id", "left")
-    kept_pos = F.filter(
-        F.sequence(F.lit(1), F.size("toks")),
-        lambda p: ~F.exists(
-            F.coalesce(
-                F.col("spans"),
-                F.array().cast("array<struct<s:int,e:int>>"),
-            ),
-            lambda sp: (p >= sp["s"]) & (p <= sp["e"]),
-        ),
-    )
-    kept = F.transform(kept_pos, lambda p: F.element_at("toks", p))
-    return joined.select(
-        F.col("id").alias(id_col),
-        F.when(F.size("toks") == 0, F.lit("")).otherwise(
-            F.array_join(kept, " ")
-        ).alias("text_dedup"),
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.when(F.size("toks") == 0, F.lit(0).cast("long")).otherwise(
-            (F.size("toks") - F.size(kept)).cast("long")
-        ).alias("n_removed"),
-    )
+    return _strip_spans_rebuild(df, spans, text_col, id_col)

@@ -392,12 +392,23 @@ def cc_compact(
     os.rename(tmp, members_dir)
     shutil.rmtree(old, ignore_errors=True)
 
-    committed, _ = read_committed(remap_dir)
+    committed, cur_vdir = read_committed(remap_dir)
     # Same-epoch re-commit under a suffixed dir: the replay guard
     # (epoch_id <= committed) must not move, and overwriting v_<epoch>
     # in place would expose a partial read window. atomic._epoch_of
-    # parses the suffix, so GC/list still work (round-11 ADVICE).
-    vdir = os.path.join(remap_dir, f"v_{committed}_compact")
+    # parses the suffix, so GC/list still work (round-11 ADVICE). The
+    # name must also differ from the CURRENTLY-committed dir — a
+    # repeated compaction with no intervening batch would otherwise
+    # overwrite the committed dir in place, the exact corruption
+    # window the suffix exists to avoid — so pick the first free
+    # suffix index.
+    n = 0
+    while True:
+        suffix = "_compact" if n == 0 else f"_compact{n}"
+        vdir = os.path.join(remap_dir, f"v_{committed}{suffix}")
+        if vdir != cur_vdir and not os.path.exists(vdir):
+            break
+        n += 1
     spark.createDataFrame([], _REMAP_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(vdir)

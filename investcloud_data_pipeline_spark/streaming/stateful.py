@@ -585,26 +585,35 @@ def _make_event_time_session(gap_ms: int):
 
 
 def _interval_ms(interval: str) -> int:
-    """Milliseconds in a Spark-style interval string like '30 minutes'.
-    Single source of truth for the session gap: the old twin defaults
+    """Milliseconds in a Spark-style interval string — single units
+    ('30 minutes') and compounds ('1 hour 30 minutes'), matching the
+    grammar ``withWatermark`` accepts for the same string. Single
+    source of truth for the session gap: the old twin defaults
     (gap='30 minutes' AND gap_ms=1800000) could silently drift
     (round-11 ADVICE)."""
     import re
 
-    m = re.fullmatch(
-        r"\s*(\d+)\s*(millisecond|second|minute|hour|day)s?\s*",
-        interval,
-    )
-    if not m:
-        raise ValueError(f"unsupported interval string: {interval!r}")
     unit_ms = {
         "millisecond": 1,
         "second": 1000,
         "minute": 60_000,
         "hour": 3_600_000,
         "day": 86_400_000,
-    }[m.group(2)]
-    return int(m.group(1)) * unit_ms
+        "week": 604_800_000,
+    }
+    pairs = re.findall(
+        r"(\d+)\s*(millisecond|second|minute|hour|day|week)s?", interval
+    )
+    # every character must belong to a recognized pair — reject
+    # partial matches like '3 fortnights' (which contains no pair) or
+    # '5 minutes and a bit' (trailing junk)
+    consumed = re.fullmatch(
+        r"\s*(?:(?:\d+)\s*(?:millisecond|second|minute|hour|day|week)s?\s*)+",
+        interval,
+    )
+    if not pairs or not consumed:
+        raise ValueError(f"unsupported interval string: {interval!r}")
+    return sum(int(n) * unit_ms[u] for n, u in pairs)
 
 
 def event_time_user_sessions(

@@ -320,3 +320,36 @@ def test_remap_version_gc_and_compact_dir_parses(spark, tmp_path):
     assert _labels(cc_read(spark, members, remap)) == _scratch(
         spark, seen
     )
+
+
+def test_repeated_compaction_never_overwrites_committed_dir(spark, tmp_path):
+    """Two cc_compact calls with NO intervening batch must not rewrite
+    the committed version dir in place (readers could see a partial
+    remap): each re-commit lands under a fresh suffixed name and labels
+    are preserved throughout."""
+    from investcloud_data_pipeline_spark.operators.graph_incremental import (
+        cc_compact,
+    )
+    from investcloud_data_pipeline_spark.streaming.atomic import (
+        read_committed,
+    )
+
+    members, remap = str(tmp_path / "m"), str(tmp_path / "r")
+    edges = [(1, 2), (2, 3), (10, 11)]
+    cc_update_batch(spark, _edges_df(spark, edges), members, remap)
+    cc_update_batch(spark, _edges_df(spark, [(3, 10)]), members, remap)
+    want = _scratch(spark, edges + [(3, 10)])
+
+    cc_compact(spark, members, remap)
+    _, v1 = read_committed(remap)
+    cc_compact(spark, members, remap)  # no intervening batch
+    _, v2 = read_committed(remap)
+    assert v1 != v2, "second compact re-committed the same dir"
+    assert _labels(cc_read(spark, members, remap)) == want
+    # and a third: must differ from the dir committed just before it
+    # (a name GC'd by the second compact MAY be reused — the dir was
+    # deleted, so no reader can hold it — but never the live one)
+    cc_compact(spark, members, remap)
+    _, v3 = read_committed(remap)
+    assert v3 != v2
+    assert _labels(cc_read(spark, members, remap)) == want

@@ -297,3 +297,23 @@ def test_interval_ms_single_source_of_gap_truth():
     # -0.300001; plain astype('int64') truncation would give -300000
     vals = np.floor(np.array([-0.3000015]) * 1_000_000).astype("int64")
     assert int(vals[0]) == -300002
+
+
+def test_interval_ms_compound_and_week_grammar():
+    """Round-11 review follow-up: the parser must cover the compound /
+    week forms withWatermark itself accepts for the same string."""
+    import pytest
+
+    from investcloud_data_pipeline_spark.streaming.stateful import (
+        _interval_ms,
+    )
+
+    assert _interval_ms("1 hour 30 minutes") == 90 * 60 * 1000
+    assert _interval_ms("1 week") == 7 * 86_400_000
+    assert _interval_ms("2 days 3 hours 4 seconds") == (
+        2 * 86_400_000 + 3 * 3_600_000 + 4000
+    )
+    with pytest.raises(ValueError):
+        _interval_ms("5 minutes and a bit")
+    with pytest.raises(ValueError):
+        _interval_ms("")

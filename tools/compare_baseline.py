@@ -144,21 +144,15 @@ def main() -> int:
     mcal = re.search(r"[Hh]ost calibration[^0-9]*([0-9.]+)\s*s", text)
     if mcal:
         base_calib = float(mcal.group(1))
-    base: dict[str, float] = {}
-    in_table = False
-    for line in text.splitlines():
-        if line.startswith("## Recorded BASELINE"):
-            in_table = True
-            continue
-        # stop at the next section heading so a later pipe-table in
-        # BASELINE.md can't be silently absorbed into the baseline dict
-        if in_table and line.startswith("## "):
-            break
-        if not in_table:
-            continue
-        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
-        if m:
-            base[m.group(1)] = float(m.group(2))
+    # table grammar lives in bench.py (one parser for the warm phase,
+    # the merge tool, and this gate — a grammar change updated in one
+    # place cannot silently desync the other two)
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import load_baseline_table
+
+    base = load_baseline_table(baseline_path)
 
     if not base:
         print("no baseline table found in BASELINE.md", file=sys.stderr)

@@ -23,25 +23,17 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
-
-def parse_baseline_table(text: str) -> dict[str, float]:
-    base: dict[str, float] = {}
-    in_table = False
-    for line in text.splitlines():
-        if line.startswith("## Recorded BASELINE"):
-            in_table = True
-            continue
-        if in_table and line.startswith("## "):
-            break
-        if not in_table:
-            continue
-        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
-        if m:
-            base[m.group(1)] = float(m.group(2))
-    return base
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+# single source of the table grammar: bench.py owns it (its warm phase,
+# this tool's merge, and compare_baseline.py must all parse the same
+# table or the flagged-query warm guarantee silently evaporates)
+from bench import load_baseline_table  # noqa: E402
 
 
 # A merge never tightens a frozen number past this fraction of itself.
@@ -101,6 +93,10 @@ def main() -> int:
     replace: set[str] = set()
     if "--replace" in args:
         i = args.index("--replace")
+        if i + 1 >= len(args):
+            print("--replace requires a comma-separated query list",
+                  file=sys.stderr)
+            return 2
         replace = {
             n.strip() for n in args[i + 1].split(",") if n.strip()
         }
@@ -125,7 +121,7 @@ def main() -> int:
 
     merge_note = ""
     if do_merge:
-        old = parse_baseline_table(text)
+        old = load_baseline_table("BASELINE.md")
         if not old:
             print("--merge: no existing table found; doing a full "
                   "re-anchor instead", file=sys.stderr)
@@ -134,17 +130,27 @@ def main() -> int:
         table, prov = merge_tables(old, new, replace)
         n_new = sum(1 for p in prov.values() if p == "new")
         n_old = sum(1 for p in prov.values() if p == "old")
-        n_rep = sum(1 for p in prov.values() if p == "replaced")
+        # report what actually happened, not what was requested: a
+        # --replace name absent/errored in the sweep keeps its frozen
+        # value with provenance 'old'
+        replaced = sorted(n for n, p in prov.items() if p == "replaced")
         capped = sorted(n for n, p in prov.items() if p == "capped")
         merge_note = (
             f"\nMin-merged table: {n_new} minima tightened by this "
-            f"sweep, {n_old} kept from the prior anchor, {n_rep} "
-            f"replaced outright (definition changed: "
-            f"{', '.join(sorted(replace)) or 'none'}), "
+            f"sweep, {n_old} kept from the prior anchor, "
+            f"{len(replaced)} replaced outright (definition changed: "
+            f"{', '.join(replaced) or 'none'}), "
             f"{len(capped)} suspect sub-{MERGE_TIGHTEN_FLOOR}x samples "
             f"capped at the frozen value"
             f"{' (' + ', '.join(capped) + ')' if capped else ''}.\n"
         )
+        missing_replace = sorted(replace - set(replaced))
+        if missing_replace:
+            print(
+                "warning: --replace queries not replaced (absent or "
+                f"errored in the sweep): {', '.join(missing_replace)}",
+                file=sys.stderr,
+            )
         for n in capped:
             print(
                 f"capped: {n} sampled {new[n]}s < "
@@ -152,9 +158,15 @@ def main() -> int:
                 "ordering/rider artifact, frozen value kept",
                 file=sys.stderr,
             )
-        # the calibration describing the minima is the quieter session
+        # the calibration describing the minima is the quieter session;
+        # a sweep WITHOUT calibration must not drop the existing header
+        # (most retained minima come from the old calibrated session,
+        # and compare_baseline falls back to the harsher
+        # uncorroborated-median path without it)
         if old_calib is not None and new_calib_mid is not None:
             new_calib_mid = min(old_calib, new_calib_mid)
+        elif old_calib is not None:
+            new_calib_mid = old_calib
     else:
         table = new
 
@@ -166,10 +178,16 @@ def main() -> int:
     if new_calib_mid is not None:
         # the midpoint must be the FIRST number after the phrase — the
         # compare tool's parser takes the first match
+        sweep_note = (
+            f"(this sweep's before {calib['before_s']} / after "
+            f"{calib['after_s']}) "
+            if calib
+            else "(retained from the prior anchor; this sweep "
+            "recorded no calibration) "
+        )
         calib_line = (
             f"\nHost calibration (single-core loop): {new_calib_mid} s "
-            f"(this sweep's before {calib['before_s']} / after "
-            f"{calib['after_s']}) — tools/compare_baseline.py divides "
+            f"{sweep_note}— tools/compare_baseline.py divides "
             "future runs' calibration by this to get the "
             "query-independent host-drag estimate.\n"
         )
