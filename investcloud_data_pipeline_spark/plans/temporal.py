@@ -172,6 +172,64 @@ FROM p FULL OUTER JOIN c
 """
 
 
+def attributed_revenue_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED-STATEFUL twin (round 11): stream-stream LEFT SEMI
+    interval join (each purchase once, no pair fan-out to double-count
+    revenue) feeding a downstream tumbling revenue rollup — TWO state
+    stores in one streaming query
+    (streaming/joins.py::attributed_revenue_hourly runs the IDENTICAL
+    plan on unbounded streams; the watermark propagates through the
+    join to close the windows). Batch form restricts to the windows
+    the final watermark (max event ts − 30 min) would have closed —
+    exactly append mode's emission, the same contract as
+    tumbling_watermark_rollup."""
+    from ..streaming.joins import attributed_revenue_hourly as chain
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    mx = e.groupBy().agg(F.max("ts").alias("mx"))
+    return (
+        chain(clicks, purchases)
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("win_start") + F.expr("INTERVAL 1 HOUR")
+            <= F.col("mx") - F.expr("INTERVAL 30 MINUTES")
+        )
+        .select("win_start", "n_purchases", "revenue_micros")
+    )
+
+
+ATTRIBUTED_REVENUE_HOURLY_SQL = """
+WITH m AS (SELECT max(ts) AS mx FROM events),
+p AS (
+  SELECT user_id, ts AS purchase_ts, value AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+)
+SELECT date_trunc('hour', purchase_ts) AS win_start,
+       count(*) AS n_purchases,
+       CAST(sum(CAST(floor(amount * 1000000) AS BIGINT)) AS BIGINT)
+         AS revenue_micros
+FROM p CROSS JOIN m
+WHERE EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = p.user_id
+          AND p.purchase_ts >= c.click_ts
+          AND p.purchase_ts <= c.click_ts + INTERVAL 15 MINUTE)
+  AND date_trunc('hour', purchase_ts) + INTERVAL 1 HOUR
+      <= mx - INTERVAL 30 MINUTE
+GROUP BY 1
+"""
+
+
 def gap_fill_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + forward fill: per user, a dense hourly grid
     from their first to last event hour, carrying the latest observed
@@ -1068,6 +1126,10 @@ QUERIES = {
     "interval_attribution_full": (
         interval_attribution_full,
         INTERVAL_ATTRIBUTION_FULL_SQL,
+    ),
+    "attributed_revenue_hourly": (
+        attributed_revenue_hourly,
+        ATTRIBUTED_REVENUE_HOURLY_SQL,
     ),
     "gap_fill_hourly_values": (gap_fill_hourly_values, GAP_FILL_HOURLY_VALUES_SQL),
     "range_join_nearby_events": (range_join_nearby_events, RANGE_JOIN_NEARBY_EVENTS_SQL),

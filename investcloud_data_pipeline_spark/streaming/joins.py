@@ -71,3 +71,57 @@ def attribute_purchases(
         F.col("c.click_id").alias("click_id"),
         F.col("c.click_ts").alias("click_ts"),
     )
+
+
+def attributed_revenue_hourly(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "15 minutes",
+    watermark_delay: str = "1 hour",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS (round 11): a stream-stream LEFT SEMI
+    interval join — purchases with at least one same-user click in the
+    trailing attribution ``window``, each purchase emitted AT MOST ONCE
+    (the inner join's (purchase, click) fan-out would double-count
+    revenue) — feeding a downstream watermarked tumbling aggregation of
+    revenue per ``bucket``. Two state stores run in one streaming
+    query: the join buffers both inputs, the aggregation holds open
+    windows; the event-time watermark propagates THROUGH the join
+    (delayed by the join's interval bound) to close the downstream
+    windows, the multiple-stateful-operator support OSS added in 3.5.
+
+    Output: (win_start, n_purchases, revenue_micros) in append mode —
+    a window emits once the propagated watermark passes its end. The
+    integral micros sum keeps the aggregate exact cross-engine (the
+    batch twin's DuckDB oracle compares values).
+
+    Scale: the same single user_id shuffle as the inner join, then one
+    window-key shuffle for the aggregation; both states evict on the
+    watermark, so state is bounded by (join window + bucket) x arrival
+    rate regardless of stream age."""
+    c = clicks.withWatermark("click_ts", watermark_delay).alias("c")
+    p = purchases.withWatermark("purchase_ts", watermark_delay).alias("p")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.purchase_ts") >= F.col("c.click_ts"))
+        & (
+            F.col("p.purchase_ts")
+            <= F.col("c.click_ts") + F.expr(f"interval {window}")
+        )
+    )
+    attributed = p.join(c, cond, "left_semi")
+    return (
+        attributed.groupBy(F.window("purchase_ts", bucket))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(
+                F.floor(F.col("amount") * 1_000_000).cast("long")
+            ).alias("revenue_micros"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "n_purchases",
+            "revenue_micros",
+        )
+    )

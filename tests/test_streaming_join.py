@@ -233,3 +233,101 @@ def test_full_outer_rejects_unknown_mode():
 
     with pytest.raises(ValueError):
         attribute_purchases(None, None, how="right_outer_nested")
+
+
+def test_chained_stateful_join_then_window_agg(spark, tmp_path):
+    """Round-11 chained-stateful class: stream-stream LEFT SEMI
+    interval join feeding a downstream watermarked tumbling revenue
+    rollup — TWO state stores in one streaming query. Emitted rows
+    equal the batch twin restricted to watermark-closed windows, a
+    multi-click purchase counts once, and the progress report shows
+    both stateful operators."""
+    from investcloud_data_pipeline_spark.streaming.joins import (
+        attributed_revenue_hourly,
+    )
+
+    cdir, pdir, out, ck = (
+        str(tmp_path / d) for d in ("cclicks", "cpurch", "cout", "cck")
+    )
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+
+    def write(d, name, rows, cols):
+        pd.DataFrame(rows, columns=cols).to_parquet(
+            f"{d}/{name}", index=False, coerce_timestamps="us"
+        )
+
+    # hour 12: user 1 buys twice (first purchase attributed by TWO
+    # clicks — must count once), user 2's purchase is outside its
+    # click's window, user 4 has no click; hour 13: one attributed
+    # purchase; hour 18: far-future rows that close hours 12/13
+    clicks = [
+        (1, _ts(0), 100), (1, _ts(5), 101), (2, _ts(5), 200),
+        (1, datetime(2026, 1, 1, 13, 0, 0), 102),
+        (9, datetime(2026, 1, 1, 18, 0, 0), 900),
+    ]
+    purchases = [
+        (1, _ts(10), 9.5), (1, _ts(18), 4.25), (2, _ts(25), 7.5),
+        (4, _ts(10), 1.0),
+        (1, datetime(2026, 1, 1, 13, 5, 0), 2.25),
+        (9, datetime(2026, 1, 1, 18, 0, 0), 0.5),
+    ]
+    write(cdir, "w1.parquet", clicks, ["user_id", "click_ts", "click_id"])
+    write(pdir, "w1.parquet", purchases,
+          ["user_id", "purchase_ts", "amount"])
+
+    streamed = attributed_revenue_hourly(
+        spark.readStream.schema(CLICKS_SCHEMA).parquet(cdir),
+        spark.readStream.schema(PURCHASES_SCHEMA).parquet(pdir),
+        window="15 minutes",
+        watermark_delay="10 minutes",
+    )
+    q = (
+        streamed.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    progress = q.lastProgress
+    assert progress is not None
+    assert len(progress["stateOperators"]) == 2, [
+        op["operatorName"] for op in progress["stateOperators"]
+    ]
+
+    got = {
+        (r.win_start, r.n_purchases, r.revenue_micros)
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour 12: purchases at :10 (attributed, counted ONCE despite two
+    # matching clicks) and :18 (attributed via the :05 click); user 2
+    # out-of-window and user 4 clickless excluded -> 2 purchases
+    assert (datetime(2026, 1, 1, 12, 0, 0), 2, 13_750_000) in got
+    assert (datetime(2026, 1, 1, 13, 0, 0), 1, 2_250_000) in got
+    # hour 18 is NOT closed by the final watermark -> not emitted
+    assert not any(w.hour == 18 for (w, *_r) in got)
+
+    # batch twin on the same static frames, closed-window filtered
+    from pyspark.sql import functions as F
+
+    cdf = spark.createDataFrame(clicks, CLICKS_SCHEMA)
+    pdf_ = spark.createDataFrame(purchases, PURCHASES_SCHEMA)
+    mx = pdf_.groupBy().agg(F.max("purchase_ts").alias("mx"))
+    batch = (
+        attributed_revenue_hourly(
+            cdf, pdf_, window="15 minutes", watermark_delay="10 minutes"
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("win_start") + F.expr("INTERVAL 1 HOUR")
+            <= F.col("mx") - F.expr("INTERVAL 10 MINUTES")
+        )
+        .select("win_start", "n_purchases", "revenue_micros")
+    )
+    expected = {
+        (r.win_start, r.n_purchases, r.revenue_micros)
+        for r in batch.collect()
+    }
+    assert got == expected
