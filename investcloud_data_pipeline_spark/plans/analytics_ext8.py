@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.batch import load_table
-from ..streaming.stateful import TOPK_K
+from ..constants import TOPK_K
 
 N_BINS = 256
 DEC = "decimal(18,2)"

@@ -179,10 +179,15 @@ def attributed_revenue_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores in one streaming query
     (streaming/joins.py::attributed_revenue_hourly runs the IDENTICAL
     plan on unbounded streams; the watermark propagates through the
-    join to close the windows). Batch form restricts to the windows
-    the final watermark (max event ts − 30 min) would have closed —
-    exactly append mode's emission, the same contract as
-    tumbling_watermark_rollup."""
+    join to close the windows). Batch form restricts to the windows an
+    append-mode-SHAPED watermark cut (max event ts − 30 min) would have
+    closed — a boundary-conservative restriction, not byte-exact
+    append-mode emission: the streaming default watermark is '1 hour'
+    and the join's 15-minute interval bound delays propagation further,
+    so the batch set is a superset near the watermark frontier. The
+    oracle pair applies the same cut on both sides, so the comparison
+    is exact; the streaming e2e test parameterizes its own
+    watermark_delay (round-12 ADVICE)."""
     from ..streaming.joins import attributed_revenue_hourly as chain
 
     e = load_table(spark, sf_dir, "events")

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 
@@ -59,6 +60,24 @@ def _epoch_of(name: str) -> int:
     return int(name[2:].split("_", 1)[0])
 
 
+def _suffix_rank(name: str) -> tuple[int, str]:
+    """Ordering rank of a version dir name WITHIN one epoch. A suffixed
+    maintenance re-commit supersedes the plain dir, and repeated
+    re-commits ('_compact', '_compact1', … '_compact10') supersede in
+    NUMERIC suffix order — a lexical tie-break would sort
+    'v_5_compact10' before 'v_5_compact9' and let GC retain the stale
+    dir forever (round-12 ADVICE). Unknown suffixes fall back to a
+    lexical rank above every numbered compact."""
+    rest = name[2:].split("_", 1)
+    if len(rest) < 2:
+        return (-1, "")  # plain v_<epoch>: lowest rank
+    suffix = rest[1]
+    m = re.fullmatch(r"compact(\d*)", suffix)
+    if m:
+        return (int(m.group(1) or 0), "")
+    return (1 << 30, suffix)
+
+
 def drop_superseded(root: str, keep_dir: str, retain: int = 1) -> None:
     """Best-effort GC of older version dirs (never the committed one).
 
@@ -69,10 +88,11 @@ def drop_superseded(root: str, keep_dir: str, retain: int = 1) -> None:
     keep = os.path.basename(keep_dir)
     versions = sorted(
         (n for n in os.listdir(root) if n.startswith("v_")),
-        # tie-break same-epoch names lexically so a suffixed re-commit
-        # (v_5_compact) deterministically outranks the plain v_5 it
-        # supersedes, letting GC drop the stale one
-        key=lambda n: (_epoch_of(n), n),
+        # tie-break same-epoch names by NUMERIC suffix index so a
+        # suffixed re-commit (v_5_compact, then v_5_compact1, …)
+        # deterministically outranks what it supersedes even past ten
+        # re-commits, letting GC drop the stale dirs
+        key=lambda n: (_epoch_of(n), _suffix_rank(n)),
         reverse=True,
     )
     retained = set(versions[: max(retain, 1)]) | {keep}

@@ -392,7 +392,10 @@ def user_quota_gate(
 # ancestor; the streaming form keeps the heap in the state store
 # instead of re-scanning history each trigger.
 
-TOPK_K = 5
+# Defined in the lightweight constants module so batch plan registries
+# can interpolate it without importing this (pandas-heavy) module;
+# re-exported here because the streaming stage is its primary user.
+from ..constants import TOPK_K  # noqa: E402
 TOPK_OUTPUT_SCHEMA = (
     "user_id long, rank long, event_id long, value double, n_seen long"
 )
@@ -587,7 +590,13 @@ def _make_event_time_session(gap_ms: int):
 def _interval_ms(interval: str) -> int:
     """Milliseconds in a Spark-style interval string — single units
     ('30 minutes') and compounds ('1 hour 30 minutes'), matching the
-    grammar ``withWatermark`` accepts for the same string. Single
+    grammar ``withWatermark`` accepts for the same string: parsing is
+    CASE-INSENSITIVE ('30 Minutes') like Spark's interval parser
+    (round-12 ADVICE). Additionally accepts common abbreviations (ms,
+    sec/s, min/m, h, d, w) as a convenience SUPERSET — note
+    ``withWatermark`` itself rejects those (verified on Spark 4.1.2),
+    so the sole caller passes the same string to both and an
+    abbreviation will fail there with Spark's own parse error. Single
     source of truth for the session gap: the old twin defaults
     (gap='30 minutes' AND gap_ms=1800000) could silently drift
     (round-11 ADVICE)."""
@@ -595,25 +604,42 @@ def _interval_ms(interval: str) -> int:
 
     unit_ms = {
         "millisecond": 1,
+        "msec": 1,
+        "ms": 1,
         "second": 1000,
+        "sec": 1000,
+        "s": 1000,
         "minute": 60_000,
+        "min": 60_000,
+        "m": 60_000,
         "hour": 3_600_000,
+        "h": 3_600_000,
         "day": 86_400_000,
+        "d": 86_400_000,
         "week": 604_800_000,
+        "w": 604_800_000,
     }
-    pairs = re.findall(
-        r"(\d+)\s*(millisecond|second|minute|hour|day|week)s?", interval
+    # longest spellings first so 'ms' doesn't eat the 'm' of 'minute'
+    unit_re = (
+        "milliseconds?|msecs?|ms|seconds?|secs?|minutes?|mins?|"
+        "hours?|days?|weeks?|[smhdw]"
     )
+    pairs = re.findall(rf"(\d+)\s*({unit_re})", interval, re.IGNORECASE)
     # every character must belong to a recognized pair — reject
     # partial matches like '3 fortnights' (which contains no pair) or
     # '5 minutes and a bit' (trailing junk)
     consumed = re.fullmatch(
-        r"\s*(?:(?:\d+)\s*(?:millisecond|second|minute|hour|day|week)s?\s*)+",
-        interval,
+        rf"\s*(?:(?:\d+)\s*(?:{unit_re})\s*)+", interval, re.IGNORECASE
     )
     if not pairs or not consumed:
         raise ValueError(f"unsupported interval string: {interval!r}")
-    return sum(int(n) * unit_ms[u] for n, u in pairs)
+    def _ms(u: str) -> int:
+        # exact spelling first so 'ms'/'s' don't lose their trailing
+        # 's' to plural-stripping ('ms' is NOT the plural of 'm')
+        lu = u.lower()
+        return unit_ms[lu] if lu in unit_ms else unit_ms[lu[:-1]]
+
+    return sum(int(n) * _ms(u) for n, u in pairs)
 
 
 def event_time_user_sessions(

@@ -332,13 +332,13 @@ def test_pq_adc_recall_sanity_and_kmeans_upgrade(spark, sf_dir):
     assert r_km64 >= r_sampled, (r_km64, r_sampled)
     assert r_km64 > 0.0
 
-    # The IVF-PQ + exact-refine registry query (round-11 re-tune,
-    # ANN_RECALL_r11: recall@10 0.970 at sf0.1 with nprobe=14,
-    # refine=200 — nprobe=12's candidate-coverage ceiling was 0.943,
-    # so the probe width had to rise again; the registry query's warm
-    # wall moved 7.7s -> 8.3s, within noise): residual coding +
-    # shortlist re-rank must clearly beat the codes-only kmeans path —
-    # pin a floor above it so a regression in the coarse probe, the
+    # The IVF-PQ + exact-refine registry query (round-12 operating
+    # point: nprobe=14 widening adaptively to 16 on a small coarse
+    # margin, refine=200 — recall@10 0.983 / min-query 0.80 at sf0.1,
+    # up from fixed-14's 0.970 / 0.70 for ~+9% ADC candidates; see
+    # IVFPQ_MARGIN_TAU): residual coding + shortlist re-rank must
+    # clearly beat the codes-only kmeans path — pin a floor above it
+    # so a regression in the coarse probe, the adaptive widening, the
     # residual codebook, or the refine join fails here. (sf0.01
     # measures ~0.98 at this operating point; 0.9 is the conservative
     # cross-sf floor, raised from 0.8 with the r11 retune.)
@@ -375,3 +375,73 @@ def test_pq_codes_arrow_matches_expression_path(spark, sf_dir):
         for r in AX5._pq_codes_arrow(emb, centers).collect()
     }
     assert arrow_codes == expr_codes
+
+
+def test_ivf_pq_distributed_twin_runs(spark, sf_dir, monkeypatch):
+    """Round-12 verdict task #4: the 100 TB branch (Spark ML KMeans
+    coarse fit + residual join + per-subspace distributed fits +
+    staged encode) must run in CI on every suite pass, not only when
+    the corpus outgrows the driver guard. Forcing the local fit to
+    decline (kmeans_fit_local -> None trips BOTH the fused path's
+    coarse fit and seeded_kmeans_centers inside _ivf_assign, and
+    _pq_kmeans_centers' slice fits) routes the whole pipeline through
+    the distributed twin; assert the structural contract the guarded
+    path satisfies: full rank ladders per query, candidates only from
+    probed cells, self excluded."""
+    from investcloud_data_pipeline_spark.functions import vectors
+
+    monkeypatch.setattr(vectors, "kmeans_fit_local", lambda *a, **k: None)
+
+    emb = AX5._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    out = AX5.ivf_pq_adc_topk(
+        emb, qs, k=5, k_codebook=32, refine=50
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+        assert all(r.vec_id != q for r in rows)
+
+
+def test_seeded_kmeans_distributed_twin_runs(spark, sf_dir):
+    """The other guarded driver fit (seeded_kmeans_centers): past
+    max_driver_bytes it must return None — and its callers' Spark ML
+    branch must produce a complete, partition-invariant assignment.
+    Drives kmeans_assignments through the distributed branch directly
+    (monkeypatch-free: the guard is a parameter here)."""
+    from investcloud_data_pipeline_spark.functions.vectors import (
+        seeded_kmeans_centers,
+    )
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert (
+        seeded_kmeans_centers(
+            emb, "embedding", k=8, seed=42, max_driver_bytes=0
+        )
+        is None
+    )
+
+    # the Spark ML KMeans branch of kmeans_assignments, forced the
+    # same way the fleet-scale corpus would trip it
+    from investcloud_data_pipeline_spark.functions import vectors
+
+    n = emb.count()
+    real = vectors.seeded_kmeans_centers
+    try:
+        vectors.seeded_kmeans_centers = (
+            lambda df, vec_col, k, seed=42, **kw: None
+        )
+        got = vectors.kmeans_assignments(
+            emb, "embedding", "vec_id", k=8
+        ).collect()
+    finally:
+        vectors.seeded_kmeans_centers = real
+    assert len(got) == n
+    assert {r.cluster for r in got} <= set(range(8))
+    assert len({r.vec_id for r in got}) == n

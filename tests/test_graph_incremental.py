@@ -353,3 +353,58 @@ def test_repeated_compaction_never_overwrites_committed_dir(spark, tmp_path):
     _, v3 = read_committed(remap)
     assert v3 != v2
     assert _labels(cc_read(spark, members, remap)) == want
+
+
+def test_gc_suffix_tiebreak_is_numeric(tmp_path):
+    """Round-12 ADVICE: after ten-plus same-epoch re-commits the
+    compact suffix reaches double digits, and a LEXICAL tie-break
+    ('v_5_compact10' < 'v_5_compact9') would retain stale dirs forever
+    and leave list_versions reporting duplicate epochs. The tie-break
+    must order by the NUMERIC suffix index."""
+    import json
+
+    from investcloud_data_pipeline_spark.streaming.atomic import (
+        drop_superseded,
+        list_versions,
+    )
+
+    root = str(tmp_path / "r")
+    os.makedirs(root)
+    names = ["v_5", "v_5_compact"] + [
+        f"v_5_compact{i}" for i in range(1, 12)
+    ]
+    for n in names:
+        os.makedirs(os.path.join(root, n))
+    keep = os.path.join(root, "v_5_compact11")
+    with open(os.path.join(root, "_COMMITTED"), "w") as fh:
+        json.dump({"epoch_id": 5, "version_dir": "v_5_compact11"}, fh)
+
+    drop_superseded(root, keep, retain=1)
+    left = sorted(n for n in os.listdir(root) if n.startswith("v_"))
+    assert left == ["v_5_compact11"], left
+    assert list_versions(root) == [5]
+
+
+def test_batch_plans_import_without_streaming_stack():
+    """Round-12 ADVICE: enumerating the batch-plans registry must not
+    import the streaming modules (they pull pandas/numpy and
+    pyspark.sql.streaming.state at import time). TOPK_K now lives in
+    the lightweight constants module; verify in a clean interpreter
+    that importing the plans package leaves streaming.stateful
+    unloaded."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, investcloud_data_pipeline_spark.plans.analytics_ext8, "
+        "investcloud_data_pipeline_spark.plans as p; "
+        "bad=[m for m in sys.modules if m.startswith("
+        "'investcloud_data_pipeline_spark.streaming')]; "
+        "assert not bad, bad; "
+        "from investcloud_data_pipeline_spark.constants import TOPK_K; "
+        "from investcloud_data_pipeline_spark.streaming.stateful import "
+        "TOPK_K as K2; assert TOPK_K == K2"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], check=True, cwd="/root/repo"
+    )

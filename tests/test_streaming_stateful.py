@@ -317,3 +317,14 @@ def test_interval_ms_compound_and_week_grammar():
         _interval_ms("5 minutes and a bit")
     with pytest.raises(ValueError):
         _interval_ms("")
+    # round-12 ADVICE: Spark's interval parser is case-insensitive and
+    # takes abbreviations for the same string — parity required
+    assert _interval_ms("30 Minutes") == 30 * 60 * 1000
+    assert _interval_ms("30 min") == 30 * 60 * 1000
+    assert _interval_ms("30m") == 30 * 60 * 1000
+    assert _interval_ms("500 ms") == 500  # 'ms' is not plural of 'm'
+    assert _interval_ms("10 s") == 10_000
+    assert _interval_ms("2 H") == 2 * 3_600_000
+    assert _interval_ms("1 SEC") == 1000
+    with pytest.raises(ValueError):
+        _interval_ms("3 fortnights")
