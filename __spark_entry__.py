@@ -32,6 +32,7 @@ from investcloud_data_pipeline_spark.plans import temporal as T
 from investcloud_data_pipeline_spark.plans import tpch_remaining as TR
 from investcloud_data_pipeline_spark.plans import training_data as TD
 from investcloud_data_pipeline_spark.sources.python_datasource import (
+    ACTIVITY_SOURCE_PROFILE_SQL,
     activity_source_profile,
 )
 
@@ -64,14 +65,21 @@ ROWS_ONLY = {
     "dedup_semantic_pairs": "k-means clustering (iterative fit, not SQL)",
     "dedup_simhash_candidates": "64-bit simhash bit voting (not portable SQL)",
     "multimodal_image_patches": "PNG codec round-trip + patch grid explode (not SQL)",
-    "multimodal_wav_segments": "WAV codec round-trip + windowed-RMS VAD (not SQL)",
     "multimodal_phash_dedup": "PNG codec round-trip + dHash bit voting (not SQL)",
     "multimodal_thumbnail": "PNG codec round-trip + pixel resample (not SQL)",
-    "multimodal_wav_features": "WAV codec round-trip + numpy DSP (not SQL)",
-    "multimodal_wav_resample": "WAV codec round-trip + decimation (not SQL)",
+    "multimodal_wav_resample": (
+        "WAV re-encode md5 (blob construction not practical in SQL); "
+        "strict siblings pin the codec: multimodal_wav_features, "
+        "multimodal_wav_segments"
+    ),
     "profile_orders": "HLL++ approx distincts are engine-specific (exact twin: profile_orders_exact)",
-    "pydatasource_activity_profile": "generator-source input has no DuckDB-visible table",
 }
+# Converted OUT of ROWS_ONLY in round 12 (verdict task #6):
+# multimodal_wav_features / multimodal_wav_segments (the fixture tone
+# is a closed-form function of doc_id and PCM16 is lossless — the
+# oracle recomputes from the synthesis law, value-pinning the codec)
+# and pydatasource_activity_profile (seed-pure source output committed
+# as a parquet fixture the oracle aggregates).
 
 
 
@@ -153,4 +161,5 @@ def oracle_sql() -> dict[str, str]:
         **{name: sql for name, (_, sql) in AX6.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in AX7.QUERIES.items() if sql},
         **{name: sql for name, (_, sql) in AX8.QUERIES.items() if sql},
+        "pydatasource_activity_profile": ACTIVITY_SOURCE_PROFILE_SQL,
     }

@@ -186,7 +186,19 @@ LINKPRED_TOPK = 100
 def copurchase_link_prediction(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    edges = _support2_edges(spark, sf_dir).select("p1", "p2")
+    # Eagerly materialized: this plan references the edge relation
+    # SEVEN times (und×3 via deg/l/r, known×1, each doubling through
+    # the union) and exchange reuse does not collapse the copies — the
+    # round-11 plan audit counted 32 exchanges, ~25 of them replicas
+    # of the lineitem self-join + support aggregate. Checkpointing the
+    # thresholded pair relation (tiny by construction) runs the build
+    # once; the audit count drops to the ~8 load-bearing exchanges
+    # (round-12 verdict task #8).
+    edges = (
+        _support2_edges(spark, sf_dir)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
     und = edges.union(
         edges.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
     )

