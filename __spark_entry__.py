@@ -63,9 +63,13 @@ ROWS_ONLY = {
     ),
     "dedup_embedding_cosine_fast": "numpy blocked-matmul summation order",
     "dedup_semantic_pairs": "k-means clustering (iterative fit, not SQL)",
-    "dedup_simhash_candidates": "64-bit simhash bit voting (not portable SQL)",
-    "multimodal_image_patches": "PNG codec round-trip + patch grid explode (not SQL)",
-    "multimodal_phash_dedup": "PNG codec round-trip + dHash bit voting (not SQL)",
+    "multimodal_image_patches": (
+        "patch_md5 fingerprints raw patch BYTES containing NUL padding; "
+        "DuckDB 1.0's md5() is VARCHAR-only (no BLOB overload), so the "
+        "digest is not portably computable — grid/padding laws are "
+        "pytest-pinned and the pixel law itself is value-pinned via "
+        "multimodal_phash_dedup's strict oracle"
+    ),
     "multimodal_thumbnail": "PNG codec round-trip + pixel resample (not SQL)",
     "multimodal_wav_resample": (
         "WAV re-encode md5 (blob construction not practical in SQL); "
@@ -79,7 +83,16 @@ ROWS_ONLY = {
 # is a closed-form function of doc_id and PCM16 is lossless — the
 # oracle recomputes from the synthesis law, value-pinning the codec)
 # and pydatasource_activity_profile (seed-pure source output committed
-# as a parquet fixture the oracle aggregates).
+# as a parquet fixture the oracle aggregates). Also (later in round 12)
+# dedup_simhash_candidates: the kernel's shingle hash is an md5 prefix,
+# which DuckDB reproduces bit-exactly, and the bit voting / banding /
+# group expansion are plain relational algebra — the Arrow kernel is
+# value-pinned pair-for-pair at all three sfs. And
+# multimodal_phash_dedup: the fixture image is the doc's ASCII bytes
+# tiled 16×16, so the oracle re-derives pixels from the synthesis law
+# and dHash's block-mean comparisons reduce to exact integer
+# cross-products — the full PNG encode→decode→dHash→banding chain is
+# value-pinned pair-for-pair at all three sfs.
 
 
 

@@ -174,12 +174,32 @@ def _expand_member_pairs(rep_pairs: DataFrame, members: DataFrame,
     return cross.unionByName(intra)
 
 
+def shingle_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> "tuple[DataFrame, DataFrame]":
+    """(rep_shingles, members) — the shared upstream artifact of the
+    inverted-index pair family: exact-duplicate collapse
+    (``_exact_groups``) followed by the distinct word-n-gram explode of
+    the representatives, kept as raw shingle STRINGS so every consumer
+    can derive its own key form (xxhash64 for the equi-join plans,
+    lexicographic (df, shingle) order for prefix filtering). In
+    production this is written once at ingest next to the corpus; the
+    plan layer memoizes it per session with the same write-once
+    economics (``plans/training_data.py::shingles_cached``)."""
+    reps, members = _exact_groups(df, text_col, id_col)
+    return shingle_relation(reps, text_col, id_col, n), members
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    store: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Document pairs with word-n-gram Jaccard similarity ≥ threshold.
 
@@ -188,8 +208,15 @@ def ngram_jaccard_pairs(
     shingle counts. No cartesian product: only docs sharing ≥1 shingle
     ever meet. Exact duplicates are collapsed first (``_exact_groups``)
     so duplicate multiplicity cannot quadratically inflate the buckets.
+
+    ``store``: a precomputed :func:`shingle_store` pair — skips the
+    collapse + tokenize/explode stages; identical results by
+    construction (pinned by tests/test_training_data_ops.py).
     """
-    df, members = _exact_groups(df, text_col, id_col)
+    if store is not None:
+        ex, members = store
+    else:
+        ex, members = shingle_store(df, text_col, id_col, n)
     # Keep the exploded relation narrow (id, shingle): carrying the
     # per-doc size through the explode re-inlines the shingle expression
     # into a second projection (size + generator) and measures 2× slower
@@ -201,9 +228,7 @@ def ngram_jaccard_pairs(
     # shingle_relation's repartition barrier makes the tokenizer run once
     # per doc, and both self-join sides + the sizes agg share that
     # exchange via ReusedExchange (one tokenize, three consumers).
-    sh = shingle_relation(df, text_col, id_col, n).select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    )
+    sh = ex.select("id", F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -237,6 +262,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.9,
+    store: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Document pairs whose shingle OVERLAP COEFFICIENT
     |A∩B| / min(|A|, |B|) ≥ threshold — the containment test Jaccard
@@ -250,10 +276,11 @@ def ngram_containment_pairs(
     differs, so the 100 TB posture is identical — in production both
     scores are emitted from ONE pair relation.
     """
-    df, members = _exact_groups(df, text_col, id_col)
-    sh = shingle_relation(df, text_col, id_col, n).select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    )
+    if store is not None:
+        ex, members = store
+    else:
+        ex, members = shingle_store(df, text_col, id_col, n)
+    sh = ex.select("id", F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -284,12 +311,45 @@ def ngram_containment_pairs(
     ).filter(F.col("containment") >= threshold)
 
 
+def minhash_sig_lookup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """(__digest, mh_0..mh_{num_hashes-1}) — one MinHash signature per
+    DISTINCT normalized content. A signature is a pure function of the
+    text, so this is the production "signature store" shape: computed
+    once at ingest, keyed by the content digest, and every downstream
+    consumer (full-corpus banding, incremental delta banding, accuracy
+    ledgers) JOINS it instead of re-tokenizing the corpus. Any raw text
+    sharing a digest has the same normalized tokens, so one
+    representative (min raw text) per digest hashes identically.
+    Contents with no tokens produce no shingle rows and therefore no
+    lookup row — consumers inner-join, preserving the "docs with no
+    tokens are excluded" law of :func:`minhash_signatures`."""
+    distinct = (
+        df.withColumn("__digest", content_digest(text_col))
+        .groupBy("__digest")
+        .agg(F.min(text_col).alias("__text"))
+    )
+    ex = shingle_relation(distinct, "__text", "__digest", n)
+    return ex.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
+    ).withColumnRenamed("id", "__digest")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 12,
+    sig_lookup: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature (docs with no tokens are excluded, like a
     shingle-table GROUP BY would).
@@ -302,7 +362,22 @@ def minhash_signatures(
     guaranteed to run once per doc (shingle_relation's barrier). The
     groupBy introduces no second shuffle: the barrier already hash-
     partitioned on id, so the aggregate runs exchange-free on top of it.
-    """
+
+    ``sig_lookup``: a precomputed :func:`minhash_sig_lookup` relation
+    (built with ≥ ``num_hashes`` components). When given, the whole
+    tokenize/shingle/hash pipeline is replaced by one digest projection
+    + one join against the store — the write-once economics of a
+    persisted signature table; results are identical by construction
+    (pinned by tests/test_pipeline_operators.py)."""
+    if sig_lookup is not None:
+        return (
+            df.select(
+                F.col(id_col).alias("id"),
+                content_digest(text_col).alias("__digest"),
+            )
+            .join(sig_lookup, "__digest")
+            .select("id", *[f"mh_{j}" for j in range(num_hashes)])
+        )
     ex = shingle_relation(df, text_col, id_col, n)
     return ex.groupBy("id").agg(
         *[
@@ -319,13 +394,17 @@ def minhash_band_relation(
     n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    sig_lookup: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band_idx, band_key) LSH band relation: each doc's MinHash
     signature split into ``bands`` concatenated band keys. The shared
     upstream of batch candidate generation AND the streaming near-dup
-    gate (the committed band relation IS the cross-batch dedup state)."""
+    gate (the committed band relation IS the cross-batch dedup state).
+    ``sig_lookup`` forwards to :func:`minhash_signatures`."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, sig_lookup=sig_lookup
+    )
     band_cols = [
         F.concat_ws(
             "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -350,6 +429,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    sig_lookup: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from MinHash + LSH banding
     (``bands`` bands × ``num_hashes//bands`` rows). A pair lands in the
@@ -365,7 +445,9 @@ def minhash_lsh_candidates(
     candidate set is expanded back over the duplicate groups.
     """
     df, members = _exact_groups(df, text_col, id_col)
-    banded = minhash_band_relation(df, text_col, id_col, n, num_hashes, bands)
+    banded = minhash_band_relation(
+        df, text_col, id_col, n, num_hashes, bands, sig_lookup=sig_lookup
+    )
     a, b2 = banded.alias("a"), banded.alias("b")
     rep_pairs = (
         a.join(
@@ -394,6 +476,7 @@ def minhash_incremental_candidates(
     n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    sig_lookup: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup candidates: dedup a NEW batch (``delta``)
     against an already-deduplicated corpus (``base``) — the production
@@ -422,10 +505,12 @@ def minhash_incremental_candidates(
     base_rep, base_members = _exact_groups(base, text_col, id_col)
     delta_rep, delta_members = _exact_groups(delta, text_col, id_col)
     banded_base = minhash_band_relation(
-        base_rep, text_col, id_col, n, num_hashes, bands
+        base_rep, text_col, id_col, n, num_hashes, bands,
+        sig_lookup=sig_lookup,
     )
     banded_delta = minhash_band_relation(
-        delta_rep, text_col, id_col, n, num_hashes, bands
+        delta_rep, text_col, id_col, n, num_hashes, bands,
+        sig_lookup=sig_lookup,
     )
     # Plan-audit note (round-12 verdict task #8): the delta band
     # relation is referenced four times (cross probe, both sides of

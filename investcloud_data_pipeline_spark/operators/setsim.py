@@ -54,6 +54,7 @@ def prefix_filter_jaccard_pairs(
     n: int = 3,
     num: int = 1,
     den: int = 2,
+    store: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard >= num/den pairs via prefix filtering.
 
@@ -71,16 +72,13 @@ def prefix_filter_jaccard_pairs(
     member-level pairs exactly (intra-group pairs score 1.0 with
     n_common = the group's shingle count).
     """
-    from .dedup_fuzzy import (
-        _exact_groups,
-        _expand_member_pairs,
-        shingle_relation,
-    )
+    from .dedup_fuzzy import _expand_member_pairs, shingle_store
 
-    reps, members = _exact_groups(docs, text_col, id_col)
-    ex = shingle_relation(reps, text_col, id_col, n).withColumnRenamed(
-        "shingle", "tok"
-    )
+    if store is not None:
+        ex, members = store
+    else:
+        ex, members = shingle_store(docs, text_col, id_col, n)
+    ex = ex.withColumnRenamed("shingle", "tok")
     # Global order = (document frequency ASC, shingle ASC): a total
     # order over the shingle vocabulary that puts rare shingles first.
     # The df join is vocabulary-sized, not corpus-sized.

@@ -25,7 +25,7 @@ from ..operators import setsim as SX
 from ..operators.graph import bounded_bfs
 from ..sources.batch import load_table
 from .mining import copurchase_part_pairs
-from .training_data import NORM_SQL, SHINGLES_CTE
+from .training_data import NORM_SQL, SHINGLES_CTE, shingles_cached
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -330,7 +330,8 @@ def dedup_prefix_filter_jaccard(
     independent formulation, so a prefix-length bug that dropped a
     pair would fail the ledger, not be mirrored by it."""
     return SX.prefix_filter_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, num=1, den=2
+        _t(spark, sf_dir, "documents"), n=3, num=1, den=2,
+        store=shingles_cached(spark, sf_dir),
     )
 
 

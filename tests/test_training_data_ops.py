@@ -85,6 +85,71 @@ def test_ngram_jaccard_finds_near_dup_only(spark, docs):
     assert not any(4 in p for p in pairs)  # unrelated doc clean
 
 
+def test_minhash_sig_lookup_path_identical(spark, docs):
+    """The precomputed signature-store path (minhash_sig_lookup joined
+    by digest) must be row-identical to the direct tokenize/shingle/
+    hash path for every consumer — signatures, full-corpus LSH, and
+    incremental banding — including exact-dup collapse and the
+    empty-doc exclusion law."""
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        minhash_incremental_candidates,
+        minhash_sig_lookup,
+        minhash_signatures,
+    )
+
+    lookup = minhash_sig_lookup(docs, num_hashes=12)
+
+    direct = sorted(map(tuple, minhash_signatures(docs, num_hashes=12).collect()))
+    via = sorted(map(tuple, minhash_signatures(
+        docs, num_hashes=12, sig_lookup=lookup).collect()))
+    assert direct == via and len(direct) == 4  # empty doc excluded
+
+    # a narrower request against a wider store selects a prefix
+    via4 = sorted(map(tuple, minhash_signatures(
+        docs, num_hashes=4, sig_lookup=lookup).collect()))
+    assert via4 == [t[:5] for t in direct]
+
+    d_lsh = sorted(map(tuple, minhash_lsh_candidates(docs).collect()))
+    v_lsh = sorted(map(tuple, minhash_lsh_candidates(
+        docs, sig_lookup=lookup).collect()))
+    assert d_lsh == v_lsh and d_lsh
+
+    base = docs.filter(F.col("doc_id") != 3)
+    delta = docs.filter(F.col("doc_id") == 3)
+    d_inc = sorted(map(tuple, minhash_incremental_candidates(
+        base, delta).collect()))
+    v_inc = sorted(map(tuple, minhash_incremental_candidates(
+        base, delta, sig_lookup=lookup).collect()))
+    assert d_inc == v_inc and d_inc
+
+
+def test_shingle_store_path_identical(spark, docs):
+    """The precomputed shingle-store path must be row-identical to the
+    inline collapse+explode path for every inverted-index consumer:
+    jaccard, containment, and prefix-filter pairs."""
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        ngram_containment_pairs,
+        shingle_store,
+    )
+    from investcloud_data_pipeline_spark.operators.setsim import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    store = shingle_store(docs, n=3)
+
+    for direct_df, via_df in [
+        (ngram_jaccard_pairs(docs, threshold=0.5),
+         ngram_jaccard_pairs(docs, threshold=0.5, store=store)),
+        (ngram_containment_pairs(docs, threshold=0.5),
+         ngram_containment_pairs(docs, threshold=0.5, store=store)),
+        (prefix_filter_jaccard_pairs(docs, num=1, den=2),
+         prefix_filter_jaccard_pairs(docs, num=1, den=2, store=store)),
+    ]:
+        direct = sorted(map(tuple, direct_df.collect()))
+        via = sorted(map(tuple, via_df.collect()))
+        assert direct == via and direct
+
+
 def test_minhash_lsh_candidates_recall(spark, docs):
     cands = {
         (r.id1, r.id2) for r in minhash_lsh_candidates(docs).collect()
