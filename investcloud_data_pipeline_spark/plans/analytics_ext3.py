@@ -120,18 +120,22 @@ FROM streaks GROUP BY user_id
 
 
 def _support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    op = l.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # support-≥2 cut over the session pair-count store (round-12): the
+    # store's basket projection carries mining.ORDER_LINE_CAP, which
+    # never binds on TPC-H baskets (≤7 distinct parts per order at any
+    # sf), so the relation is identical to the old uncapped
+    # distinct+self-join — verified by the strict oracles of both
+    # consumers at all three sfs.
+    from .mining import pair_counts_cached
+
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
+        pair_counts_cached(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select(
+            F.col("part1").alias("p1"),
+            F.col("part2").alias("p2"),
+            F.col("n_orders").alias("support"),
         )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
     )
 
 
@@ -750,17 +754,12 @@ KNN_K = 8
 def copurchase_knn_link_prediction(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from .mining import _family_orders
+    from .mining import family_pair_counts_cached
 
-    op = _family_orders(spark, sf_dir)
-    a, b = op.alias("a"), op.alias("b")
-    sup = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.fam") < F.col("b.fam"))
-        .groupBy(
-            F.col("a.fam").alias("p1"), F.col("b.fam").alias("p2")
-        )
-        .agg(F.count("*").alias("support"))
+    sup = family_pair_counts_cached(spark, sf_dir).select(
+        F.col("fam1").alias("p1"),
+        F.col("fam2").alias("p2"),
+        F.col("n_pair").alias("support"),
     )
     sym = sup.unionByName(
         sup.select(

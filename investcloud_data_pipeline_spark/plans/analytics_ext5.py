@@ -457,9 +457,50 @@ def _pq_best(
     )
 
 
+# Session-scoped PQ stores (round-12 optimization). The seeded-sample
+# codebook's per-vector argmin relation (``_pq_best``) is the shared
+# upstream of BOTH strict PQ queries (embedding_pq_codes derives the
+# code strings, ann_pq_adc_topk the stacked (s, crank) codes), and the
+# K=64 k-means path's fitted codebook + Arrow-encoded codes are a
+# build-once index exactly like the IVF-PQ triple below. Same
+# applicationId-keyed memo + eager localCheckpoint discipline as
+# plans/training_data.py's pair caches; values are unchanged — the
+# stores materialize the identical relations the queries inlined.
+_PQ_STORE: dict[tuple, object] = {}
+
+
+def _pq_best16_cached(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "pq_best16")
+    df = _PQ_STORE.get(key)
+    if df is None:
+        df = _pq_best(emb, _pq_centers(emb)).localCheckpoint(eager=True)
+        _PQ_STORE[key] = df
+    return df
+
+
+def _pq_km_index_cached(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> tuple:
+    """(centers, codes) for the K=64 per-subspace k-means codebook —
+    fit + one fused Arrow encode per session instead of per execution
+    (the ``_ivf_pq_index_cached`` economics)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pq_km_index")
+    got = _PQ_STORE.get(key)
+    if got is None:
+        centers = _pq_kmeans_centers(spark, emb)
+        codes = _pq_codes_arrow(emb, centers).localCheckpoint(
+            eager=True
+        )
+        got = (centers, codes)
+        _PQ_STORE[key] = got
+    return got
+
+
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    best = _pq_best(emb, _pq_centers(emb))
+    best = _pq_best16_cached(spark, sf_dir, emb)
     codes = F.concat_ws(
         ",",
         *[
@@ -554,6 +595,7 @@ def pq_adc_topk(
     k: int = PQ_ADC_K,
     centers: DataFrame | None = None,
     arrow_codes: bool = False,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k of ``queries`` (qid, qemb) against the PQ codes of
     ``emb`` (vec_id, embedding). Shared by the registry query and the
@@ -568,22 +610,23 @@ def pq_adc_topk(
     make it oracle-exact)."""
     if centers is None:
         centers = _pq_centers(emb)
-    if arrow_codes:
-        codes = _pq_codes_arrow(emb, centers)
-    else:
-        best = _pq_best(emb, centers)
-        codes = best.select(
-            "vec_id",
-            F.expr(
-                "stack("
-                + str(PQ_SUBSPACES)
-                + ", "
-                + ", ".join(
-                    f"{s}, b{s}.crank" for s in range(PQ_SUBSPACES)
-                )
-                + ") AS (s, crank)"
-            ),
-        )
+    if codes is None:
+        if arrow_codes:
+            codes = _pq_codes_arrow(emb, centers)
+        else:
+            best = _pq_best(emb, centers)
+            codes = best.select(
+                "vec_id",
+                F.expr(
+                    "stack("
+                    + str(PQ_SUBSPACES)
+                    + ", "
+                    + ", ".join(
+                        f"{s}, b{s}.crank" for s in range(PQ_SUBSPACES)
+                    )
+                    + ") AS (s, crank)"
+                ),
+            )
     qc = queries.crossJoin(F.broadcast(centers)).select(
         "qid",
         "crank",
@@ -634,7 +677,21 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
     )
-    return pq_adc_topk(emb, queries, k=PQ_ADC_K)
+    # codes derive from the session-shared _pq_best relation (the same
+    # stack expression pq_adc_topk would inline) — the expression-fold
+    # code assignment runs once per session, shared with
+    # embedding_pq_codes; values identical by construction
+    codes = _pq_best16_cached(spark, sf_dir, emb).select(
+        "vec_id",
+        F.expr(
+            "stack("
+            + str(PQ_SUBSPACES)
+            + ", "
+            + ", ".join(f"{s}, b{s}.crank" for s in range(PQ_SUBSPACES))
+            + ") AS (s, crank)"
+        ),
+    )
+    return pq_adc_topk(emb, queries, k=PQ_ADC_K, codes=codes)
 
 
 def _pq_adc_sql() -> str:
@@ -829,13 +886,15 @@ def ann_pq_adc_kmeans_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centers = _pq_kmeans_centers(spark, emb)
+    # build-once index (fit + fused Arrow encode) shared per session —
+    # the _ivf_pq_index_cached economics applied to the flat-PQ path
+    centers, codes = _pq_km_index_cached(spark, sf_dir, emb)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
     )
     return pq_adc_topk(
-        emb, queries, k=PQ_ADC_K, centers=centers, arrow_codes=True
+        emb, queries, k=PQ_ADC_K, centers=centers, codes=codes
     )
 
 

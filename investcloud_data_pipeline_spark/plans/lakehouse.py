@@ -27,6 +27,52 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# ---------- session-scoped ER stores (round-12 optimization) ----------
+#
+# The fuzzy pair relation and its connected-components closure are the
+# shared upstream of the whole ER family (pair evidence → entities →
+# golden record). The components job is ITERATIVE (min-label
+# propagation, one join+agg per round), so re-running it per consumer
+# is the single biggest avoidable cost in the family. Same
+# applicationId-keyed memo + eager localCheckpoint discipline as
+# plans/training_data.py::jaccard_pairs_cached (guide §2.4: write-once
+# shared artifact instead of a per-query recompute).
+
+_ER_STORE: dict[tuple, DataFrame] = {}
+
+
+def _er_key(spark: SparkSession, sf_dir: str, tag: str) -> tuple:
+    return (spark.sparkContext.applicationId, sf_dir, tag)
+
+
+def er_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped ``er_fuzzy_part_pairs`` relation (full schema)."""
+    key = _er_key(spark, sf_dir, "pairs")
+    df = _ER_STORE.get(key)
+    if df is None:
+        df = er_fuzzy_part_pairs(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        _ER_STORE[key] = df
+    return df
+
+
+def er_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped (node, component) closure of the fuzzy pair
+    graph — the iterative CC job runs once per session."""
+    from ..operators.graph import connected_components
+
+    key = _er_key(spark, sf_dir, "components")
+    df = _ER_STORE.get(key)
+    if df is None:
+        pairs = er_pairs_cached(spark, sf_dir).select("name1", "name2")
+        df = connected_components(
+            pairs, src="name1", dst="name2"
+        ).localCheckpoint(eager=True)
+        _ER_STORE[key] = df
+    return df
+
+
 # ---------- PII redaction ----------
 #
 # The synthetic documents table carries no real PII, so the query plants
@@ -577,12 +623,9 @@ def er_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, total record multiplicity. Completes the ER story the same
     way dedup_components completes near-dup: pairs are evidence,
     entities are the product."""
-    from ..operators.graph import connected_components
-
     p = _t(spark, sf_dir, "part")
     names = p.groupBy("p_name").agg(F.count("*").alias("n_recs"))
-    pairs = er_fuzzy_part_pairs(spark, sf_dir).select("name1", "name2")
-    comp = connected_components(pairs, src="name1", dst="name2")
+    comp = er_components_cached(spark, sf_dir)
     labeled = (
         names.join(comp, names.p_name == comp.node, "left")
         .select(
@@ -640,11 +683,8 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     so their exchanges line up and AQE reuses one shuffle; each argmax
     is a single map-side-combinable ``min(struct(-cnt, value))`` — no
     window sort over the fact stream."""
-    from ..operators.graph import connected_components
-
     p = _t(spark, sf_dir, "part")
-    pairs = er_fuzzy_part_pairs(spark, sf_dir).select("name1", "name2")
-    comp = connected_components(pairs, src="name1", dst="name2")
+    comp = er_components_cached(spark, sf_dir)
     # persisted: three survivorship branches (names, brands, prices)
     # consume the labeled relation — without it each branch re-runs the
     # part scan + component join

@@ -38,6 +38,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` widened to the session's cores for the multimodal
+    codec kernels (round-12, guide §2.5 input skew): the committed
+    fixture is a single-row-group parquet — ONE scan task — and the
+    PNG/WAV encode/decode cost is per-ROW Python work, so without the
+    widening the whole codec pass serializes on one core. The kernels
+    are row-pure (each output row is a function of its input row
+    alone), so results are partition-invariant; aggregations downstream
+    are all keyed. When the file carries enough row groups to feed the
+    cores (the production layout), no repartition is added."""
+    from ..sources.batch import _parquet_layout
+
+    d = _docs(spark, sf_dir)
+    rows, row_groups = _parquet_layout(f"{sf_dir}/documents.parquet")
+    cpus = spark.sparkContext.defaultParallelism
+    if rows and row_groups < cpus:
+        return d.repartition(cpus)
+    return d
+
+
 # The Jaccard candidate-pair build is the shared upstream artifact of
 # the whole near-dup family (pairs → components → clean pipeline →
 # triangle stats). In production it is computed once and written; here
@@ -2033,7 +2053,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas 'decode' (deterministic stand-in kernel);
     the oracle re-states the same formula in SQL, so what's actually
     verified is the binary Arrow round-trip plumbing."""
-    media = MM.attach_binary_payload(_docs(spark, sf_dir))
+    media = MM.attach_binary_payload(_docs_wide(spark, sf_dir))
     return MM.fake_decode_dims(media)
 
 
@@ -2048,7 +2068,7 @@ FROM documents
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = MM.attach_binary_payload(_docs(spark, sf_dir))
+    media = MM.attach_binary_payload(_docs_wide(spark, sf_dir))
     return MM.sample_frames(media, every_k=7)
 
 
@@ -2067,7 +2087,7 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     nibble stream of the same utf-8 payload (`hex(encode(text))`), so
     the oracle reproduces every feature vector bit-for-bit — numpy in,
     SQL out, value-hash compared."""
-    media = MM.attach_binary_payload(_docs(spark, sf_dir))
+    media = MM.attach_binary_payload(_docs_wide(spark, sf_dir))
     return MM.byte_histogram_features(media)
 
 
@@ -2101,7 +2121,7 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only registry entry (PNG codec round-trips aren't SQL);
     correctness is pinned by round-trip/determinism/quarantine tests in
     tests/test_multimodal.py."""
-    media = MM.attach_png_payload(_docs(spark, sf_dir))
+    media = MM.attach_png_payload(_docs_wide(spark, sf_dir))
     out = MM.thumbnail_images(media, out_h=8, out_w=8)
     # registry shape drops the raw blob; md5+size stand in for it
     return out.select(
@@ -2116,7 +2136,7 @@ def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry shape; md5+size stand in, like the thumbnail query).
     Rows-only (PNG codec); grid coverage, stitch-back round-trip,
     padding and quarantine laws are pytest-pinned."""
-    media = MM.attach_png_payload(_docs(spark, sf_dir))
+    media = MM.attach_png_payload(_docs_wide(spark, sf_dir))
     out = MM.image_patches(media, patch=8)
     return out.select(
         "id", "decoded", "patch_idx", "patch_row", "patch_col",
@@ -2136,7 +2156,7 @@ def multimodal_wav_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthesis law in SQL (gaps-and-islands for segment runs). The
     codec round-trip is thereby value-pinned, not just shape-pinned;
     crafted silence/tone boundary laws remain pytest-pinned."""
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     with_audio = MM.attach_wav_payload(d)
     return MM.wav_energy_segments(with_audio)
 
@@ -2248,16 +2268,17 @@ def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..functions.vectors import (
-        kmeans_assignments,
+        assign_cells,
         seeded_kmeans_centers,
         to_double_array,
     )
 
     emb = _emb(spark, sf_dir)
-    assigned = kmeans_assignments(emb, "embedding", "vec_id", k=8)
-    # the SAME fit kmeans_assignments used (seed=42 driver path under
-    # the collect guard — registry scales are far below it; the
-    # distributed-ML path has no exposed centers to re-verify against)
+    # ONE seeded driver fit serves both the assignment and the
+    # re-verification (round-12: previously kmeans_assignments re-ran
+    # the identical collect+fit internally — two collects, two Lloyd
+    # runs per execution; assignment below is exactly the non-None
+    # branch of kmeans_assignments, so results are unchanged)
     centers = seeded_kmeans_centers(emb, "embedding", k=8, seed=42)
     if centers is None:
         raise ValueError(
@@ -2265,6 +2286,12 @@ def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "guard; the re-verification report needs the seeded "
             "driver fit (use topic_cluster_terms for the report form)"
         )
+    assigned = emb.select(
+        F.col("vec_id"),
+        assign_cells(centers)(to_double_array("embedding")).alias(
+            "cluster"
+        ),
+    )
     n_vectors = emb.count()
     cent_df = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -2404,7 +2431,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain is VALUE-pinned in portable SQL, pair-for-pair identical at
     sf0.001/0.01/0.1 before wiring. A payload-corruption test keeps the
     quarantine path honest (the law only covers intact fixtures)."""
-    media = MM.attach_png_payload(_docs(spark, sf_dir))
+    media = MM.attach_png_payload(_docs_wide(spark, sf_dir))
     return MM.phash_candidate_pairs(media)
 
 
@@ -3400,7 +3427,7 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     which makes the comparison STRONGER than a codec-free twin: any
     bit the WAV writer or parser drops shows up as a feature mismatch.
     Verified exact on all 6000 fixture docs across the three sfs."""
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     with_audio = MM.attach_wav_payload(d)
     return MM.wav_features(with_audio)
 
@@ -3441,7 +3468,7 @@ def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode → decimate ×4 → re-encode at rate/4 → md5. Rows-only (WAV
     codec round-trips aren't SQL); decimation identity, sample-count
     law, round-trip and quarantine behavior are pytest-pinned."""
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     with_audio = MM.attach_wav_payload(d)
     out = MM.resample_wav(with_audio, factor=4)
     return out.select(

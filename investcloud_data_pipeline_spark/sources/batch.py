@@ -12,6 +12,8 @@ rows route to the quarantine sink instead of failing the job.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,6 +33,54 @@ TESTDATA_TABLES = (
 )
 
 
+# Scan-parallelism floor (round-12, guide §2.5 "input skew: one huge
+# unsplittable file"): parquet splits at ROW-GROUP granularity, and the
+# committed fixtures are single-row-group files — so every scan-side
+# stage (filter, project, partial aggregation, per-row expression work)
+# ran on ONE task regardless of core count. When the file's row-group
+# count cannot feed the session's cores AND the table is big enough
+# that scan-stage work dominates task overhead, repartition right after
+# the read. The filter/projection pushdown is unaffected (Catalyst
+# pushes both through Repartition), round-robin repartition is
+# retry-deterministic (sortBeforeRepartition), and the width derives
+# from the ROW COUNT — at production scale files carry many row groups,
+# the gate never fires, and no shuffle is added. Override with
+# SPARK_GRAFT_SCAN_REPARTITION=off.
+_SCAN_MIN_ROWS = 50_000
+_SCAN_ROWS_PER_TASK = 20_000
+_SCAN_META: dict[str, tuple[int, int]] = {}
+
+
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(num_rows, num_row_groups) from the parquet footer — one cheap
+    driver-side metadata read per path per process."""
+    got = _SCAN_META.get(path)
+    if got is None:
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            got = (md.num_rows, md.num_row_groups)
+        except Exception:
+            got = (0, 1 << 30)  # unknown layout: leave the scan alone
+        _SCAN_META[path] = got
+    return got
+
+
+def _with_scan_parallelism(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    if os.environ.get("SPARK_GRAFT_SCAN_REPARTITION", "auto") == "off":
+        return df
+    rows, row_groups = _parquet_layout(path)
+    cpus = spark.sparkContext.defaultParallelism
+    if rows >= _SCAN_MIN_ROWS and row_groups < max(2, cpus // 2):
+        width = min(cpus, max(2, rows // _SCAN_ROWS_PER_TASK))
+        if width > row_groups:
+            return df.repartition(width)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (columnar parquet scan — filters and
     projections placed on top are pushed into the scan by Catalyst).
@@ -44,9 +94,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver's); event-time semantics and DuckDB-oracle comparisons
     # assume UTC, so pin it here rather than trusting the caller's conf.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -57,8 +108,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # window(), watermarks) assumes TIMESTAMP; with the session
             # pinned to UTC above, this cast is instant-preserving.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _with_scan_parallelism(spark, df, path)
+    return _with_scan_parallelism(
+        spark, spark.read.parquet(path), path
+    )
 
 
 def read_raw_csv(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:

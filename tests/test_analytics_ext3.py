@@ -11,12 +11,18 @@ import math
 from pyspark.sql import functions as F
 
 from investcloud_data_pipeline_spark.plans import analytics_ext3 as AX3
+from investcloud_data_pipeline_spark.plans import mining as MN
 
 
 def _patched(monkeypatch, tables):
-    monkeypatch.setattr(
-        AX3, "load_table", lambda spark, d, name: tables[name]
-    )
+    loader = lambda spark, d, name: tables[name]  # noqa: E731
+    monkeypatch.setattr(AX3, "load_table", loader)
+    # the co-purchase pair relation now comes from mining's session
+    # store (round-12): patch the store's loader too, and drop any
+    # memoized frames so this test's synthetic tables cannot collide
+    # with another test's entries under the same fake sf_dir
+    monkeypatch.setattr(MN, "load_table", loader)
+    MN._MINING_STORE.clear()
 
 
 # ---------- gaps-and-islands streaks ----------

@@ -395,9 +395,14 @@ def test_round5_second_batch_plan_shapes(spark, sf_dir):
     assert "WindowGroupLimit" in ws
 
     rl = MN.copurchase_rules_lift(spark, sf_dir)
-    rl.write.format("noop").mode("overwrite").save()  # populate the cache
+    rl.write.format("noop").mode("overwrite").save()  # populate the store
     rlp = _plan(rl)
-    assert "InMemoryTableScan" in rlp
+    # round-12: the basket projection and pair counts come from the
+    # session store's checkpoint leaves (Scan ExistingRDD), so the fact
+    # table is scanned ZERO times per execution — strictly stronger
+    # than the old per-query persist (InMemoryTableScan over one scan)
+    assert "Scan ExistingRDD" in rlp
+    assert "lineitem" not in rlp
 
     rfm = _plan(MN.customer_rfm_segments(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in rfm  # 1-row anchor fold
@@ -638,10 +643,26 @@ def test_wave5_wave6_plan_shapes(spark, sf_dir):
         event_interarrival_stats,
     )
 
+    # round-12: the query consumes the session PQ store, so the
+    # consumer plan is a projection over the store's checkpoint leaf
+    # (zero exchanges); the codebook-assignment shape assertions move
+    # to the store's BUILD plan (_pq_best over the broadcast codebook).
     plan = _plan(embedding_pq_codes(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Exchange") == 0, plan
+    from investcloud_data_pipeline_spark.plans.analytics_ext5 import (
+        _pq_best,
+        _pq_centers,
+    )
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    build = _plan(_pq_best(emb, _pq_centers(emb)))
+    assert "BroadcastNestedLoopJoin" in build
+    assert build.count("Exchange hashpartitioning") == 1, build
+    assert "BatchEvalPython" not in build and "ArrowEvalPython" not in build
 
     plan = _plan(customer_cohort_ltv(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
