@@ -908,7 +908,8 @@ def embedding_near_dup_pairs(
 
 def repeated_span_stats(df: DataFrame, k: int = 8,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        windows: DataFrame | None = None) -> DataFrame:
     """Cross-document repeated-substring detection at span granularity
     (the ExactSubstr idea from "Deduplicating Training Data Makes
     Language Models Better", Lee et al. 2022, re-expressed relationally:
@@ -940,7 +941,7 @@ def repeated_span_stats(df: DataFrame, k: int = 8,
     the per-doc merge is embarrassingly parallel and the merge
     partitions on doc id. No driver state, no collect.
     """
-    spans = repeated_spans(df, k, text_col, id_col)
+    spans = repeated_spans(df, k, text_col, id_col, windows=windows)
     per_doc = spans.groupBy("id", "n_tokens").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
@@ -1033,11 +1034,14 @@ def _merge_spans(flagged: DataFrame, k: int,
 
 
 def _strip_spans_rebuild(df: DataFrame, spans: DataFrame,
-                         text_col: str, id_col: str) -> DataFrame:
+                         text_col: str, id_col: str,
+                         tok: DataFrame | None = None) -> DataFrame:
     """Drop every token covered by a span and rebuild the text:
     (id_col, text_dedup, n_tokens, n_removed). ``spans`` needs
     (id, span_start, span_end); docs with no span pass through
-    unchanged via the left join."""
+    unchanged via the left join. ``tok``: a precomputed
+    :func:`tokenized` relation — skips the re-tokenize (identical
+    results by construction)."""
     per_doc = spans.groupBy("id").agg(
         F.collect_list(
             F.struct(
@@ -1046,7 +1050,8 @@ def _strip_spans_rebuild(df: DataFrame, spans: DataFrame,
             )
         ).alias("spans")
     )
-    tok = tokenized(df, text_col, id_col)
+    if tok is None:
+        tok = tokenized(df, text_col, id_col)
     joined = tok.join(per_doc, "id", "left")
     kept_pos = F.filter(
         F.sequence(F.lit(1), F.size("toks")),
@@ -1073,12 +1078,19 @@ def _strip_spans_rebuild(df: DataFrame, spans: DataFrame,
 
 def repeated_spans(df: DataFrame, k: int = 8,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   windows: DataFrame | None = None) -> DataFrame:
     """(id, n_tokens, span_start, span_end) — the merged maximal spans
     of k-token windows occurring in >= 2 docs (1-based inclusive token
-    positions). Shared upstream of the stats and strip operators."""
-    tok = tokenized(df, text_col, id_col)
-    win = _kgram_windows(tok, k, with_len=True)
+    positions). Shared upstream of the stats and strip operators.
+    ``windows``: a precomputed ``_kgram_windows(tok, k, with_len=True)``
+    relation (id, n_tokens, pos, gh) — skips the tokenize + window
+    explode (identical results by construction)."""
+    if windows is not None:
+        win = windows
+    else:
+        tok = tokenized(df, text_col, id_col)
+        win = _kgram_windows(tok, k, with_len=True)
     w_gh = Window.partitionBy("gh")
     flagged = (
         win.withColumn("id_min", F.min("id").over(w_gh))
@@ -1091,7 +1103,9 @@ def repeated_spans(df: DataFrame, k: int = 8,
 
 def exactsubstr_keep_first(df: DataFrame, k: int = 8,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           windows: DataFrame | None = None,
+                           tok: DataFrame | None = None) -> DataFrame:
     """ExactSubstr dedup with Lee et al. 2022's ACTUAL removal rule —
     keep the FIRST occurrence of every duplicated substring, strip the
     rest — where :func:`strip_repeated_spans` is the conservative
@@ -1121,8 +1135,13 @@ def exactsubstr_keep_first(df: DataFrame, k: int = 8,
     gaps-and-islands -> _strip_spans_rebuild JVM token filter. Cites
     the reference's dedup stage (02_silver_layer_processing.py:21) as
     the whole-row ancestor this generalizes."""
-    tok = tokenized(df, text_col, id_col)
-    win = _kgram_windows(tok, k)
+    if windows is not None:
+        # the with_len store relation minus the ride-along length —
+        # identical to _kgram_windows(tok, k) by construction
+        win = windows.select("id", "pos", "gh")
+    else:
+        tok = tok if tok is not None else tokenized(df, text_col, id_col)
+        win = _kgram_windows(tok, k)
     w_occ = Window.partitionBy("gh").orderBy("id", "pos")
     strip = (
         win.withColumn("occ", F.row_number().over(w_occ))
@@ -1130,12 +1149,14 @@ def exactsubstr_keep_first(df: DataFrame, k: int = 8,
         .select("id", "pos")
     )
     spans = _merge_spans(strip, k)
-    return _strip_spans_rebuild(df, spans, text_col, id_col)
+    return _strip_spans_rebuild(df, spans, text_col, id_col, tok=tok)
 
 
 def strip_repeated_spans(df: DataFrame, k: int = 8,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         windows: DataFrame | None = None,
+                         tok: DataFrame | None = None) -> DataFrame:
     """The ACTION form of ExactSubstr dedup (Lee et al. 2022 remove the
     duplicated substring from all but one occurrence; this operator
     strips it everywhere, the conservative variant): rebuild each
@@ -1147,7 +1168,7 @@ def strip_repeated_spans(df: DataFrame, k: int = 8,
     filter + rejoin is pure JVM higher-order functions
     (_strip_spans_rebuild). Docs with no flagged span pass through
     unchanged via the left join."""
-    spans = repeated_spans(df, k, text_col, id_col).select(
+    spans = repeated_spans(df, k, text_col, id_col, windows=windows).select(
         "id", "span_start", "span_end"
     )
-    return _strip_spans_rebuild(df, spans, text_col, id_col)
+    return _strip_spans_rebuild(df, spans, text_col, id_col, tok=tok)

@@ -98,6 +98,78 @@ def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# Session-scoped deterministic-fit store (round-12, guide §2.4 — the
+# build-once economics applied to driver-side model fits): the seeded
+# k-means centers and the PCA model are PURE functions of
+# (table, params) — same collect, same Lloyd/eigensolve, same floats —
+# so re-fitting per execution only re-pays the collect + fit jobs.
+# Returns the identical in-memory object, so consumer results are
+# unchanged by construction. Keyed by applicationId like _PAIRS_CACHE
+# (numpy arrays carry no session state, but the key keeps dev/test
+# sessions from sharing fits across different synthetic tables under a
+# reused fake sf_dir within one interpreter — tests clear it besides).
+_FIT_CACHE: dict[tuple, object] = {}
+
+
+def seeded_centers_cached(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, k: int, seed: int
+):
+    from ..functions.vectors import seeded_kmeans_centers
+
+    key = (spark.sparkContext.applicationId, sf_dir, "km", k, seed)
+    if key not in _FIT_CACHE:
+        _FIT_CACHE[key] = seeded_kmeans_centers(
+            emb, "embedding", k=k, seed=seed
+        )
+    return _FIT_CACHE[key]
+
+
+def pca_model_cached(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, k: int
+):
+    from ..operators.pca import pca_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir, "pca", k)
+    if key not in _FIT_CACHE:
+        _FIT_CACHE[key] = pca_fit(emb, "embedding", k=k)
+    return _FIT_CACHE[key]
+
+
+# Session-scoped ExactSubstr upstream (round-12, guide §2.4): the
+# tokenizer barrier and the k=8 window-hash explode are the shared
+# upstream of the whole span family (repeated spans / strip /
+# keep-first) — O(total tokens) rows each, rebuilt per query before.
+# Stored once per session like the shingle/minhash stores; consumers
+# differ only in their occurrence filter, so results are identical by
+# construction (pinned by test_span_store_path_identical).
+_SPAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def tokenized_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (*_session_key(spark, sf_dir), "tok")
+    df = _SPAN_CACHE.get(key)
+    if df is None:
+        df = DF.tokenized(_docs(spark, sf_dir)).localCheckpoint(
+            eager=True
+        )
+        _SPAN_CACHE[key] = df
+    return df
+
+
+def span_windows_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, n_tokens, pos, gh) k=8 window digests over the tokenizer
+    barrier — the with_len form serves every family member (keep-first
+    projects the length away)."""
+    key = (*_session_key(spark, sf_dir), "win8")
+    df = _SPAN_CACHE.get(key)
+    if df is None:
+        df = DF._kgram_windows(
+            tokenized_cached(spark, sf_dir), 8, with_len=True
+        ).localCheckpoint(eager=True)
+        _SPAN_CACHE[key] = df
+    return df
+
+
 _SHINGLE_CACHE: dict[tuple, tuple] = {}
 
 
@@ -2267,19 +2339,17 @@ def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_training_data_ops.py)."""
     import numpy as np
 
-    from ..functions.vectors import (
-        assign_cells,
-        seeded_kmeans_centers,
-        to_double_array,
-    )
+    from ..functions.vectors import assign_cells, to_double_array
 
     emb = _emb(spark, sf_dir)
     # ONE seeded driver fit serves both the assignment and the
     # re-verification (round-12: previously kmeans_assignments re-ran
     # the identical collect+fit internally — two collects, two Lloyd
     # runs per execution; assignment below is exactly the non-None
-    # branch of kmeans_assignments, so results are unchanged)
-    centers = seeded_kmeans_centers(emb, "embedding", k=8, seed=42)
+    # branch of kmeans_assignments, so results are unchanged) — and the
+    # fit is session-memoized (pure function of (table, k, seed); warm
+    # executions skip the collect + Lloyd jobs entirely)
+    centers = seeded_centers_cached(spark, sf_dir, emb, k=8, seed=42)
     if centers is None:
         raise ValueError(
             "corpus_topic_clusters: corpus exceeds the driver-fit "
@@ -2315,15 +2385,21 @@ def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2.alias("dd"),
         )
     )
-    own = dists.filter(F.col("c2") == F.col("cluster")).select(
-        "vec_id", F.col("dd").alias("own_d")
-    )
+    # own-distance rides the SAME aggregate as the argmin (round-12):
+    # `dists` previously fed two consumers (a filtered own-distance
+    # projection joined back on vec_id), so the N×K distance fold
+    # executed twice and paid a join; min(when(c2=cluster, dd)) is
+    # exactly the filtered value (one row per vec matches), computed in
+    # the single pass — values and the nearest_ok predicate unchanged.
     best = dists.groupBy("vec_id", "cluster").agg(
         F.min(
             F.struct(F.round("dd", 9).alias("d"), F.col("c2").alias("c2"))
-        ).alias("b")
+        ).alias("b"),
+        F.min(
+            F.when(F.col("c2") == F.col("cluster"), F.col("dd"))
+        ).alias("own_d"),
     )
-    per_vec = best.join(own, "vec_id").select(
+    per_vec = best.select(
         "vec_id",
         "cluster",
         (
@@ -2710,10 +2786,13 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/pca.py) with numpy-parity pytest coverage."""
     import numpy as np
 
-    from ..operators.pca import pca_fit, pca_project
+    from ..operators.pca import pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
-    model = pca_fit(emb, "embedding", k=8)
+    # session-memoized fit: the Gram fold + eigensolve is a pure
+    # function of (table, k) — warm executions reuse the model object,
+    # skipping the distributed sufficient-statistics job (round-12)
+    model = pca_model_cached(spark, sf_dir, emb, k=8)
     proj = pca_project(emb, model, "embedding", out_col="pc")
     var_agg = proj.agg(
         F.count("*").alias("n"),
@@ -3064,7 +3143,11 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose content occurs in >= 2 documents, and the token fraction they
     cover. Catches boilerplate / licence blocks / syndicated passages
     that whole-doc exact dedup and near-dup LSH both miss."""
-    return DF.repeated_span_stats(_docs(spark, sf_dir), k=8)
+    return DF.repeated_span_stats(
+        _docs(spark, sf_dir),
+        k=8,
+        windows=span_windows_cached(spark, sf_dir),
+    )
 
 
 DEDUP_REPEATED_SPANS_SQL = f"""
@@ -3827,7 +3910,12 @@ def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTION form of repeated-span dedup: every cross-document
     duplicated span removed from every document (conservative
     ExactSubstr variant), pure JVM span-filter + token rejoin."""
-    return DF.strip_repeated_spans(_docs(spark, sf_dir), k=8)
+    return DF.strip_repeated_spans(
+        _docs(spark, sf_dir),
+        k=8,
+        windows=span_windows_cached(spark, sf_dir),
+        tok=tokenized_cached(spark, sf_dir),
+    )
 
 
 DEDUP_STRIP_SPANS_SQL = f"""
@@ -3903,7 +3991,12 @@ def dedup_exactsubstr_keep_first(
     each duplicated passage survives, and WITHIN-DOC repeats are
     deduplicated too (both deltas vs dedup_strip_spans, which strips
     every occurrence and only sees cross-doc duplication)."""
-    return DF.exactsubstr_keep_first(_docs(spark, sf_dir), k=8)
+    return DF.exactsubstr_keep_first(
+        _docs(spark, sf_dir),
+        k=8,
+        windows=span_windows_cached(spark, sf_dir),
+        tok=tokenized_cached(spark, sf_dir),
+    )
 
 
 DEDUP_EXACTSUBSTR_KEEP_FIRST_SQL = f"""

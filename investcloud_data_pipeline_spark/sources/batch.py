@@ -33,19 +33,27 @@ TESTDATA_TABLES = (
 )
 
 
-# Scan-parallelism floor (round-12, guide §2.5 "input skew: one huge
+# Scan-parallelism widening (round-12, guide §2.5 "input skew: one huge
 # unsplittable file"): parquet splits at ROW-GROUP granularity, and the
 # committed fixtures are single-row-group files — so every scan-side
 # stage (filter, project, partial aggregation, per-row expression work)
-# ran on ONE task regardless of core count. When the file's row-group
-# count cannot feed the session's cores AND the table is big enough
-# that scan-stage work dominates task overhead, repartition right after
-# the read. The filter/projection pushdown is unaffected (Catalyst
-# pushes both through Repartition), round-robin repartition is
-# retry-deterministic (sortBeforeRepartition), and the width derives
-# from the ROW COUNT — at production scale files carry many row groups,
-# the gate never fires, and no shuffle is added. Override with
-# SPARK_GRAFT_SCAN_REPARTITION=off.
+# runs on ONE task regardless of core count. Widening = repartition
+# right after the read when the file's row groups cannot feed the
+# session's cores. It is OPT-IN per query (``load_table(...,
+# scan_wide=True)``), not blanket: an interleaved same-session A/B over
+# 20 scan-bound queries at sf0.1 measured the blanket gate as a wash
+# overall and sharply bimodal per query — heavy per-row-compute
+# pipelines win (lineitem_ols_price 2.12→1.28s, sql_udf_disc_revenue
+# 2.46→1.57s, try_functions_safety 2.14→1.38s) while selective-filter /
+# cheap-aggregate pipelines lose the shuffle cost (q17 0.87→2.25s,
+# q21 1.52→2.48s, statistical_aggregates 0.65→1.17s). Only the query
+# author knows which side of that line the post-scan work falls on, so
+# the widening is requested at the consumer. Filter/projection pushdown
+# is unaffected (Catalyst pushes both through Repartition), round-robin
+# repartition is retry-deterministic (sortBeforeRepartition), and the
+# width derives from the ROW COUNT — at production scale files carry
+# many row groups, the gate never fires, and no shuffle is added.
+# SPARK_GRAFT_SCAN_REPARTITION=off disables even the opt-in sites.
 _SCAN_MIN_ROWS = 50_000
 _SCAN_ROWS_PER_TASK = 20_000
 _SCAN_META: dict[str, tuple[int, int]] = {}
@@ -81,9 +89,18 @@ def _with_scan_parallelism(
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    scan_wide: bool = False,
+) -> DataFrame:
     """Read one driver testdata table (columnar parquet scan — filters and
     projections placed on top are pushed into the scan by Catalyst).
+
+    ``scan_wide=True`` applies the opt-in scan-parallelism widening for
+    consumers whose post-scan per-row work dominates (see the module
+    comment above ``_with_scan_parallelism`` for the measured A/B).
 
     ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
     reader rejects; read it as long (legacy conf) and truncate to
@@ -108,10 +125,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # window(), watermarks) assumes TIMESTAMP; with the session
             # pinned to UTC above, this cast is instant-preserving.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return _with_scan_parallelism(spark, df, path)
-    return _with_scan_parallelism(
-        spark, spark.read.parquet(path), path
-    )
+        return _with_scan_parallelism(spark, df, path) if scan_wide else df
+    df = spark.read.parquet(path)
+    return _with_scan_parallelism(spark, df, path) if scan_wide else df
 
 
 def read_raw_csv(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:

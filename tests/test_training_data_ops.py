@@ -150,6 +150,37 @@ def test_shingle_store_path_identical(spark, docs):
         assert direct == via and direct
 
 
+def test_span_store_path_identical(spark, docs):
+    """The precomputed window/tokenizer store path must be
+    row-identical to the inline tokenize+explode path for every
+    ExactSubstr-family consumer: span stats, strip-everywhere, and
+    keep-first."""
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        _kgram_windows,
+        exactsubstr_keep_first,
+        repeated_span_stats,
+        strip_repeated_spans,
+        tokenized,
+    )
+
+    tok = tokenized(docs).localCheckpoint(eager=True)
+    win = _kgram_windows(tok, 8, with_len=True).localCheckpoint(
+        eager=True
+    )
+
+    for direct_df, via_df in [
+        (repeated_span_stats(docs, k=8),
+         repeated_span_stats(docs, k=8, windows=win)),
+        (strip_repeated_spans(docs, k=8),
+         strip_repeated_spans(docs, k=8, windows=win, tok=tok)),
+        (exactsubstr_keep_first(docs, k=8),
+         exactsubstr_keep_first(docs, k=8, windows=win, tok=tok)),
+    ]:
+        direct = sorted(map(tuple, direct_df.collect()))
+        via = sorted(map(tuple, via_df.collect()))
+        assert direct == via and direct
+
+
 def test_minhash_lsh_candidates_recall(spark, docs):
     cands = {
         (r.id1, r.id2) for r in minhash_lsh_candidates(docs).collect()
