@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import contextlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -388,7 +388,6 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n = nodes.count()
     deg = e.groupBy("a").agg(F.count("*").alias("deg"))
     out = e.join(deg, "a")  # (a, b, deg)
 
@@ -397,19 +396,61 @@ def pagerank(
     dangling = nodes.join(
         deg.select(F.col("a").alias("node")), "node", "left_anti"
     ).persist()
-    has_dangling = (not undirected) and dangling.limit(1).count() > 0
+    # ONE scheduled job for all three scalars (node count, edge count,
+    # dangling count) instead of three sequential driver round-trips —
+    # the 1-row aggregates fold via broadcast nested-loop joins
+    # (round-12; on a small graph the per-job scheduling latency was a
+    # third of the query's wall).
+    stats = (
+        nodes.agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(e.agg(F.count("*").alias("ne"))))
+        .crossJoin(F.broadcast(dangling.agg(F.count("*").alias("nd"))))
+        .collect()[0]
+    )
+    n, n_edges = stats.n, stats.ne
+    has_dangling = (not undirected) and stats.nd > 0
 
     base = (1.0 - damping) / n
-    n_edges = e.count()
     with _small_graph_loop_scope(edges.sparkSession, n_edges) as scope:
         # snapshot every per-round input into the loop session (the
         # `out` snapshot also saves re-joining e⋈deg each round); the
         # initial uniform ranks derive from the nodes snapshot — no
         # separate snapshot needed
+        # Isolated + dangling: the redistribution scalar rides the
+        # round's own plan as an UNPARTITIONED window sum over the
+        # dangling flag instead of a broadcast 1-row aggregate — each
+        # per-round BroadcastExchange materializes as its own scheduled
+        # job even inside a lazy chain (5 extra driver round-trips per
+        # query; the same economics as the k_core broadcast note), while
+        # the window keeps all n_iter rounds inside ONE boundary job.
+        # Single-partition windows are a scale anti-pattern ONLY on
+        # unbounded data; this branch is gated by the loop scope's
+        # ≤5M-edge threshold, and the identity (large-graph) path keeps
+        # the broadcast aggregate. The flag is folded into the nodes
+        # snapshot once (saving the separate dangling snapshot job), so
+        # no per-round join against the dangling set remains. Same
+        # double values summed in an engine-chosen order (as before —
+        # the hash aggregate never guaranteed one); the 6dp output
+        # round absorbs reassociation ulps as documented.
+        use_window_dang = scope.isolated and has_dangling
         out = scope.to_loop(out)
-        nodes = scope.to_loop(nodes)
+        if use_window_dang:
+            nodes = scope.to_loop(
+                nodes.join(
+                    dangling.select(
+                        "node", F.lit(True).alias("__dang")
+                    ),
+                    "node",
+                    "left",
+                )
+            )
+            dangling_l = dangling  # unused on this path
+        else:
+            nodes = scope.to_loop(nodes)
+            dangling_l = (
+                scope.to_loop(dangling) if has_dangling else dangling
+            )
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-        dangling_l = scope.to_loop(dangling) if has_dangling else dangling
         # Without a dangling branch, `ranks` feeds each iteration exactly
         # once, so the n_iter updates compose into one LINEAR plan — run
         # the whole chain as a single job at the boundary snapshot,
@@ -432,19 +473,39 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("c").alias("in_sum"))
             )
-            updated = nodes.join(contribs, "node", "left")
-            if has_dangling:
-                # 1-row aggregate, broadcast onto every node's update —
-                # the redistribution rides the same job instead of a
-                # driver round-trip per iteration
-                dang = ranks.join(dangling_l, "node").agg(
-                    (F.coalesce(F.sum("rank"), F.lit(0.0)) / n).alias("__dang_share")
+            if use_window_dang:
+                prev = ranks.select(
+                    "node", "__dang", F.col("rank").alias("__prev")
                 )
-                updated = updated.crossJoin(F.broadcast(dang))
+                updated = prev.join(contribs, "node", "left").withColumn(
+                    "__dang_share",
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("__dang"), F.col("__prev"))
+                        ).over(Window.partitionBy()),
+                        F.lit(0.0),
+                    )
+                    / n,
+                )
             else:
-                updated = updated.withColumn("__dang_share", F.lit(0.0))
+                updated = nodes.join(contribs, "node", "left")
+                if has_dangling:
+                    # 1-row aggregate, broadcast onto every node's
+                    # update — the redistribution rides the same job
+                    # instead of a driver round-trip per iteration
+                    dang = ranks.join(dangling_l, "node").agg(
+                        (
+                            F.coalesce(F.sum("rank"), F.lit(0.0)) / n
+                        ).alias("__dang_share")
+                    )
+                    updated = updated.crossJoin(F.broadcast(dang))
+                else:
+                    updated = updated.withColumn(
+                        "__dang_share", F.lit(0.0)
+                    )
             new_ranks = updated.select(
                 "node",
+                *(["__dang"] if use_window_dang else []),
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -476,6 +537,8 @@ def pagerank(
                 ranks.unpersist()
                 ranks = new_ranks
         final = None if (lazy_chain or scope.isolated) else ranks
+        if use_window_dang:
+            ranks = ranks.select("node", "rank")  # drop the ride-along flag
         ranks = scope.to_parent(ranks)
         if scope.isolated and final is not None:
             final.unpersist()  # result data lives in the snapshot RDD

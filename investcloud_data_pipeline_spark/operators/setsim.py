@@ -106,8 +106,14 @@ def prefix_filter_jaccard_pairs(
     # J(x,y) >= num/den requires den*min(|x|,|y|) >= num*max(|x|,|y|)
     # (|∩| <= min and J = |∩|/(|x|+|y|-|∩|) is monotone in |∩|), so the
     # prune is lossless — every dropped pair fails the exact verify
-    # filter too. At sf0.1 it cuts the candidate relation ~40% and the
-    # array_intersect verify work with it.
+    # filter too. The PPJoin POSITIONAL filter (bound the overlap by
+    # min(px,py) + min(|x|-px, |y|-py) per shared prefix token) was
+    # also tried and measured USELESS at this operating point —
+    # 309,409 -> 308,189 candidate pairs (-0.4%) at sf0.1 — because at
+    # threshold 1/2 prefixes span half of each document, so positions
+    # almost never certify an overlap shortfall the length filter
+    # missed; it was dropped rather than pay posexplode + two extra
+    # comparisons per join row.
     pref = per_doc.select(
         "id", F.size("toks").alias("nsh"), F.explode("prefix").alias("tok")
     )

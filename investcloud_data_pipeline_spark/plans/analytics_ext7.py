@@ -208,23 +208,28 @@ def text_naive_bayes_langid(
         "lang",
         F.explode(F.expr(NB_TOKEN_EXPR)).alias("term"),
     )
-    # eager localCheckpoint, not persist(): the relation is consumed
+    # LAZY localCheckpoint, not persist(): the relation is consumed
     # several times (counts, scoring, the token-less anti-join), and
     # checkpoint blocks are released by the ContextCleaner when the
     # plan becomes unreachable — persist() entries would accumulate in
     # the CacheManager for the session lifetime across registry sweeps.
+    # eager=False (round-12): the plan collapses to an RDD leaf either
+    # way (no re-analysis bloat), but the eager form scheduled one
+    # blocking job per checkpoint at plan-BUILD time — three
+    # sequential driver round-trips per execution; lazily the blocks
+    # materialize inside the first consuming job and later readers hit
+    # storage (the pagerank/SSSP lazy-chain discipline).
     # Fault-tolerance tradeoff (blocks are non-replicated and
-    # non-recomputable; eager runs a job at plan-build time): see the
-    # full note in operators/binning.py — applies to every
-    # localCheckpoint in this module.
-    toks = toks.localCheckpoint(eager=True)
+    # non-recomputable): see the full note in operators/binning.py —
+    # applies to every localCheckpoint in this module.
+    toks = toks.localCheckpoint(eager=False)
     # class-conditional counts; class totals and the vocabulary size
     # DERIVE from the aggregated (class, term) relation — ct is
     # |classes|×V rows, so everything after costs class-model work,
     # and the raw token stream is scanned exactly twice (ct + scoring)
     ct = toks.groupBy("lang", "term").agg(
         F.count("*").alias("n_tc")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     class_tot = ct.groupBy("lang").agg(
         F.sum("n_tc").alias("n_tokens_c")
     )
@@ -258,10 +263,10 @@ def text_naive_bayes_langid(
     # by probs, unseen, and the prior-only pick — without a
     # materialization each reference RE-INLINES the doc_tot/class_tot/
     # vocab aggregation pipelines (the round-8 plan audit measured 68
-    # exchanges, all plan bloat from these scalar relations). One eager
-    # localCheckpoint of the 3-row relation collapses them; the job it
-    # runs at build time is the class-model aggregation, once.
-    classes = classes.localCheckpoint(eager=True)
+    # exchanges, all plan bloat from these scalar relations). One
+    # localCheckpoint of the 3-row relation collapses them (lazy — the
+    # class-model aggregation runs inside the first consuming job).
+    classes = classes.localCheckpoint(eager=False)
     # smoothed log-probs for SEEN (class, term) pairs; unseen pairs
     # contribute ln(1 / (n_tokens_c + V)), folded in via coalesce after
     # the left join below
@@ -290,13 +295,25 @@ def text_naive_bayes_langid(
             9,
         ).cast("decimal(28,9)").alias("log_unseen"),
     )
+    # Per-(doc, term) counts BEFORE the class crossJoin (round-12,
+    # guide §2.3 "aggregate before you shuffle"): m occurrences of a
+    # term contribute m identical 9dp-rounded decimals, and a decimal
+    # sum of m equal values is EXACTLY m × value — multiplying by the
+    # count in decimal(38,9) (28+9+1 = 38 precision, scale preserved,
+    # no precision-loss rounding) reproduces the per-occurrence sum
+    # bit-for-bit while the class join and the score aggregation
+    # process distinct (doc, term) pairs instead of every occurrence.
+    tf = toks.groupBy("doc_id", "lang", "term").agg(
+        F.count("*").cast("decimal(9,0)").alias("tc")
+    )
     scored = (
-        toks.crossJoin(F.broadcast(unseen))
+        tf.crossJoin(F.broadcast(unseen))
         .join(F.broadcast(probs), ["clang", "term"], "left")
         .groupBy("doc_id", "lang", "clang", "log_prior")
         .agg(
             F.sum(
                 F.coalesce(F.col("log_p"), F.col("log_unseen"))
+                * F.col("tc")
             ).alias("log_lik")
         )
         .select(
