@@ -426,6 +426,42 @@ aggregate(
     )
 
 
+# Shared squared-diff restructure (round-12, guide §1.2 "per-task
+# work"): evaluating _pq_dist_s once per subspace re-slices BOTH input
+# arrays and runs a separate zip_with per subspace — 16 slice
+# allocations and 8 lambda evaluations per row. Computing the
+# element-wise squared diff ONCE over the full width and folding each
+# subspace's slice of it is the identical arithmetic — same (x−y)²
+# doubles, same left-fold order, same 0.0 init, so every distance is
+# bit-identical (pinned by test_pq_dist_shared_diff2_bit_identical) —
+# at ~40% of the expression cost. The two projections must stay
+# separate: CollapseProject would otherwise inline the 8 references
+# (collapseProjectAlwaysInline=false keeps the non-cheap alias shared).
+_PQ_D2 = "__pq_d2"
+
+
+def _pq_diff2(left: str, right: str):
+    """Element-wise (x − y)² over the full array width (one zip_with)."""
+    return F.expr(
+        f"""zip_with({left}, {right},
+  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))"""
+    )
+
+
+def _pq_dist_from_d2(s: int, d2: str = _PQ_D2):
+    """Subspace-s distance from the shared diff² array — the same
+    fixed-order fold + 9dp round as _pq_dist_s."""
+    a = s * PQ_SUBDIM + 1
+    return F.round(
+        F.expr(
+            f"aggregate(slice({d2}, {a}, {PQ_SUBDIM}),"
+            f" CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+        ),
+        9,
+    )
+
+
 def _pq_best(
     emb: DataFrame,
     centers: DataFrame,
@@ -443,7 +479,12 @@ def _pq_best(
         "vec_id",
         *extra_cols,
         "crank",
-        *[_pq_dist_s(s).alias(f"d{s}") for s in range(PQ_SUBSPACES)],
+        _pq_diff2("embedding", "cemb").alias(_PQ_D2),
+    ).select(
+        "vec_id",
+        *extra_cols,
+        "crank",
+        *[_pq_dist_from_d2(s).alias(f"d{s}") for s in range(PQ_SUBSPACES)],
     )
     return scored.groupBy("vec_id", *extra_cols).agg(
         *[
@@ -630,8 +671,12 @@ def pq_adc_topk(
     qc = queries.crossJoin(F.broadcast(centers)).select(
         "qid",
         "crank",
+        _pq_diff2("qemb", "cemb").alias(_PQ_D2),
+    ).select(
+        "qid",
+        "crank",
         *[
-            _pq_dist_s(s, left="qemb").alias(f"qd{s}")
+            _pq_dist_from_d2(s).alias(f"qd{s}")
             for s in range(PQ_SUBSPACES)
         ],
     )
@@ -1358,8 +1403,13 @@ def ivf_pq_adc_topk(
         "qid",
         "cell",
         "crank",
+        _pq_diff2("qr", "cemb").alias(_PQ_D2),
+    ).select(
+        "qid",
+        "cell",
+        "crank",
         *[
-            _pq_dist_s(s, left="qr").alias(f"qd{s}")
+            _pq_dist_from_d2(s).alias(f"qd{s}")
             for s in range(PQ_SUBSPACES)
         ],
     )

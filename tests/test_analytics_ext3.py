@@ -15,7 +15,9 @@ from investcloud_data_pipeline_spark.plans import mining as MN
 
 
 def _patched(monkeypatch, tables):
-    loader = lambda spark, d, name: tables[name]  # noqa: E731
+    # **kw absorbs load_table's opt-in flags (scan_wide) — synthetic
+    # in-memory tables have no parquet layout to widen
+    loader = lambda spark, d, name, **kw: tables[name]  # noqa: E731
     monkeypatch.setattr(AX3, "load_table", loader)
     # the co-purchase pair relation now comes from mining's session
     # store (round-12): patch the store's loader too, and drop any

@@ -377,6 +377,46 @@ def test_pq_codes_arrow_matches_expression_path(spark, sf_dir):
     assert arrow_codes == expr_codes
 
 
+def test_pq_dist_shared_diff2_bit_identical(spark, sf_dir):
+    """The shared-diff² restructure (one zip_with + per-subspace slice
+    folds) must reproduce the per-subspace _pq_dist_s expressions
+    BIT-identically — same (x−y)² doubles, same left-fold order, so
+    this asserts exact float equality, not approximate."""
+    from pyspark.sql import functions as F
+
+    from investcloud_data_pipeline_spark.plans import analytics_ext5 as AX5
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 100)
+    )
+    centers = AX5._pq_centers(emb)
+    pairs = emb.crossJoin(F.broadcast(centers))
+    direct = pairs.select(
+        "vec_id",
+        "crank",
+        *[
+            AX5._pq_dist_s(s).alias(f"d{s}")
+            for s in range(AX5.PQ_SUBSPACES)
+        ],
+    )
+    shared = pairs.select(
+        "vec_id", "crank", AX5._pq_diff2("embedding", "cemb").alias(AX5._PQ_D2)
+    ).select(
+        "vec_id",
+        "crank",
+        *[
+            AX5._pq_dist_from_d2(s).alias(f"d{s}")
+            for s in range(AX5.PQ_SUBSPACES)
+        ],
+    )
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, shared.collect()))
+    assert a == b and a  # exact equality, incl. every float bit
+
+
 def test_ivf_pq_distributed_twin_runs(spark, sf_dir, monkeypatch):
     """Round-12 verdict task #4: the 100 TB branch (Spark ML KMeans
     coarse fit + residual join + per-subspace distributed fits +

@@ -777,7 +777,7 @@ def test_ols_recovers_planted_plane(b0, b1, b2):
     )
     orig = AX3.load_table
     try:
-        AX3.load_table = lambda s, d, n: li
+        AX3.load_table = lambda s, d, n, **kw: li  # **kw: scan_wide opt-in
         r = AX3.lineitem_ols_price(spark, "x").collect()[0]
     finally:
         AX3.load_table = orig

@@ -496,10 +496,29 @@ def test_new_text_ops_plan_shapes(spark, sf_dir):
     assert "Exchange" not in uni
     assert uni.count("ArrowEvalPython") == 1  # NFC kernel, nothing else
 
+    # round-12: both registry entries consume session-store checkpoint
+    # leaves; the shuffle-economics assertions move to the BUILD plans
+    # (the relations the stores materialize once per session).
     dsir = _plan(corpus_dsir_weights(spark, sf_dir))
-    assert "BroadcastHashJoin" in dsir  # 256-row model never shuffles the facts
+    assert "Scan ExistingRDD" in dsir
+    from investcloud_data_pipeline_spark.operators import text as TX
+    from investcloud_data_pipeline_spark.sources.batch import load_table
 
-    spans = _plan(dedup_repeated_spans(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsir_build = _plan(
+        TX.dsir_importance_weights(
+            docs, target_filter=F.col("source") == "src0"
+        )
+    )
+    assert "BroadcastHashJoin" in dsir_build  # 256-row model never shuffles the facts
+
+    from investcloud_data_pipeline_spark.operators.dedup_fuzzy import (
+        repeated_span_stats,
+    )
+
+    spans = _plan(repeated_span_stats(docs, k=8))
     # tokenizer barrier (id) + digest window (gh) + island merge (id);
     # a 4th means the distinct/count/semi-join shape crept back
     assert spans.count("Exchange hashpartitioning") <= 3
