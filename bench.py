@@ -132,6 +132,22 @@ def main() -> None:
     for t in ("lineitem", "events"):
         load_table(spark, sf_dir, t).limit(1).count()
 
+    # Round-13 measurement fix (documented in OPTIMIZATION_r13.md): warm
+    # the PYTHON WORKER POOL the same way. The first mapInPandas/
+    # mapInArrow stage of a session otherwise pays ~#cores concurrent
+    # worker spawns (interpreter + pyspark.worker + pandas/numpy imports)
+    # inside whichever query touches the Python boundary first — session
+    # setup, not query computation, exactly like the JVM warmup above.
+    # Affects cold first-touch walls only; warm (min-over-pass) numbers
+    # are unchanged in meaning and stay comparable to prior rounds.
+    def _ident(batches):
+        yield from batches
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, par, 1, par).mapInPandas(_ident, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     # BASELINE.md's frozen table is sf0.1: at any other sf its ratios
     # are meaningless, so the warm phase falls back to cold-time order
     # and nothing is "flagged" (no false reserve spend at dev sfs).
@@ -228,6 +244,15 @@ def main() -> None:
         )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Round-13 (verdict item 1): the session-store pattern builds each
+    # family's shared upstream inside the FIRST consumer's cold pass,
+    # and min-over-passes then drops that pass — so the steady-state
+    # total ("value", unchanged) excludes store builds. "cold_value"
+    # is the sum of first-touch walls, which INCLUDES every store
+    # build exactly once — the build-inclusive headline. Additions
+    # only: "value" keeps its meaning and the driver comparison stays
+    # valid.
+    cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
     calib = {"before_s": calib_before, "after_s": _calib()}
 
     # Full per-query detail goes to a sidecar file; the stdout line must fit
@@ -242,6 +267,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold": cold,
+                "cold_value": cold_total,
                 "passes": passes,
                 "warm_reruns": warm_reruns,
                 "budget_s": budget_s,
@@ -264,6 +290,7 @@ def main() -> None:
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
+        "cold_value": cold_total,
         "queries": inlined,
         "queries_total": len(timings),
         "warm_reruns": warm_reruns,

@@ -59,10 +59,13 @@ def collect_vectors_guarded(
     a clear error instead. At larger scale, loop the kernel over
     right-side blocks or use the LSH-bucketed operators.
     """
-    n = df.count()
+    # fused guard job (round-13): one aggregate instead of count +
+    # first round-trips — values unchanged
+    n, first_vec = df.agg(
+        F.count(F.lit(1)), F.first(vec_col)
+    ).first()
     if n == 0:
         return []
-    first_vec = df.select(vec_col).first()[0]
     dim = len(first_vec) if first_vec is not None else 0
     est = n * (dim * 8 + 32)
     if est > max_bytes:
@@ -104,10 +107,15 @@ def seeded_kmeans_centers(
     Arrow-batched argmin (see ``assign_cells``)."""
     import numpy as np
 
-    n = df.count()
+    # ONE guard job (round-13, guide §5): count + first fused into a
+    # single aggregate instead of two scheduled driver round-trips —
+    # same values (F.first without ignorenulls is the first row's
+    # value, exactly what .first() read)
+    n, first = df.agg(
+        F.count(F.lit(1)), F.first(vec_col)
+    ).first()
     if n == 0 or n < k:
         return None
-    first = df.select(vec_col).first()[0]
     dim = len(first) if first is not None else 0
     if dim == 0 or n * (dim * 8 + 32) > max_driver_bytes:
         return None

@@ -507,13 +507,30 @@ def phash_candidate_pairs(
     """
     from .dedup_fuzzy import _expand_member_pairs
 
-    # persist the (id, phash) relation: reps/members/chunks all read it,
-    # and without the cache each reference re-runs the PNG codec +
-    # dHash kernel chain over the corpus
+    # persist the (id, phash) relation: reps/members/chunks all read
+    # it, and without the cache each reference re-runs the PNG codec +
+    # dHash kernel chain over the corpus. persist (NOT localCheckpoint
+    # — round-13 A/B: the RDD-leaf form loses the relation's size
+    # statistics, flipping the member-expansion joins from the
+    # stats-adaptive broadcast the local sizes earn to SortMergeJoin,
+    # for zero wall change) keeps InMemoryRelation stats so the
+    # planner's join choice stays size-driven at every scale. The
+    # early projection drops the decode-metadata columns the pair
+    # build never reads (guide §2.3).
     hashed_all = (
-        perceptual_hashes(df, id_col, content_col).filter("decoded").persist()
+        perceptual_hashes(df, id_col, content_col)
+        .filter("decoded")
+        .select("id", "phash")
+        .persist()
     )
-    reps = hashed_all.groupBy("phash").agg(F.min("id").alias("__rep"))
+    # the rep relation is itself consumed three ways (members join,
+    # band explode, intra-pair expansion) — cache the tiny aggregate
+    # instead of re-running its Exchange + HashAggregate per reference
+    reps = (
+        hashed_all.groupBy("phash")
+        .agg(F.min("id").alias("__rep"))
+        .persist()
+    )
     members = hashed_all.join(reps, "phash").select(
         "__rep", F.col("id").alias("__member")
     )
@@ -535,14 +552,6 @@ def phash_candidate_pairs(
             ).alias("bk"),
         )
         .select("id", "phash", "bk.band_idx", "bk.band")
-        # evaluation barrier on the JOIN keys: the two self-join sides
-        # now sit on canonically-identical shuffles, which AQE dedupes
-        # at query-stage level, so the Python codec chain (PNG encode +
-        # decode + dhash) materializes once instead of once per side —
-        # without the barrier Spark broadcasts one side and re-executes
-        # the whole kernel pipeline for it (measured: 3.4s -> 2.8s warm
-        # at sf0.1; a lone codec pass is 1.8s of that).
-        .repartition(F.col("band_idx"), F.col("band"))
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))

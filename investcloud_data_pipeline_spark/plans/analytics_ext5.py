@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators import text as TX
 from ..sources.batch import load_table
+from ..stores import stores_enabled
 from .training_data import TEXT_LANGUAGE_ID_SQL, TEXT_QUALITY_SCORE_SQL
 
 
@@ -514,10 +515,11 @@ def _pq_best16_cached(
     spark: SparkSession, sf_dir: str, emb: DataFrame
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "pq_best16")
-    df = _PQ_STORE.get(key)
+    df = _PQ_STORE.get(key) if stores_enabled() else None
     if df is None:
         df = _pq_best(emb, _pq_centers(emb)).localCheckpoint(eager=True)
-        _PQ_STORE[key] = df
+        if stores_enabled():
+            _PQ_STORE[key] = df
     return df
 
 
@@ -528,14 +530,15 @@ def _pq_km_index_cached(
     fit + one fused Arrow encode per session instead of per execution
     (the ``_ivf_pq_index_cached`` economics)."""
     key = (spark.sparkContext.applicationId, sf_dir, "pq_km_index")
-    got = _PQ_STORE.get(key)
+    got = _PQ_STORE.get(key) if stores_enabled() else None
     if got is None:
         centers = _pq_kmeans_centers(spark, emb)
         codes = _pq_codes_arrow(emb, centers).localCheckpoint(
             eager=True
         )
         got = (centers, codes)
-        _PQ_STORE[key] = got
+        if stores_enabled():
+            _PQ_STORE[key] = got
     return got
 
 
@@ -863,9 +866,11 @@ def _pq_kmeans_centers(
 
     from ..functions.vectors import kmeans_fit_local, to_double_array
 
-    n = emb.count()
-    first = emb.select("embedding").first()
-    dim = len(first[0]) if first is not None and first[0] is not None else 0
+    # fused guard job (round-13): one aggregate, not count + first
+    n, _first = emb.agg(
+        F.count(F.lit(1)), F.first("embedding")
+    ).first()
+    dim = len(_first) if _first is not None else 0
     # clamp so a tiny corpus (sf0.001) still fits a valid codebook
     k_codebook = max(1, min(k_codebook, n))
     slices = None
@@ -1133,8 +1138,12 @@ def _pq_codes_arrow_residual(
     batch, the coarse cell assignment (the exact ``assign_cells``
     argmin: c² − 2·X@Cᵀ in float64), the residual x − centroid(cell),
     and the per-subspace PQ code (x² + c² − 2·X@Cᵀ rounded to 9dp,
-    smallest-crank argmin — the ``_pq_codes_arrow`` contract), stacked
-    to (vec_id, cell, s, crank).
+    smallest-crank argmin — the ``_pq_codes_arrow`` contract), packed
+    to ONE row per vector: (vec_id, cell, cranks) with cranks[s] the
+    subspace-s code (round-13 — was stacked ×8 rows; the array form
+    lets the ADC join run on ``cell`` alone and the per-candidate sum
+    become an expression, dropping the stack explosion and the
+    (qid, vec_id) re-aggregation exchange from every search).
 
     Replaces the round-11 three-stage pipeline (assign pass → residual
     join + eager localCheckpoint → encode pass): the residual never
@@ -1179,19 +1188,105 @@ def _pq_codes_arrow_residual(
                 cranks[:, s] = np.round(d, 9).argmin(axis=1) + 1
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(
-                        pdf["vec_id"].to_numpy(), PQ_SUBSPACES
-                    ),
-                    "cell": np.repeat(
-                        cells.astype(np.int32), PQ_SUBSPACES
-                    ),
-                    "s": np.tile(np.arange(PQ_SUBSPACES, dtype=np.int32), n),
-                    "crank": cranks.reshape(-1),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                    "cranks": list(cranks),
                 }
             )
 
     return emb.select("vec_id", "embedding").mapInPandas(
-        kernel, schema="vec_id long, cell int, s int, crank int"
+        kernel, schema="vec_id long, cell int, cranks array<int>"
+    )
+
+
+def _adc_lookup_table(
+    probe: DataFrame,
+    centers: DataFrame,
+    centers_local: tuple | None = None,
+) -> DataFrame:
+    """ADC lookup table (qid, cell, qd) per probe row, where qd is the
+    K×8-wide array with ``qd[(crank−1)·8 + s]`` the subspace-s distance
+    to codebook entry ``crank``, as ONE Arrow kernel (round-13, guide
+    §4 — this |Q|·nprobe·K×8 table was the profiled wall of the IVF-PQ
+    search: the JVM evaluated a zip_with + 8 slice-folds expression
+    tree per (probe, crank) row, ~7.5s of a 16.3s run at |Q|=100; the
+    array form additionally lets the candidate join key on ``cell``
+    alone with no row explosion on either side).
+
+    Bit-identical VALUES vs the expression path by construction,
+    unlike the matmul encode kernels (which carry the 9dp argmin-flip
+    caveat):
+
+    * each element is the same ``(CAST(x AS DOUBLE) − CAST(y AS
+      DOUBLE))²`` — the codebook is float32 exactly as stored in the
+      ``cemb array<float>`` column and upcast per element;
+    * each subspace distance is the same left fold ``0.0 + e₀ + … +
+      e₇`` (a sequential numpy column accumulation — IEEE doubles in
+      the identical order);
+    * the 9dp round STAYS IN THE JVM: the kernel emits the raw folds
+      and ``transform(qd, x -> round(x, 9))`` is applied outside, so
+      the rounding semantics are literally the same code path as
+      before.
+
+    Pinned by test_adc_lookup_kernel_bit_identical (exact float
+    equality against the expression build on the real corpus).
+
+    ``centers_local`` is the optional (cranks int array, float32
+    matrix) pair captured at fit time; when absent the codebook is
+    collected from ``centers`` (≤ K=256 rows — model-sized). Cranks
+    are contiguous 1..K by construction in both codebook builders
+    (asserted — the positional array indexing depends on it)."""
+    import numpy as np
+
+    if centers_local is None:
+        crows = centers.orderBy("crank").collect()
+        cranks_np = np.asarray([r.crank for r in crows], dtype=np.int32)
+        c64 = np.asarray([list(r.cemb) for r in crows], dtype=np.float64)
+    else:
+        cranks_np, c32 = centers_local
+        cranks_np = np.asarray(cranks_np, dtype=np.int32)
+        c64 = np.asarray(c32, dtype=np.float64)
+    kc = len(cranks_np)
+    assert (cranks_np == np.arange(1, kc + 1)).all(), cranks_np
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # chunk to bound the (chunk, K, 64) temporary
+            for off in range(0, n, 256):
+                part = pdf.iloc[off : off + 256]
+                m = len(part)
+                q = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in part["qr"]]
+                )
+                d = q[:, None, :] - c64[None, :, :]
+                d2 = d * d
+                qd = np.empty((m, kc, PQ_SUBSPACES), dtype=np.float64)
+                for s in range(PQ_SUBSPACES):
+                    acc = np.zeros((m, kc), dtype=np.float64)
+                    for j in range(PQ_SUBDIM):
+                        acc = acc + d2[:, :, s * PQ_SUBDIM + j]
+                    qd[:, :, s] = acc
+                yield pd.DataFrame(
+                    {
+                        "qid": part["qid"].to_numpy(),
+                        "cell": part["cell"].to_numpy(),
+                        "qd_raw": list(qd.reshape(m, -1)),
+                    }
+                )
+
+    raw = probe.mapInPandas(
+        kernel,
+        schema="qid long, cell int, qd_raw array<double>",
+    )
+    return raw.select(
+        "qid",
+        "cell",
+        F.transform("qd_raw", lambda x: F.round(x, 9)).alias("qd"),
     )
 
 
@@ -1217,9 +1312,12 @@ def _ivf_pq_fit_encode(
 
     from ..functions.vectors import kmeans_fit_local, to_double_array
 
-    n = emb.count()
-    first = emb.select("embedding").first()
-    dim = len(first[0]) if first is not None and first[0] is not None else 0
+    # fused guard job (round-13, guide §5): count + first as one
+    # aggregate — two scheduled driver round-trips become one
+    n, _first = emb.agg(
+        F.count(F.lit(1)), F.first("embedding")
+    ).first()
+    dim = len(_first) if _first is not None else 0
     coarse = None
     if n >= n_cells and dim and n * (dim * 8 + 32) <= (256 << 20):
         mat = np.asarray(
@@ -1266,7 +1364,14 @@ def _ivf_pq_fit_encode(
                 "crank int, cemb array<float>",
             )
             codes = _pq_codes_arrow_residual(emb, centers, cent_df)
-            return codes, cent_df, centers
+            # float32-truncate exactly as the cemb array<float> column
+            # stores the codebook, so the lookup kernel sees the same
+            # values the expression path would read back
+            centers_local = (
+                np.arange(1, kc + 1, dtype=np.int32),
+                full.astype(np.float32),
+            )
+            return codes, cent_df, centers, centers_local
 
     # distributed twin — the 100 TB path
     assigned, cent_df = _ivf_assign(spark, emb, n_cells, seed)
@@ -1281,8 +1386,20 @@ def _ivf_pq_fit_encode(
     centers = _pq_kmeans_centers(
         spark, resid, k_codebook=k_codebook, seed=seed + 1
     )
-    codes = _pq_codes_arrow(resid, centers, extra_cols=("cell",))
-    return codes, cent_df, centers
+    # pack the stacked (vec_id, cell, s, crank) rows to the array form
+    # the guarded kernel emits directly — one build-time aggregate on
+    # the 100 TB path (searches then never re-explode the codes)
+    codes = (
+        _pq_codes_arrow(resid, centers, extra_cols=("cell",))
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "crank"))),
+                lambda st: st["crank"],
+            ).alias("cranks")
+        )
+    )
+    return codes, cent_df, centers, None
 
 
 def ivf_pq_adc_topk(
@@ -1325,11 +1442,12 @@ def ivf_pq_adc_topk(
     # ``index`` lets a caller reuse a prebuilt (codes, cent_df,
     # centers) triple — index build-once, query-many semantics.
     if index is not None:
-        codes, cent_df, centers = index
+        codes, cent_df, centers, *rest = index
     else:
-        codes, cent_df, centers = _ivf_pq_fit_encode(
+        codes, cent_df, centers, *rest = _ivf_pq_fit_encode(
             spark, emb, n_cells, k_codebook, IVFPQ_SEED
         )
+    centers_local = rest[0] if rest else None
     # nprobe nearest cells per query, with the query residual per cell
     from ..functions.vectors import to_double_array
 
@@ -1397,39 +1515,28 @@ def ivf_pq_adc_topk(
             F.col("qv"), F.col("centroid"), lambda x, y: x - y
         ).alias("qr"),
     )
-    # residual ADC lookup: |Q| x nprobe x K rows wide-scored, stacked
-    # to (qid, cell, s, crank, qd) — broadcast against the codes table
-    qc = probe.crossJoin(F.broadcast(centers)).select(
-        "qid",
-        "cell",
-        "crank",
-        _pq_diff2("qr", "cemb").alias(_PQ_D2),
-    ).select(
-        "qid",
-        "cell",
-        "crank",
-        *[
-            _pq_dist_from_d2(s).alias(f"qd{s}")
-            for s in range(PQ_SUBSPACES)
-        ],
-    )
-    lookup = qc.select(
-        "qid",
-        "cell",
-        "crank",
-        F.expr(
-            "stack("
-            + str(PQ_SUBSPACES)
-            + ", "
-            + ", ".join(f"{s}, qd{s}" for s in range(PQ_SUBSPACES))
-            + ") AS (s, qd)"
-        ),
+    # residual ADC lookup: one row per (qid, probed cell) carrying the
+    # K×8 distance array, built by the Arrow kernel (round-13 — was a
+    # crossJoin + zip_with/slice-fold expression tree per (probe,
+    # crank) row stacked to ×8 rows, the profiled wall of the search)
+    # and broadcast against the (vec_id, cell, cranks) codes table.
+    # The per-candidate ADC sum is now an 8-term expression over the
+    # broadcast array — decimal addition is EXACT, so reassociating
+    # the old sum() aggregate into a fixed 8-term chain cannot change
+    # any value (same 9dp-rounded terms, same decimal result); the
+    # (qid, vec_id) re-aggregation exchange disappears outright.
+    lookup = _adc_lookup_table(probe, centers, centers_local)
+    dec_terms = " + ".join(
+        f"CAST(element_at(qd, (element_at(cranks, {s + 1}) - 1) "
+        f"* {PQ_SUBSPACES} + {s + 1}) AS DECIMAL(18,9))"
+        for s in range(PQ_SUBSPACES)
     )
     adc = (
-        codes.join(F.broadcast(lookup), ["cell", "s", "crank"])
+        codes.join(F.broadcast(lookup), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum(F.col("qd").cast("decimal(18,9)")).alias("dec_adc"))
+        .select(
+            "qid", "vec_id", F.expr(dec_terms).alias("dec_adc")
+        )
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("dec_adc").asc(), F.col("vec_id").asc()
@@ -1508,13 +1615,19 @@ def _ivf_pq_index_cached(
     spark: SparkSession, sf_dir: str, emb: DataFrame
 ) -> tuple:
     key = (spark.sparkContext.applicationId, sf_dir)
-    got = _IVFPQ_INDEX_CACHE.get(key)
+    got = _IVFPQ_INDEX_CACHE.get(key) if stores_enabled() else None
     if got is None:
-        codes, cent_df, centers = _ivf_pq_fit_encode(
+        codes, cent_df, centers, centers_local = _ivf_pq_fit_encode(
             spark, emb, IVFPQ_NLIST, IVFPQ_CODEBOOK, IVFPQ_SEED
         )
-        got = (codes.localCheckpoint(eager=True), cent_df, centers)
-        _IVFPQ_INDEX_CACHE[key] = got
+        got = (
+            codes.localCheckpoint(eager=True),
+            cent_df,
+            centers,
+            centers_local,
+        )
+        if stores_enabled():
+            _IVFPQ_INDEX_CACHE[key] = got
     return got
 
 

@@ -21,6 +21,7 @@ from ..operators import er as ER
 from ..operators import merge as MG
 from ..operators import pii as PII
 from ..sources.batch import load_table
+from ..stores import stores_enabled
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -48,12 +49,13 @@ def _er_key(spark: SparkSession, sf_dir: str, tag: str) -> tuple:
 def er_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-scoped ``er_fuzzy_part_pairs`` relation (full schema)."""
     key = _er_key(spark, sf_dir, "pairs")
-    df = _ER_STORE.get(key)
+    df = _ER_STORE.get(key) if stores_enabled() else None
     if df is None:
         df = er_fuzzy_part_pairs(spark, sf_dir).localCheckpoint(
             eager=True
         )
-        _ER_STORE[key] = df
+        if stores_enabled():
+            _ER_STORE[key] = df
     return df
 
 
@@ -63,13 +65,14 @@ def er_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     key = _er_key(spark, sf_dir, "components")
-    df = _ER_STORE.get(key)
+    df = _ER_STORE.get(key) if stores_enabled() else None
     if df is None:
         pairs = er_pairs_cached(spark, sf_dir).select("name1", "name2")
         df = connected_components(
             pairs, src="name1", dst="name2"
         ).localCheckpoint(eager=True)
-        _ER_STORE[key] = df
+        if stores_enabled():
+            _ER_STORE[key] = df
     return df
 
 

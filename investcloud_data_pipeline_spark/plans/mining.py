@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.batch import load_table
+from ..stores import stores_enabled
 
 DEC = "decimal(18,2)"
 
@@ -142,10 +143,11 @@ def order_parts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-scoped ``_order_parts`` (distinct capped basket
     projection) — the shared scan+aggregate of every co-purchase plan."""
     key = _store_key(spark, sf_dir, "order_parts")
-    df = _MINING_STORE.get(key)
+    df = _MINING_STORE.get(key) if stores_enabled() else None
     if df is None:
         df = _order_parts(spark, sf_dir).localCheckpoint(eager=True)
-        _MINING_STORE[key] = df
+        if stores_enabled():
+            _MINING_STORE[key] = df
     return df
 
 
@@ -156,7 +158,7 @@ def pair_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     small (bounded by sum of per-order C(min(lines,cap),2), ~1M rows at
     sf0.1) and 3 longs wide."""
     key = _store_key(spark, sf_dir, "pair_counts")
-    df = _MINING_STORE.get(key)
+    df = _MINING_STORE.get(key) if stores_enabled() else None
     if df is None:
         op = order_parts_cached(spark, sf_dir)
         a, b = op.alias("a"), op.alias("b")
@@ -170,17 +172,19 @@ def pair_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_orders"))
             .localCheckpoint(eager=True)
         )
-        _MINING_STORE[key] = df
+        if stores_enabled():
+            _MINING_STORE[key] = df
     return df
 
 
 def family_orders_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-scoped ``_family_orders`` (distinct (order, family))."""
     key = _store_key(spark, sf_dir, "family_orders")
-    df = _MINING_STORE.get(key)
+    df = _MINING_STORE.get(key) if stores_enabled() else None
     if df is None:
         df = _family_orders(spark, sf_dir).localCheckpoint(eager=True)
-        _MINING_STORE[key] = df
+        if stores_enabled():
+            _MINING_STORE[key] = df
     return df
 
 
@@ -189,7 +193,7 @@ def family_pair_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fam1 < fam2, n_pair) — shared by the family-granularity Apriori
     and kNN-graph queries."""
     key = _store_key(spark, sf_dir, "family_pair_counts")
-    df = _MINING_STORE.get(key)
+    df = _MINING_STORE.get(key) if stores_enabled() else None
     if df is None:
         op = family_orders_cached(spark, sf_dir)
         a, b = op.alias("a"), op.alias("b")
@@ -203,7 +207,8 @@ def family_pair_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_pair"))
             .localCheckpoint(eager=True)
         )
-        _MINING_STORE[key] = df
+        if stores_enabled():
+            _MINING_STORE[key] = df
     return df
 
 

@@ -17,6 +17,7 @@ from ..operators import multimodal as MM
 from ..operators import simsearch as SS
 from ..operators import text as TX
 from ..sources.batch import load_table
+from ..stores import stores_enabled
 
 # Shared DuckDB fragments — the SQL mirror of functions/text.py.
 NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
@@ -89,7 +90,7 @@ def _session_key(spark: SparkSession, sf_dir: str) -> tuple:
 
 def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _session_key(spark, sf_dir)
-    df = _PAIRS_CACHE.get(key)
+    df = _PAIRS_CACHE.get(key) if stores_enabled() else None
     if df is None:
         # localCheckpoint, not persist: the duplicate-collapse armor
         # made the pair lineage LARGE, and downstream consumers that
@@ -104,7 +105,8 @@ def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             _docs(spark, sf_dir), n=3, threshold=0.5,
             store=shingles_cached(spark, sf_dir),
         ).localCheckpoint(eager=True)
-        _PAIRS_CACHE[key] = df
+        if stores_enabled():
+            _PAIRS_CACHE[key] = df
     return df
 
 
@@ -127,6 +129,8 @@ def seeded_centers_cached(
     from ..functions.vectors import seeded_kmeans_centers
 
     key = (spark.sparkContext.applicationId, sf_dir, "km", k, seed)
+    if not stores_enabled():
+        return seeded_kmeans_centers(emb, "embedding", k=k, seed=seed)
     if key not in _FIT_CACHE:
         _FIT_CACHE[key] = seeded_kmeans_centers(
             emb, "embedding", k=k, seed=seed
@@ -140,6 +144,8 @@ def pca_model_cached(
     from ..operators.pca import pca_fit
 
     key = (spark.sparkContext.applicationId, sf_dir, "pca", k)
+    if not stores_enabled():
+        return pca_fit(emb, "embedding", k=k)
     if key not in _FIT_CACHE:
         _FIT_CACHE[key] = pca_fit(emb, "embedding", k=k)
     return _FIT_CACHE[key]
@@ -157,12 +163,13 @@ _SPAN_CACHE: dict[tuple, DataFrame] = {}
 
 def tokenized_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (*_session_key(spark, sf_dir), "tok")
-    df = _SPAN_CACHE.get(key)
+    df = _SPAN_CACHE.get(key) if stores_enabled() else None
     if df is None:
         df = DF.tokenized(_docs(spark, sf_dir)).localCheckpoint(
             eager=True
         )
-        _SPAN_CACHE[key] = df
+        if stores_enabled():
+            _SPAN_CACHE[key] = df
     return df
 
 
@@ -171,12 +178,13 @@ def span_windows_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     barrier — the with_len form serves every family member (keep-first
     projects the length away)."""
     key = (*_session_key(spark, sf_dir), "win8")
-    df = _SPAN_CACHE.get(key)
+    df = _SPAN_CACHE.get(key) if stores_enabled() else None
     if df is None:
         df = DF._kgram_windows(
             tokenized_cached(spark, sf_dir), 8, with_len=True
         ).localCheckpoint(eager=True)
-        _SPAN_CACHE[key] = df
+        if stores_enabled():
+            _SPAN_CACHE[key] = df
     return df
 
 
@@ -195,14 +203,15 @@ def shingles_cached(spark: SparkSession, sf_dir: str) -> tuple:
     ``_PAIRS_CACHE`` (rep_shingles is |distinct contents|×|shingles|
     narrow rows; members is id-pair thin)."""
     key = _session_key(spark, sf_dir)
-    pair = _SHINGLE_CACHE.get(key)
+    pair = _SHINGLE_CACHE.get(key) if stores_enabled() else None
     if pair is None:
         ex, members = DF.shingle_store(_docs(spark, sf_dir), n=3)
         pair = (
             ex.localCheckpoint(eager=True),
             members.localCheckpoint(eager=True),
         )
-        _SHINGLE_CACHE[key] = pair
+        if stores_enabled():
+            _SHINGLE_CACHE[key] = pair
     return pair
 
 
@@ -221,12 +230,13 @@ def minhash_sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as ``_PAIRS_CACHE`` above (the store is |distinct
     contents| × 13 narrow columns — leaf-scan tiny)."""
     key = _session_key(spark, sf_dir)
-    df = _SIG_CACHE.get(key)
+    df = _SIG_CACHE.get(key) if stores_enabled() else None
     if df is None:
         df = DF.minhash_sig_lookup(
             _docs(spark, sf_dir), n=3, num_hashes=_NUM_HASHES
         ).localCheckpoint(eager=True)
-        _SIG_CACHE[key] = df
+        if stores_enabled():
+            _SIG_CACHE[key] = df
     return df
 
 
@@ -243,12 +253,13 @@ def components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     key = _session_key(spark, sf_dir)
-    df = _COMP_CACHE.get(key)
+    df = _COMP_CACHE.get(key) if stores_enabled() else None
     if df is None:
         df = connected_components(
             jaccard_pairs_cached(spark, sf_dir), src="id1", dst="id2"
         ).persist()
-        _COMP_CACHE[key] = df
+        if stores_enabled():
+            _COMP_CACHE[key] = df
     return df
 
 
@@ -271,13 +282,14 @@ def emb_rows_cached(spark: SparkSession, sf_dir: str) -> list:
     from ..functions.vectors import collect_vectors_guarded
 
     key = _session_key(spark, sf_dir)
-    rows = _EMB_ROWS_CACHE.get(key)
+    rows = _EMB_ROWS_CACHE.get(key) if stores_enabled() else None
     if rows is None:
         rows = collect_vectors_guarded(
             _emb(spark, sf_dir), "vec_id", "embedding",
             what="near-dup corpus",
         )
-        _EMB_ROWS_CACHE[key] = rows
+        if stores_enabled():
+            _EMB_ROWS_CACHE[key] = rows
     return rows
 
 
@@ -290,14 +302,15 @@ _EMB_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 def embedding_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _session_key(spark, sf_dir)
-    df = _EMB_PAIRS_CACHE.get(key)
+    df = _EMB_PAIRS_CACHE.get(key) if stores_enabled() else None
     if df is None:
         df = DF.embedding_near_dup_pairs(
             _emb(spark, sf_dir),
             threshold=0.35,
             rows=emb_rows_cached(spark, sf_dir),
         ).localCheckpoint(eager=True)
-        _EMB_PAIRS_CACHE[key] = df
+        if stores_enabled():
+            _EMB_PAIRS_CACHE[key] = df
     return df
 
 
@@ -3214,12 +3227,13 @@ def dsir_weights_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample previously re-ran the whole corpus scoring pass). Same
     applicationId-keyed write-once discipline as the pair caches."""
     key = (*_session_key(spark, sf_dir), "dsir_w")
-    df = _SPAN_CACHE.get(key)
+    df = _SPAN_CACHE.get(key) if stores_enabled() else None
     if df is None:
         df = TX.dsir_importance_weights(
             _docs(spark, sf_dir), target_filter=F.col("source") == "src0"
         ).localCheckpoint(eager=True)
-        _SPAN_CACHE[key] = df
+        if stores_enabled():
+            _SPAN_CACHE[key] = df
     return df
 
 

@@ -417,6 +417,104 @@ def test_pq_dist_shared_diff2_bit_identical(spark, sf_dir):
     assert a == b and a  # exact equality, incl. every float bit
 
 
+def test_adc_lookup_kernel_bit_identical(spark, sf_dir):
+    """The Arrow ADC lookup kernel (round-13) must reproduce the
+    expression build — crossJoin(centers) + shared diff² + per-subspace
+    folds + stack — BIT-identically: same float32→double upcasts, same
+    (x−y)² doubles, same left-fold order, and the 9dp round applied by
+    the same JVM F.round. Exact float equality over every (probe row ×
+    crank × subspace) entry, on both the fit-time-captured codebook and
+    the collected-from-DataFrame fallback."""
+    from pyspark.sql import functions as F
+
+    from investcloud_data_pipeline_spark.plans import analytics_ext5 as AX5
+    from investcloud_data_pipeline_spark.functions.vectors import (
+        to_double_array,
+    )
+    from investcloud_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    codes, cent_df, centers, centers_local = AX5._ivf_pq_fit_encode(
+        spark, emb, AX5.IVFPQ_NLIST, AX5.IVFPQ_CODEBOOK, AX5.IVFPQ_SEED
+    )
+    q = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("qid"),
+            to_double_array("embedding").alias("qv"),
+        )
+    )
+    probe = q.join(F.broadcast(cent_df)).select(
+        "qid",
+        "cell",
+        F.zip_with(
+            F.col("qv"), F.col("centroid"), lambda x, y: x - y
+        ).alias("qr"),
+    )
+    expr = (
+        probe.crossJoin(F.broadcast(centers))
+        .select(
+            "qid",
+            "cell",
+            "crank",
+            AX5._pq_diff2("qr", "cemb").alias(AX5._PQ_D2),
+        )
+        .select(
+            "qid",
+            "cell",
+            "crank",
+            *[
+                AX5._pq_dist_from_d2(s).alias(f"qd{s}")
+                for s in range(AX5.PQ_SUBSPACES)
+            ],
+        )
+        .select(
+            "qid",
+            "cell",
+            "crank",
+            F.expr(
+                "stack("
+                + str(AX5.PQ_SUBSPACES)
+                + ", "
+                + ", ".join(
+                    f"{s}, qd{s}" for s in range(AX5.PQ_SUBSPACES)
+                )
+                + ") AS (s, qd)"
+            ),
+        )
+    )
+    want = sorted(map(tuple, expr.collect()))
+    assert want
+
+    def unpack(table):
+        # array layout: qd[(crank-1)*8 + s] -> (qid, cell, crank, s, qd)
+        return sorted(
+            map(
+                tuple,
+                table.select(
+                    "qid", "cell", F.posexplode("qd")
+                )
+                .select(
+                    "qid",
+                    "cell",
+                    F.expr(
+                        f"(pos div {AX5.PQ_SUBSPACES}) + 1 AS crank"
+                    ),
+                    F.expr(f"pos % {AX5.PQ_SUBSPACES} AS s"),
+                    F.col("col").alias("qd"),
+                )
+                .collect(),
+            )
+        )
+
+    got_fit = unpack(AX5._adc_lookup_table(probe, centers, centers_local))
+    got_collected = unpack(AX5._adc_lookup_table(probe, centers, None))
+    assert got_fit == want  # exact equality, incl. every float bit
+    assert got_collected == want
+
+
 def test_ivf_pq_distributed_twin_runs(spark, sf_dir, monkeypatch):
     """Round-12 verdict task #4: the 100 TB branch (Spark ML KMeans
     coarse fit + residual join + per-subspace distributed fits +

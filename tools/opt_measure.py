@@ -1,9 +1,9 @@
-"""Round-12 optimization measurement harness.
+"""Round-13 optimization measurement harness.
 
 Times individual registry queries with the noop sink (guide §1.4) on a
 shared session, labels jobs (guide §1.5), and optionally dumps
-``explain("formatted")`` to plans/r12/<query>_<tag>.txt so plan claims
-in OPTIMIZATION_r12.md are reviewable offline.
+``explain("formatted")`` to plans/r13/<query>_<tag>.txt so plan claims
+in OPTIMIZATION_r13.md are reviewable offline.
 
 Usage:
     python tools/opt_measure.py [--sf DIR] [--passes N] [--plans TAG] q1 q2 ...
@@ -87,12 +87,12 @@ def main() -> int:
         results[name] = walls
         print(f"{name}: {walls}", flush=True)
         if plan_tag:
-            os.makedirs(os.path.join(REPO, "plans", "r12"), exist_ok=True)
+            os.makedirs(os.path.join(REPO, "plans", "r13"), exist_ok=True)
             buf = io.StringIO()
             with redirect_stdout(buf):
                 qs[name](spark, sf_dir).explain("formatted")
             with open(
-                os.path.join(REPO, "plans", "r12", f"{name}_{plan_tag}.txt"),
+                os.path.join(REPO, "plans", "r13", f"{name}_{plan_tag}.txt"),
                 "w",
             ) as fh:
                 fh.write(buf.getvalue())
