@@ -512,15 +512,21 @@ def minhash_incremental_candidates(
         delta_rep, text_col, id_col, n, num_hashes, bands,
         sig_lookup=sig_lookup,
     )
-    # Plan-audit note (round-12 verdict task #8): the delta band
-    # relation is referenced four times (cross probe, both sides of
-    # the intra self-join, the reps-with-shingles set), so the printed
-    # plan replays its lineage — ~88 text-level exchange replicas on
-    # the collapse keys. Measured A/B at sf0.1, persisting it changes
-    # NOTHING (4.0s vs 4.1s warm): the replicas are band-keyed
-    # micro-shuffles over id+digest-width rows whose cost is stage
-    # scheduling, not data movement, and the 100× probe stays at 1.48×
-    # either way. Left unpersisted to keep the CacheManager clean.
+    # The delta band relation is referenced four times (cross probe,
+    # both sides of the intra self-join, the reps-with-shingles set),
+    # so without a barrier the printed plan replays its lineage — 31
+    # numbered / 81 tree-position exchanges at round-13 start. Round-12
+    # A/B'd persist() and measured NOTHING (4.0s vs 4.1s warm): cache
+    # keeps the lineage, so every consumer still re-ANALYZES the whole
+    # subtree. Round-13 A/B'd localCheckpoint instead — the plan
+    # truncates to an RDD leaf, cutting the re-analysis and the
+    # replayed micro-stages: interleaved same-session min-of-4 at
+    # sf0.1, 2.04s off vs 1.88s on (means 2.39 vs 2.09). The DELTA side
+    # only: it is the small side by the operator's contract (today's
+    # batch), so the eager materialization is bounded at every scale,
+    # while the base band relation stays lazy/pipelined (at 100 TB it
+    # is the stored index).
+    banded_delta = banded_delta.localCheckpoint(eager=True)
     d, b = banded_delta.alias("d"), banded_base.alias("b")
     cross = (
         d.join(

@@ -100,6 +100,15 @@ def prefix_filter_jaccard_pairs(
             "prefix"
         ),
     ).persist()
+    # persist, NOT localCheckpoint (round-13 interleaved A/B, min-of-4
+    # at sf0.1: persist 1.79s vs checkpoint 7.13s warm) — the RDD-leaf
+    # form loses the relation's size statistics, so the candidate
+    # verify joins lose their stats-driven broadcast and the pair
+    # relation re-sorts through SMJ. Same finding as the phash reps
+    # relation (operators/multimodal.py); the pattern generalizes:
+    # checkpoint pays off on RE-ANALYZED lineage (minhash incremental
+    # delta bands), persist wins where the planner's join choice
+    # depends on the relation's measured size.
 
     # size rides the prefix relation so the SSJoin length filter can
     # prune candidates BEFORE the distinct + verify join (round-12):

@@ -4,6 +4,8 @@ returns a stable non-empty-ish schema, and has a matching oracle entry
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 # Queries allowed to return 0 rows on the clean driver data.
@@ -26,6 +28,7 @@ def test_entry_runs_and_matches_flagship(spark):
     }
 
 
+@pytest.mark.slow
 def test_all_queries_run_at_sf0001(spark, sf_dir):
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)

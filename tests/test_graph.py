@@ -53,6 +53,7 @@ def test_star_matches_propagation_on_mixed_topologies(spark):
     assert _cc(spark, edges, fn=connected_components_star) == _cc(spark, edges)
 
 
+@pytest.mark.slow
 def test_star_handles_high_diameter_in_log_rounds(spark):
     # A 64-hop path: min-label propagation needs 64 rounds (raises at
     # max_iter=25); star contraction closes it in O(log^2 n).
@@ -64,6 +65,7 @@ def test_star_handles_high_diameter_in_log_rounds(spark):
     assert len(got) == 65
 
 
+@pytest.mark.slow
 def test_star_random_graph_equivalence(spark):
     import random
 
@@ -167,6 +169,7 @@ class TestLoopSessionIsolation:
             assert not df.storageLevel.useMemory
             assert looped.count() == 100  # snapshot data intact
 
+    @pytest.mark.slow
     def test_result_is_snapshot_not_lineage(self, spark):
         """Regression: re-reading an iterative result across the
         session boundary must read a materialized snapshot, not

@@ -7,6 +7,8 @@ seen so far (same min-member-id labels).
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -165,6 +167,7 @@ def test_streaming_cluster_ingest_e2e(spark, tmp_path):
     assert spark.read.parquet(members).count() == n0
 
 
+@pytest.mark.slow
 def test_chained_behind_pair_ingest(spark, tmp_path):
     """Full chain: documents -> start_neardup_pair_ingest (pairs_dir)
     -> start_cluster_ingest; incremental cluster ids equal the batch
@@ -272,6 +275,7 @@ def test_compaction_folds_remap_and_preserves_labels(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_remap_version_gc_and_compact_dir_parses(spark, tmp_path):
     """Round-11 ADVICE: (a) cc_update_batch must GC superseded remap
     version dirs (one full remap copy per micro-batch accumulated

@@ -3,6 +3,8 @@ aggregation invariance under input permutation and re-partitioning."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -106,6 +108,7 @@ def _union_find_components(edges):
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(edges=edges_strategy)
+@pytest.mark.slow
 def test_components_match_union_find_reference(edges):
     from investcloud_data_pipeline_spark.operators.graph import (
         connected_components,
@@ -200,6 +203,7 @@ def _docs_df(word_lists, dup_of=None):
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(corpus=corpus_strategy)
+@pytest.mark.slow
 def test_minhash_lsh_matches_local_banding_and_catches_exact_dups(corpus):
     """Two invariants of the MinHash-LSH plan on generated corpora:
     (1) the distributed banding join emits EXACTLY the pairs that agree
@@ -282,6 +286,7 @@ def test_simhash_candidates_match_local_16bit_banding(corpus):
           suppress_health_check=[HealthCheck.too_slow])
 @given(corpus=st.lists(st.lists(st.sampled_from(WORDS), min_size=10,
                                 max_size=14), min_size=2, max_size=6))
+@pytest.mark.slow
 def test_clean_corpus_is_idempotent(corpus):
     """clean_corpus is a fixed point: survivors are pairwise
     non-near-duplicate component roots whose exact-digest groups root at
@@ -314,6 +319,7 @@ def test_clean_corpus_is_idempotent(corpus):
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(corpus=corpus_strategy, thr=st.sampled_from([0.3, 0.5, 0.8]))
+@pytest.mark.slow
 def test_containment_dominates_jaccard(corpus, thr):
     """Overlap coefficient ≥ Jaccard always (min(|A|,|B|) ≤ |A∪B|), so
     at any shared threshold the containment pair set must be a superset
@@ -351,6 +357,7 @@ corpus_st = st.lists(doc_st, min_size=1, max_size=8)
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(docs=corpus_st)
+@pytest.mark.slow
 def test_repeated_spans_bounded_and_permutation_invariant(docs):
     """dup_tokens <= n_tokens for every doc; result is invariant to
     input partitioning; duplicating the whole corpus makes every
@@ -394,6 +401,7 @@ def test_repeated_spans_bounded_and_permutation_invariant(docs):
     ),
     dim_keys=st.sets(st.integers(0, 3), max_size=4),
 )
+@pytest.mark.slow
 def test_salted_join_equals_plain_join(fact, dim_keys):
     from investcloud_data_pipeline_spark.operators.scale import salted_join
 
@@ -561,6 +569,7 @@ _pf_corpus = st.lists(
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(texts=_pf_corpus)
+@pytest.mark.slow
 def test_prefix_filter_is_lossless_vs_bruteforce(texts):
     """The prefix lemma end-to-end: for random small corpora the
     prefix-filtered exact join returns EXACTLY the brute-force
@@ -859,6 +868,7 @@ def test_approx_bins_monotone_and_cover(spark, scores, n_bins):
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(docs=corpus_st)
+@pytest.mark.slow
 def test_exactsubstr_keep_first_invariants(docs):
     """Round-11 keep-first ExactSubstr laws: n_removed <= n_tokens and
     bounded by the strip-everywhere variant's removal per doc (keeping

@@ -142,6 +142,7 @@ def _row(log_id, ts, user="user_1", ip="10.0.0.1", wt=30):
     }
 
 
+@pytest.mark.slow
 def test_incremental_gold_equals_recompute(spark, tmp_path, ip_regions):
     """The merge-based incremental Gold must produce exactly the same
     snapshot as the full recompute, across multiple micro-batches."""
@@ -316,6 +317,7 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert ok.select("component").distinct().count() == 1
 
 
+@pytest.mark.slow
 def test_silver_dedup_state_store_providers_agree(spark, tmp_path, ip_regions):
     """The watermarked dedup runs on BOTH state store providers — the
     default HDFS-backed one and RocksDB (the 100 TB posture, where
@@ -371,6 +373,7 @@ def test_silver_dedup_state_store_providers_agree(spark, tmp_path, ip_regions):
     assert results["hdfs"] == results["rocksdb"] and results["hdfs"]
 
 
+@pytest.mark.slow
 def test_byte_budget_admission_bronze_e2e(spark, tmp_path, ip_regions):
     """T5 byte cap: bronze over the budget_files source drains a 6-file
     backlog in byte-budgeted batches (≈2 files each) by looping

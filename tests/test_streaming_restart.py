@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from investcloud_data_pipeline_spark.config import PipelinePaths
@@ -73,6 +75,7 @@ def test_continuous_restart_no_loss_no_dup(spark, tmp_path):
             q.awaitTermination(30)
 
 
+@pytest.mark.slow
 def test_cc_chain_mid_epoch_kill_replays_without_dup(spark, tmp_path, monkeypatch):
     """Round-11 chaos case: kill the CC cluster-ingest foreachBatch
     AFTER the member-store append but BEFORE the remap commit ("sink
